@@ -1,0 +1,82 @@
+"""Static configuration: solver parameters and fixed world capacities.
+
+Equivalent of starframe's plain params structs (``PhysicsParams``-style
+defaults — SURVEY.md §5.6 [K-med]). Both dataclasses below are frozen and
+hashable so they can be closed over / passed as static jit arguments; array
+shapes are derived from :class:`Capacity` at world-build time and never
+change afterwards (the fixed-capacity design mandated by BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacity:
+    """Fixed array capacities for one world. All shapes are static under jit.
+
+    Every buffer has an overflow counter in :class:`~starframe_tpu.diagnostics.
+    Diagnostics` — silent truncation is the #1 correctness risk of the
+    fixed-shape design (SURVEY.md §7.8) and tests assert the counters are 0.
+    """
+
+    max_bodies: int = 128
+    max_colliders: int = 128
+    max_pairs: int = 1024
+    max_joints: int = 0
+    max_verts: int = 8  # max vertices per convex polygon core
+
+    def __post_init__(self):
+        if self.max_verts < 2:
+            raise ValueError("max_verts must be >= 2 (capsules need 2)")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """XPBD solver configuration (static under jit).
+
+    Defaults follow the driver-normative bench configs: 60 Hz frames with
+    10 XPBD substeps (BASELINE.json:7) per Müller et al. 2020 "small steps".
+    """
+
+    dt: float = 1.0 / 60.0
+    substeps: int = 10
+    # Jacobi position-solve sweeps per substep. 1 matches the small-steps
+    # paper's Gauss-Seidel; Jacobi benefits slightly from 2.
+    iterations: int = 1
+    # Under-relaxation for Jacobi accumulation (applied on top of dividing by
+    # the per-body constraint count). 1.0 = plain averaged Jacobi.
+    relaxation: float = 1.0
+    # Speculative contact margin: manifolds are kept while surface separation
+    # < margin so contacts created at frame start stay valid as bodies move
+    # during substeps. Constraints only activate at actual penetration.
+    contact_margin: float = 0.05
+    # Baumgarte-free XPBD compliance for contacts (0 = rigid).
+    contact_compliance: float = 0.0
+    # Restitution is skipped below this approach speed (prevents jitter).
+    restitution_threshold: float = 0.5
+    # Global damping applied in the velocity pass, per second.
+    linear_damping: float = 0.0
+    angular_damping: float = 0.0
+    # Max angular correction stability clamp (radians per substep-projection).
+    max_dpos: float = 1e3
+    # Broadphase: 'dense' (O(n^2) masked; best under ~512 colliders) or
+    # 'grid' (sort-and-segment spatial hash; BASELINE.json:5 "sort-and-
+    # segment pair generator"). 'auto' picks by collider capacity.
+    broadphase: str = "auto"
+    # Grid broadphase: number of colliders one cell can hold before overflow,
+    # and objects whose AABB exceeds `large_factor * cell_size` go through the
+    # dense "large set" path (2-level HGrid equivalent, SURVEY.md §7.3).
+    grid_cell_capacity: int = 8
+    max_large: int = 64
+    # Velocity at which bodies are considered for sleeping (0 disables).
+    sleep_velocity: float = 0.0
+    sleep_frames: int = 30
+    # Use Pallas kernels for the solver inner loop where available.
+    use_pallas: bool = False
+
+    @property
+    def h(self) -> float:
+        """Substep length."""
+        return self.dt / self.substeps

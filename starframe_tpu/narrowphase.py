@@ -1,0 +1,267 @@
+"""Narrowphase: one vectorized manifold kernel for all shape pairs.
+
+Starframe dispatches per shape pair (circle/capsule/convex-poly via GJK +
+feature clipping — BASELINE.json:5, SURVEY.md §2 row 6). A TPU wants one
+branch-free kernel, not a dispatch tree, so this module implements contact
+generation for the *unified* shape: a rounded convex polygon (core vertices +
+dilation radius; circle = 1 vertex, capsule = 2). The algorithm produces the
+same manifolds GJK+clipping would (SURVEY.md §7.4 licenses the swap: the
+rebuild needs equivalent manifolds, not the same algorithm):
+
+1. SAT over the edge normals of both cores (masked over vertex counts) gives
+   the max-separation axis. In 2D this is exact for core overlap.
+2. If the cores are separated (the common case for rounded shapes resting on
+   each other), the closest-point pair between the two SAT candidate edges
+   supplies the axis — this covers vertex/cap Voronoi regions, circles and
+   capsule ends, where no edge normal is the true axis.
+3. Reference-face clipping of the incident edge yields up to 2 contact
+   points with per-point separations; non-parallel separated pairs keep the
+   single closest point.
+
+Everything is fixed-shape and mask-driven; the per-pair function is vmapped
+over the pair buffer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import math2d as m2
+from .contacts import Contacts
+from .state import COL_SENSOR, World
+
+_PARALLEL_COS = 0.98  # |cos| above which edges count as parallel
+_EPS = 1e-10
+
+
+def world_verts(world: World) -> jax.Array:
+    """Transform all collider core vertices to world space: [M, V, 2]."""
+    c = world.colliders
+    b = world.bodies
+    pos = b.pos[c.body_idx]  # [M, 2]
+    ang = b.angle[c.body_idx]  # [M]
+    return m2.transform(pos[:, None, :], ang[:, None], c.verts)
+
+
+def _edge_data(v, n_valid):
+    """Edge endpoints + outward normals of a padded CCW polygon.
+
+    v: [V, 2] world verts (slots >= n_valid padded with v[0]).
+    Returns (e0[V,2], e1[V,2], normals[V,2], edge_valid[V]).
+    """
+    V = v.shape[0]
+    idx = jnp.arange(V)
+    nxt = jnp.where(idx + 1 < n_valid, idx + 1, 0)
+    e0 = v
+    e1 = v[nxt]
+    d = e1 - e0
+    length = m2.norm(d)
+    valid = (idx < n_valid) & (n_valid >= 2) & (length > 1e-9)
+    n = m2.perp_cw(d) / jnp.maximum(length, _EPS)[..., None]
+    return e0, e1, n, valid
+
+
+def _sat(e0, normals, edge_valid, verts_other):
+    """Max separation over one shape's edge normals vs the other's verts.
+
+    Padded verts of the other shape equal its v0, so the min over the full
+    buffer is exact without a mask. Returns (best_sep, best_idx).
+    """
+    # support distance: min_j n_i . w_j  -  n_i . e0_i
+    proj = jnp.einsum("vk,wk->vw", normals, verts_other)  # [V, W]
+    sep = jnp.min(proj, axis=1) - jnp.sum(normals * e0, axis=1)
+    sep = jnp.where(edge_valid, sep, -jnp.inf)
+    best = jnp.argmax(sep)
+    return sep[best], best
+
+
+def _closest_seg_seg(p1, q1, p2, q2):
+    """Closest points between segments [p1,q1] and [p2,q2] (Ericson 5.1.9),
+    branch-free; degenerate (point) segments are handled."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = m2.dot2(d1, d1)
+    e = m2.dot2(d2, d2)
+    f = m2.dot2(d2, r)
+    c = m2.dot2(d1, r)
+    b = m2.dot2(d1, d2)
+    denom = a * e - b * b
+
+    a_deg = a <= _EPS
+    e_deg = e <= _EPS
+
+    s_gen = jnp.where(denom > _EPS, jnp.clip((b * f - c * e) / jnp.where(denom > _EPS, denom, 1.0), 0.0, 1.0), 0.0)
+    t_gen = (b * s_gen + f) / jnp.where(e_deg, 1.0, e)
+    # clamp t then recompute s
+    t_cl = jnp.clip(t_gen, 0.0, 1.0)
+    s_re = jnp.clip((b * t_cl - c) / jnp.where(a_deg, 1.0, a), 0.0, 1.0)
+    s_gen = jnp.where((t_gen < 0.0) | (t_gen > 1.0), s_re, s_gen)
+    t_gen = t_cl
+
+    # degenerate cases
+    s = jnp.where(a_deg & e_deg, 0.0, jnp.where(a_deg, 0.0, jnp.where(e_deg, jnp.clip(-c / jnp.where(a_deg, 1.0, a), 0.0, 1.0), s_gen)))
+    t = jnp.where(a_deg & e_deg, 0.0, jnp.where(a_deg, jnp.clip(f / jnp.where(e_deg, 1.0, e), 0.0, 1.0), jnp.where(e_deg, 0.0, t_gen)))
+
+    c1 = p1 + d1 * s
+    c2 = p2 + d2 * t
+    return c1, c2
+
+
+def manifold_pair(va, na, ra, vb, nb, rb, margin):
+    """Contact manifold between two rounded convex polygons in world space.
+
+    Returns (normal[2] A->B, wa[2,2], wb[2,2], sep[2], pmask[2]) where wa/wb
+    are surface points on A/B, ``dot(wb_k - wa_k, normal) == sep_k`` and
+    points are kept while ``sep < margin`` (speculative contacts).
+    """
+    e0a, e1a, nrm_a, eva = _edge_data(va, na)
+    e0b, e1b, nrm_b, evb = _edge_data(vb, nb)
+
+    sep_a, ia = _sat(e0a, nrm_a, eva, vb)
+    sep_b, ib = _sat(e0b, nrm_b, evb, va)
+
+    a_has_edges = na >= 2
+    b_has_edges = nb >= 2
+    both_points = jnp.logical_not(a_has_edges | b_has_edges)
+
+    # prefer A as reference with a small bias for temporal coherence
+    flip = sep_b > sep_a + 1e-5
+    s_core = jnp.maximum(sep_a, sep_b)
+
+    # reference edge (on R) and its normal
+    r0 = jnp.where(flip, e0b[ib], e0a[ia])
+    r1 = jnp.where(flip, e1b[ib], e1a[ia])
+    n_ref = jnp.where(flip, nrm_b[ib], nrm_a[ia])
+    r_ref = jnp.where(flip, rb, ra)
+    r_inc = jnp.where(flip, ra, rb)
+
+    # incident edge (on I): most anti-parallel to n_ref; degenerate -> (v0, v0)
+    inc_dots_a = jnp.where(eva, nrm_a @ n_ref, jnp.inf)
+    inc_dots_b = jnp.where(evb, nrm_b @ n_ref, jnp.inf)
+    ka = jnp.argmin(inc_dots_a)
+    kb = jnp.argmin(inc_dots_b)
+    i_has_edges = jnp.where(flip, a_has_edges, b_has_edges)
+    i0 = jnp.where(flip, jnp.where(a_has_edges, e0a[ka], va[0]), jnp.where(b_has_edges, e0b[kb], vb[0]))
+    i1 = jnp.where(flip, jnp.where(a_has_edges, e1a[ka], va[0]), jnp.where(b_has_edges, e1b[kb], vb[0]))
+    inc_normal_dot = jnp.where(flip, inc_dots_a[ka], inc_dots_b[kb])
+
+    # ---- path 1: clip incident edge against reference face ----
+    t_dir = r1 - r0
+    t_len = m2.norm(t_dir)
+    t_hat = t_dir / jnp.maximum(t_len, _EPS)
+    lo = jnp.dot(t_hat, r0)
+    hi = jnp.dot(t_hat, r1)
+    s0 = jnp.dot(t_hat, i0)
+    s1 = jnp.dot(t_hat, i1)
+    ds = s1 - s0
+    inv_ds = jnp.where(jnp.abs(ds) > _EPS, 1.0 / jnp.where(jnp.abs(ds) > _EPS, ds, 1.0), 0.0)
+    cs0 = jnp.clip(s0, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+    cs1 = jnp.clip(s1, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
+    q0 = i0 + (i1 - i0) * ((cs0 - s0) * inv_ds)
+    q1 = i0 + (i1 - i0) * ((cs1 - s0) * inv_ds)
+
+    def _clip_point(q):
+        plane_d = jnp.dot(n_ref, q - r0)
+        sep = plane_d - r_ref - r_inc
+        w_ref = q - n_ref * plane_d + n_ref * r_ref
+        w_inc = q - n_ref * r_inc
+        return sep, w_ref, w_inc
+
+    csep0, cw_ref0, cw_inc0 = _clip_point(q0)
+    csep1, cw_ref1, cw_inc1 = _clip_point(q1)
+    clip_distinct = m2.norm(q1 - q0) > 1e-6
+
+    # ---- path 2: closest points between the two candidate edges ----
+    c_ref, c_inc = _closest_seg_seg(r0, r1, i0, i1)
+    # for both_points (two circles) the "edges" are the centers themselves
+    c_ref = jnp.where(both_points, jnp.where(flip, vb[0], va[0]), c_ref)
+    c_inc = jnp.where(both_points, jnp.where(flip, va[0], vb[0]), c_inc)
+    d_vec = c_inc - c_ref
+    d_len = m2.norm(d_vec)
+    n_close = jnp.where(
+        d_len > 1e-9, d_vec / jnp.maximum(d_len, _EPS), jnp.where(both_points, jnp.array([0.0, 1.0]), n_ref)
+    )
+    psep = d_len - r_ref - r_inc
+    pw_ref = c_ref + n_close * r_ref
+    pw_inc = c_inc - n_close * r_inc
+
+    # ---- choose path ----
+    parallel = i_has_edges & (inc_normal_dot < -_PARALLEL_COS)
+    use_clip = jnp.logical_not(both_points) & ((s_core <= 0.0) | parallel)
+
+    n_out = jnp.where(use_clip, n_ref, n_close)  # ref -> inc
+    w_ref_pts = jnp.where(use_clip, jnp.stack([cw_ref0, cw_ref1]), jnp.stack([pw_ref, pw_ref]))
+    w_inc_pts = jnp.where(use_clip, jnp.stack([cw_inc0, cw_inc1]), jnp.stack([pw_inc, pw_inc]))
+    seps = jnp.where(use_clip, jnp.stack([csep0, csep1]), jnp.stack([psep, psep]))
+
+    pmask0 = seps[0] < margin
+    pmask1 = use_clip & clip_distinct & (seps[1] < margin)
+    pmask = jnp.stack([pmask0, pmask1])
+
+    # un-flip into A->B convention
+    normal = jnp.where(flip, -n_out, n_out)
+    wa = jnp.where(flip, w_inc_pts, w_ref_pts)
+    wb = jnp.where(flip, w_ref_pts, w_inc_pts)
+    return normal, wa, wb, seps, pmask
+
+
+_manifold_vmapped = jax.vmap(manifold_pair, in_axes=(0, 0, 0, 0, 0, 0, None))
+
+
+@jax.named_scope("narrowphase")
+def narrowphase(world: World, wverts: jax.Array, pair_a: jax.Array,
+                pair_b: jax.Array, pair_valid: jax.Array, margin: float) -> Contacts:
+    """Generate contact manifolds for the candidate pair buffer.
+
+    ``pair_a``/``pair_b``: [P] collider indices (fill slots arbitrary but in
+    range); ``pair_valid``: [P] bool.
+    """
+    c = world.colliders
+    b = world.bodies
+
+    ca = pair_a
+    cb = pair_b
+    va = wverts[ca]
+    vb = wverts[cb]
+    na = c.nverts[ca]
+    nb = c.nverts[cb]
+    ra = c.radius[ca]
+    rb = c.radius[cb]
+
+    normal, wa, wb, seps, pmask = _manifold_vmapped(va, na, ra, vb, nb, rb, margin)
+
+    body_a = c.body_idx[ca]
+    body_b = c.body_idx[cb]
+    pos_a, ang_a = b.pos[body_a], b.angle[body_a]
+    pos_b, ang_b = b.pos[body_b], b.angle[body_b]
+
+    # store anchors body-locally; normal in A's frame (refreshed per substep)
+    anchor_a = m2.transform_inv(pos_a[:, None, :], ang_a[:, None], wa)
+    anchor_b = m2.transform_inv(pos_b[:, None, :], ang_b[:, None], wb)
+    normal_a = m2.rotate_inv(ang_a, normal)
+
+    pmask = pmask & pair_valid[:, None]
+    sensor = ((c.flags[ca] & COL_SENSOR) != 0) | ((c.flags[cb] & COL_SENSOR) != 0)
+    solve_mask = pmask & jnp.logical_not(sensor)[:, None]
+
+    friction = jnp.sqrt(c.friction[ca] * c.friction[cb])
+    restitution = jnp.maximum(c.restitution[ca], c.restitution[cb])
+    touching = jnp.any(pmask & (seps < 0.0), axis=1)
+
+    return Contacts(
+        body_a=body_a,
+        body_b=body_b,
+        collider_a=ca,
+        collider_b=cb,
+        normal_a=normal_a,
+        anchor_a=anchor_a,
+        anchor_b=anchor_b,
+        point_mask=pmask,
+        solve_mask=solve_mask,
+        friction=friction,
+        restitution=restitution,
+        touching=touching,
+        separation=seps,
+    )

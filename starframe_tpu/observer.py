@@ -1,0 +1,158 @@
+"""Headless observer: render collider outlines + contacts from state.
+
+Stands in for starframe's wgpu debug/line renderer (SURVEY.md §2 row 17,
+§7.7): a dependency-free SVG writer (always available) plus an optional
+matplotlib raster path. Pulls device state to host once per rendered frame —
+never call this on the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .state import World
+
+
+def _world_outlines(world: World, segments_per_arc: int = 8):
+    """Host-side polyline outline per active collider (rounded polygons)."""
+    b = world.bodies
+    c = world.colliders
+    pos = np.asarray(b.pos)
+    ang = np.asarray(b.angle)
+    verts = np.asarray(c.verts)
+    nverts = np.asarray(c.nverts)
+    radius = np.asarray(c.radius)
+    body_idx = np.asarray(c.body_idx)
+    active = np.asarray(c.active)
+
+    outlines = []
+    for i in range(len(nverts)):
+        if not active[i]:
+            continue
+        nv = int(nverts[i])
+        r = float(radius[i])
+        core = verts[i, :nv]
+        a = ang[body_idx[i]]
+        rot = np.array([[math.cos(a), -math.sin(a)], [math.sin(a), math.cos(a)]])
+        w = core @ rot.T + pos[body_idx[i]]
+        if r <= 1e-9 and nv >= 3:
+            outlines.append(np.vstack([w, w[:1]]))
+            continue
+        # rounded: sample edge offsets + vertex arcs
+        pts = []
+        if nv == 1:
+            th = np.linspace(0, 2 * np.pi, 4 * segments_per_arc + 1)
+            pts = w[0] + r * np.stack([np.cos(th), np.sin(th)], -1)
+            outlines.append(pts)
+            continue
+        for k in range(nv):
+            v0 = w[k]
+            v1 = w[(k + 1) % nv]
+            e = v1 - v0
+            ln = np.linalg.norm(e)
+            if ln < 1e-12:
+                continue
+            n = np.array([e[1], -e[0]]) / ln
+            pts.append(v0 + n * r)
+            pts.append(v1 + n * r)
+            # arc at v1 from this edge normal to the next edge normal
+            v2 = w[(k + 2) % nv]
+            e2 = v2 - v1
+            l2 = np.linalg.norm(e2)
+            if l2 < 1e-12:
+                n2 = -n
+            else:
+                n2 = np.array([e2[1], -e2[0]]) / l2
+            a0 = math.atan2(n[1], n[0])
+            a1 = math.atan2(n2[1], n2[0])
+            while a1 < a0:
+                a1 += 2 * np.pi
+            th = np.linspace(a0, a1, segments_per_arc)
+            for t in th:
+                pts.append(v1 + r * np.array([math.cos(t), math.sin(t)]))
+        pts = np.asarray(pts)
+        outlines.append(np.vstack([pts, pts[:1]]))
+    return outlines
+
+
+def render_svg(
+    world: World,
+    path: str,
+    view: Optional[tuple] = None,
+    size: int = 800,
+    contacts=None,
+) -> str:
+    """Write the scene as an SVG file; returns the path. ``view`` is
+    (xmin, ymin, xmax, ymax); default = fit all active colliders."""
+    outlines = _world_outlines(world)
+    if view is None:
+        if outlines:
+            allpts = np.vstack(outlines)
+            lo = allpts.min(0) - 1
+            hi = allpts.max(0) + 1
+        else:
+            lo, hi = np.array([-10.0, -10.0]), np.array([10.0, 10.0])
+        view = (lo[0], lo[1], hi[0], hi[1])
+    xmin, ymin, xmax, ymax = view
+    w = xmax - xmin
+    h = ymax - ymin
+    scale = size / max(w, h)
+
+    def tx(p):
+        return (p[0] - xmin) * scale, (ymax - p[1]) * scale  # y-up world
+
+    lines = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{int(w * scale)}" '
+        f'height="{int(h * scale)}" viewBox="0 0 {w * scale:.1f} {h * scale:.1f}">',
+        f'<rect width="100%" height="100%" fill="#101018"/>',
+    ]
+    for poly in outlines:
+        pts = " ".join(f"{tx(p)[0]:.2f},{tx(p)[1]:.2f}" for p in poly)
+        lines.append(
+            f'<polyline points="{pts}" fill="rgba(90,160,255,0.15)" '
+            f'stroke="#7fb0ff" stroke-width="1.2"/>'
+        )
+    if contacts is not None:
+        pm = np.asarray(contacts.point_mask)
+        ba = np.asarray(contacts.body_a)
+        anchors = np.asarray(contacts.anchor_a)
+        pos = np.asarray(world.bodies.pos)
+        ang = np.asarray(world.bodies.angle)
+        for p in range(pm.shape[0]):
+            for k in range(2):
+                if pm[p, k]:
+                    a = ang[ba[p]]
+                    rot = np.array([[math.cos(a), -math.sin(a)], [math.sin(a), math.cos(a)]])
+                    wpt = anchors[p, k] @ rot.T + pos[ba[p]]
+                    x, y = tx(wpt)
+                    lines.append(f'<circle cx="{x:.2f}" cy="{y:.2f}" r="2.5" fill="#ff5f5f"/>')
+    lines.append("</svg>")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
+def render_png(world: World, path: str, view: Optional[tuple] = None, contacts=None) -> str:
+    """Raster render via matplotlib if available (falls back to SVG)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return render_svg(world, path.replace(".png", ".svg"), view, contacts=contacts)
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    for poly in _world_outlines(world):
+        ax.fill(poly[:, 0], poly[:, 1], alpha=0.15, color="#4a90d9")
+        ax.plot(poly[:, 0], poly[:, 1], color="#4a90d9", lw=1.0)
+    ax.set_aspect("equal")
+    if view is not None:
+        ax.set_xlim(view[0], view[2])
+        ax.set_ylim(view[1], view[3])
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    return path

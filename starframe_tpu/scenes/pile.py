@@ -1,0 +1,69 @@
+"""Bench config 2 (BASELINE.json:8): pyramid + pile stress — 10k convex
+bodies settling under gravity (contact-heavy broadphase/narrowphase)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Capacity, SolverConfig
+from ..shapes import Shape
+from ..state import WorldBuilder
+from .base import Scene
+
+
+def pile(
+    n_bodies: int = 10_000,
+    body_half: float = 0.5,
+    friction: float = 0.5,
+    seed: int = 0,
+    substeps: int = 10,
+    container_half_width: float = None,
+) -> Scene:
+    """Mixed boxes/hexagons/circles packed in a grid above a container, falling
+    into a pile. Sized so the settled pile is several bodies deep."""
+    rng = np.random.default_rng(seed)
+    b = WorldBuilder(gravity=(0.0, -9.81))
+
+    cols = int(np.ceil(np.sqrt(n_bodies * 4)))
+    rows = int(np.ceil(n_bodies / cols))
+    spacing = body_half * 2.2
+    if container_half_width is None:
+        container_half_width = cols * spacing / 2 + 2.0
+
+    # container: floor + two walls
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(container_half_width + 2.0, 0.5), friction=friction)
+    wl = b.add_static(pos=(-container_half_width, rows * spacing))
+    b.add_collider(wl, Shape.box(0.5, rows * spacing + 4.0), friction=friction)
+    wr = b.add_static(pos=(container_half_width, rows * spacing))
+    b.add_collider(wr, Shape.box(0.5, rows * spacing + 4.0), friction=friction)
+
+    x0 = -(cols - 1) * spacing / 2
+    count = 0
+    for row in range(rows):
+        for col in range(cols):
+            if count >= n_bodies:
+                break
+            x = x0 + col * spacing + rng.uniform(-0.05, 0.05) * body_half
+            y = body_half * 1.5 + row * spacing
+            body = b.add_body(pos=(x, y), angle=float(rng.uniform(0, np.pi)))
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                b.add_collider(body, Shape.circle(body_half * 0.9), friction=friction)
+            elif kind == 1:
+                b.add_collider(body, Shape.box(body_half, body_half * 0.8), friction=friction)
+            else:
+                b.add_collider(body, Shape.hexagon(body_half), friction=friction)
+            count += 1
+
+    cap = Capacity(
+        max_bodies=n_bodies + 3,
+        max_colliders=n_bodies + 3,
+        max_pairs=max(12 * n_bodies, 1024),
+        max_joints=0,
+        max_verts=6,
+    )
+    world, cap = b.build(cap)
+    cfg = SolverConfig(dt=1 / 60, substeps=substeps, broadphase="grid",
+                       grid_cell_capacity=12)
+    return Scene("pile", world, cap, cfg)

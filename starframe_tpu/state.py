@@ -1,0 +1,609 @@
+"""World state: fixed-capacity SoA arrays + host-side scene builder.
+
+TPU-native replacement for starframe's object storage and body/collider/
+constraint model (SURVEY.md §2 rows 2-4, 8; generational arenas + typed keys
+in the Rust reference become fixed-capacity arrays + active masks + integer
+keys here, per the driver-normative design in BASELINE.json:5).
+
+Design (SURVEY.md §7.2):
+
+- One :class:`World` pytree of arrays; capacities are static; dead slots are
+  inert (``inv_mass = 0``, AABB pushed far away). Spawn/despawn happens on
+  host between frames via :class:`WorldBuilder` / the despawn helpers.
+- Compound shapes: a body may own several colliders; collider offsets are
+  baked into the collider's local vertices at build time, so the hot path
+  never composes collider offset poses (one fewer transform per pair).
+- Rope particles are ordinary bodies with ``inv_inertia = 0`` plus distance
+  constraint rows (SURVEY.md §2 row 10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import math2d
+from .config import Capacity
+from .shapes import Shape
+
+# Body flags
+BODY_ACTIVE = 1
+BODY_KINEMATIC = 2
+
+# Collider flags
+COL_ACTIVE = 1
+COL_SENSOR = 2
+
+# Joint types (stored in Joints.jtype)
+JOINT_OFF = 0
+JOINT_DISTANCE = 1  # |pa - pb| constrained into [lo, hi]
+JOINT_PIN = 2  # pa == pb (2-dof point attachment / revolute)
+JOINT_ANGLE_RANGE = 3  # relative angle constrained into [lo, hi]
+JOINT_ANGULAR_MOTOR = 4  # drive relative angular velocity to motor_speed
+JOINT_WELD = 5  # pin + relative angle locked to `rest`
+
+
+def _dataclass_pytree(cls):
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_dataclass_pytree
+class Bodies:
+    """Rigid-body dynamic state, SoA over the body axis ``[N]``.
+
+    Mirrors starframe's ``Body`` (pose + velocity + mass, SURVEY.md §2 row 3);
+    static bodies have ``inv_mass == inv_inertia == 0``; kinematic bodies add
+    the ``BODY_KINEMATIC`` flag (they integrate velocity but ignore impulses,
+    which zero inverse mass already guarantees).
+    """
+
+    pos: jax.Array  # [N, 2] f32
+    angle: jax.Array  # [N] f32
+    vel: jax.Array  # [N, 2] f32
+    ang_vel: jax.Array  # [N] f32
+    inv_mass: jax.Array  # [N] f32
+    inv_inertia: jax.Array  # [N] f32
+    flags: jax.Array  # [N] i32
+    # Previous frame pose, for render interpolation (fixed-timestep loop with
+    # interpolated rendering is a signature starframe design — SURVEY.md §1.5).
+    prev_pos: jax.Array  # [N, 2] f32
+    prev_angle: jax.Array  # [N] f32
+    sleep_count: jax.Array  # [N] i32
+
+    @property
+    def active(self):
+        return (self.flags & BODY_ACTIVE) != 0
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[-2]
+
+
+@_dataclass_pytree
+class Colliders:
+    """Collision shapes, SoA over the collider axis ``[M]``.
+
+    Unified shape model (this repo's TPU-first redesign of starframe's
+    circle/capsule/convex-poly taxonomy, SURVEY.md §2 row 4 + §7.4): every
+    shape is a *rounded convex polygon* — ``nverts`` core vertices dilated by
+    ``radius``. circle = 1 vertex + r, capsule = 2 vertices + r, box/hexagon
+    = 4/6 vertices (+ optional rounding). One narrowphase kernel covers all
+    pairs with no shape-type dispatch, which is exactly what the VPU wants.
+    """
+
+    body_idx: jax.Array  # [M] i32 (owning body)
+    verts: jax.Array  # [M, V, 2] f32 core vertices, CCW, in body frame
+    nverts: jax.Array  # [M] i32 (1..V)
+    radius: jax.Array  # [M] f32 dilation radius (>= 0)
+    friction: jax.Array  # [M] f32
+    restitution: jax.Array  # [M] f32
+    layer: jax.Array  # [M] i32 collision layer index (0..31)
+    mask: jax.Array  # [M] i32 bitmask of layers this collider hits
+    flags: jax.Array  # [M] i32
+
+    @property
+    def active(self):
+        return (self.flags & COL_ACTIVE) != 0
+
+    @property
+    def is_sensor(self):
+        return (self.flags & COL_SENSOR) != 0
+
+    @property
+    def m(self) -> int:
+        return self.verts.shape[-3]
+
+    @property
+    def max_verts(self) -> int:
+        return self.verts.shape[-2]
+
+
+@_dataclass_pytree
+class Joints:
+    """User constraints: distance/pin/weld joints, angle limits, motors.
+
+    Mirrors starframe's builder-configured constraints with compliance and
+    motors (SURVEY.md §2 row 8, BASELINE.json:10). Rope stretch constraints
+    are rows of this same table (``JOINT_DISTANCE`` between particles).
+    """
+
+    jtype: jax.Array  # [J] i32
+    body_a: jax.Array  # [J] i32
+    body_b: jax.Array  # [J] i32
+    anchor_a: jax.Array  # [J, 2] f32 (body-local)
+    anchor_b: jax.Array  # [J, 2] f32 (body-local)
+    rest: jax.Array  # [J] f32 (rest length / rest relative angle)
+    lo: jax.Array  # [J] f32 (min length / min relative angle)
+    hi: jax.Array  # [J] f32
+    compliance: jax.Array  # [J] f32 (XPBD alpha; 0 = rigid)
+    damping: jax.Array  # [J] f32 (velocity-pass joint damping per second)
+    motor_speed: jax.Array  # [J] f32 (target relative angular velocity)
+    motor_max: jax.Array  # [J] f32 (max |impulse| per substep budget scale)
+
+    @property
+    def active(self):
+        return self.jtype != JOINT_OFF
+
+    @property
+    def j(self) -> int:
+        return self.jtype.shape[-1]
+
+
+@_dataclass_pytree
+class World:
+    """The whole simulation state: one pytree, ready for jit/vmap/shard_map.
+
+    The TPU-native analogue of starframe's ``PhysicsWorld`` + hecs world
+    (SURVEY.md §2 rows 2-3). Checkpoint/resume is trivial because this is a
+    pytree of arrays (SURVEY.md §5.4) — see :mod:`starframe_tpu.io`.
+    """
+
+    bodies: Bodies
+    colliders: Colliders
+    joints: Joints
+    gravity: jax.Array  # [2] f32
+    step_count: jax.Array  # i32 scalar
+
+
+# Typed keys (starframe's BodyKey/ColliderKey arena keys -> plain indices).
+class BodyKey(int):
+    pass
+
+
+class ColliderKey(int):
+    pass
+
+
+class JointKey(int):
+    pass
+
+
+_ALL_LAYERS = np.int32(-1)  # all mask bits set
+
+
+def empty_world(cap: Capacity, gravity=(0.0, -9.81)) -> World:
+    """An all-inactive world with the given capacities."""
+    nb, nc, nj, nv = cap.max_bodies, cap.max_colliders, cap.max_joints, cap.max_verts
+    f32 = jnp.float32
+    i32 = jnp.int32
+    bodies = Bodies(
+        pos=jnp.zeros((nb, 2), f32),
+        angle=jnp.zeros((nb,), f32),
+        vel=jnp.zeros((nb, 2), f32),
+        ang_vel=jnp.zeros((nb,), f32),
+        inv_mass=jnp.zeros((nb,), f32),
+        inv_inertia=jnp.zeros((nb,), f32),
+        flags=jnp.zeros((nb,), i32),
+        prev_pos=jnp.zeros((nb, 2), f32),
+        prev_angle=jnp.zeros((nb,), f32),
+        sleep_count=jnp.zeros((nb,), i32),
+    )
+    colliders = Colliders(
+        body_idx=jnp.zeros((nc,), i32),
+        verts=jnp.zeros((nc, nv, 2), f32),
+        nverts=jnp.ones((nc,), i32),
+        radius=jnp.zeros((nc,), f32),
+        friction=jnp.full((nc,), 0.5, f32),
+        restitution=jnp.zeros((nc,), f32),
+        layer=jnp.zeros((nc,), i32),
+        mask=jnp.full((nc,), _ALL_LAYERS, i32),
+        flags=jnp.zeros((nc,), i32),
+    )
+    joints = Joints(
+        jtype=jnp.zeros((max(nj, 1),), i32),
+        body_a=jnp.zeros((max(nj, 1),), i32),
+        body_b=jnp.zeros((max(nj, 1),), i32),
+        anchor_a=jnp.zeros((max(nj, 1), 2), f32),
+        anchor_b=jnp.zeros((max(nj, 1), 2), f32),
+        rest=jnp.zeros((max(nj, 1),), f32),
+        lo=jnp.zeros((max(nj, 1),), f32),
+        hi=jnp.zeros((max(nj, 1),), f32),
+        compliance=jnp.zeros((max(nj, 1),), f32),
+        damping=jnp.zeros((max(nj, 1),), f32),
+        motor_speed=jnp.zeros((max(nj, 1),), f32),
+        motor_max=jnp.full((max(nj, 1),), jnp.inf, f32),
+    )
+    return World(
+        bodies=bodies,
+        colliders=colliders,
+        joints=joints,
+        gravity=jnp.asarray(gravity, f32),
+        step_count=jnp.zeros((), i32),
+    )
+
+
+class WorldBuilder:
+    """Host-side scene construction (numpy), producing a device :class:`World`.
+
+    Plays the role of starframe's spawn APIs (``PhysicsWorld::insert_body``,
+    collider/constraint builders — SURVEY.md §2 rows 2-4, 8 [K-med]): bodies,
+    colliders (with optional offset pose, baked into local verts), joints,
+    ropes. Mass/inertia are computed from attached collider shapes unless
+    overridden, as in the reference's mass-from-collider flow [K-med].
+    """
+
+    def __init__(self, gravity=(0.0, -9.81)):
+        self.gravity = tuple(gravity)
+        self._bodies: list[dict] = []
+        self._colliders: list[dict] = []
+        self._joints: list[dict] = []
+
+    # -- bodies -----------------------------------------------------------
+
+    def add_body(
+        self,
+        pos=(0.0, 0.0),
+        angle: float = 0.0,
+        vel=(0.0, 0.0),
+        ang_vel: float = 0.0,
+        body_type: str = "dynamic",
+        mass: Optional[float] = None,
+        inertia: Optional[float] = None,
+    ) -> BodyKey:
+        if body_type not in ("dynamic", "static", "kinematic"):
+            raise ValueError(f"unknown body_type {body_type!r}")
+        self._bodies.append(
+            dict(
+                pos=np.asarray(pos, np.float32),
+                angle=float(angle),
+                vel=np.asarray(vel, np.float32),
+                ang_vel=float(ang_vel),
+                body_type=body_type,
+                mass=mass,
+                inertia=inertia,
+            )
+        )
+        return BodyKey(len(self._bodies) - 1)
+
+    def add_static(self, pos=(0.0, 0.0), angle: float = 0.0) -> BodyKey:
+        return self.add_body(pos=pos, angle=angle, body_type="static")
+
+    def add_particle(self, pos, mass: float, vel=(0.0, 0.0)) -> BodyKey:
+        """Point-mass body (no rotational dof): used for rope particles."""
+        return self.add_body(pos=pos, vel=vel, mass=mass, inertia=np.inf)
+
+    # -- colliders ---------------------------------------------------------
+
+    def add_collider(
+        self,
+        body: int,
+        shape: Shape,
+        friction: float = 0.5,
+        restitution: float = 0.0,
+        density: float = 1.0,
+        layer: int = 0,
+        mask: int = -1,
+        sensor: bool = False,
+        offset=(0.0, 0.0),
+        offset_angle: float = 0.0,
+    ) -> ColliderKey:
+        """Attach a collider to ``body``. ``offset``/``offset_angle`` place the
+        shape relative to the body origin (compound shapes, BASELINE.json:10);
+        the offset is baked into the stored vertices."""
+        off = np.asarray(offset, np.float32)
+        c, s = np.cos(offset_angle), np.sin(offset_angle)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        verts = shape.verts @ rot.T + off
+        self._colliders.append(
+            dict(
+                body=int(body),
+                verts=verts.astype(np.float32),
+                radius=float(shape.radius),
+                friction=float(friction),
+                restitution=float(restitution),
+                density=float(density),
+                layer=int(layer),
+                mask=int(mask),
+                sensor=bool(sensor),
+            )
+        )
+        return ColliderKey(len(self._colliders) - 1)
+
+    # -- joints -------------------------------------------------------------
+
+    def _add_joint(self, **kw) -> JointKey:
+        row = dict(
+            jtype=JOINT_OFF,
+            body_a=0,
+            body_b=0,
+            anchor_a=(0.0, 0.0),
+            anchor_b=(0.0, 0.0),
+            rest=0.0,
+            lo=0.0,
+            hi=0.0,
+            compliance=0.0,
+            damping=0.0,
+            motor_speed=0.0,
+            motor_max=np.inf,
+        )
+        row.update(kw)
+        self._joints.append(row)
+        return JointKey(len(self._joints) - 1)
+
+    def distance_joint(
+        self,
+        body_a: int,
+        body_b: int,
+        anchor_a=(0.0, 0.0),
+        anchor_b=(0.0, 0.0),
+        rest: Optional[float] = None,
+        limits: Optional[tuple] = None,
+        compliance: float = 0.0,
+        damping: float = 0.0,
+    ) -> JointKey:
+        """Distance constraint between body-local anchor points. With
+        ``limits=(lo, hi)`` the length is only constrained into that range
+        (starframe's min/max distance limit modes, SURVEY.md §2 row 8)."""
+        if rest is None:
+            pa = self._world_anchor(body_a, anchor_a)
+            pb = self._world_anchor(body_b, anchor_b)
+            rest = float(np.linalg.norm(pa - pb))
+        lo, hi = limits if limits is not None else (rest, rest)
+        return self._add_joint(
+            jtype=JOINT_DISTANCE,
+            body_a=body_a,
+            body_b=body_b,
+            anchor_a=anchor_a,
+            anchor_b=anchor_b,
+            rest=rest,
+            lo=lo,
+            hi=hi,
+            compliance=compliance,
+            damping=damping,
+        )
+
+    def pin_joint(
+        self,
+        body_a: int,
+        body_b: int,
+        world_point=None,
+        anchor_a=None,
+        anchor_b=None,
+        compliance: float = 0.0,
+        damping: float = 0.0,
+    ) -> JointKey:
+        """Point attachment (revolute joint): the two body-local anchors are
+        constrained to coincide; rotation stays free. Give either a world
+        point (anchors derived from current poses) or explicit anchors."""
+        if world_point is not None:
+            anchor_a = self._local_anchor(body_a, world_point)
+            anchor_b = self._local_anchor(body_b, world_point)
+        return self._add_joint(
+            jtype=JOINT_PIN,
+            body_a=body_a,
+            body_b=body_b,
+            anchor_a=anchor_a,
+            anchor_b=anchor_b,
+            compliance=compliance,
+            damping=damping,
+        )
+
+    def weld_joint(self, body_a, body_b, world_point=None, anchor_a=None,
+                   anchor_b=None, compliance: float = 0.0) -> JointKey:
+        """Pin + relative angle locked at its build-time value."""
+        if world_point is not None:
+            anchor_a = self._local_anchor(body_a, world_point)
+            anchor_b = self._local_anchor(body_b, world_point)
+        rel = self._bodies[body_b]["angle"] - self._bodies[body_a]["angle"]
+        return self._add_joint(
+            jtype=JOINT_WELD,
+            body_a=body_a,
+            body_b=body_b,
+            anchor_a=anchor_a,
+            anchor_b=anchor_b,
+            rest=rel,
+            compliance=compliance,
+        )
+
+    def angle_limit(self, body_a, body_b, lo, hi, compliance: float = 0.0) -> JointKey:
+        """Constrain relative angle (angle_b - angle_a) into [lo, hi]."""
+        return self._add_joint(
+            jtype=JOINT_ANGLE_RANGE, body_a=body_a, body_b=body_b,
+            lo=lo, hi=hi, compliance=compliance,
+        )
+
+    def angular_motor(self, body_a, body_b, speed, max_torque=np.inf) -> JointKey:
+        """Drive relative angular velocity (ω_b - ω_a) toward ``speed`` with a
+        torque budget (starframe's joint motors — BASELINE.json:10)."""
+        return self._add_joint(
+            jtype=JOINT_ANGULAR_MOTOR, body_a=body_a, body_b=body_b,
+            motor_speed=speed, motor_max=max_torque,
+        )
+
+    # -- helpers -------------------------------------------------------------
+
+    def _world_anchor(self, body: int, local) -> np.ndarray:
+        b = self._bodies[body]
+        c, s = np.cos(b["angle"]), np.sin(b["angle"])
+        la = np.asarray(local, np.float32)
+        return b["pos"] + np.array([c * la[0] - s * la[1], s * la[0] + c * la[1]])
+
+    def _local_anchor(self, body: int, world) -> np.ndarray:
+        b = self._bodies[body]
+        c, s = np.cos(-b["angle"]), np.sin(-b["angle"])
+        d = np.asarray(world, np.float32) - b["pos"]
+        return np.array([c * d[0] - s * d[1], s * d[0] + c * d[1]], np.float32)
+
+    # -- build ---------------------------------------------------------------
+
+    def _auto_capacity(self, cap: Optional[Capacity]) -> Capacity:
+        nb = len(self._bodies)
+        nc = len(self._colliders)
+        nj = len(self._joints)
+        nv = max([2] + [len(c["verts"]) for c in self._colliders])
+        if cap is not None:
+            if (cap.max_bodies < nb or cap.max_colliders < nc
+                    or cap.max_joints < nj or cap.max_verts < nv):
+                raise ValueError("capacity too small for scene")
+            return cap
+        # heuristic pair capacity: grid-local contacts average < 8/collider
+        return Capacity(
+            max_bodies=max(nb, 1),
+            max_colliders=max(nc, 1),
+            max_pairs=max(16 * nc, 64),
+            max_joints=nj,
+            max_verts=nv,
+        )
+
+    def build(self, capacity: Optional[Capacity] = None) -> tuple[World, Capacity]:
+        cap = self._auto_capacity(capacity)
+        world = empty_world(cap, self.gravity)
+
+        nb, nc, nj = len(self._bodies), len(self._colliders), len(self._joints)
+        nv = cap.max_verts
+
+        # mass properties from colliders (density-weighted), unless overridden
+        mass = np.zeros(nb, np.float64)
+        inertia = np.zeros(nb, np.float64)
+        for c in self._colliders:
+            if c["sensor"]:
+                continue
+            sh = Shape(verts=c["verts"], radius=c["radius"])
+            m, i_origin = sh.mass_properties(c["density"])
+            mass[c["body"]] += m
+            inertia[c["body"]] += i_origin
+
+        b_pos = np.zeros((cap.max_bodies, 2), np.float32)
+        b_angle = np.zeros(cap.max_bodies, np.float32)
+        b_vel = np.zeros((cap.max_bodies, 2), np.float32)
+        b_angvel = np.zeros(cap.max_bodies, np.float32)
+        b_invm = np.zeros(cap.max_bodies, np.float32)
+        b_invi = np.zeros(cap.max_bodies, np.float32)
+        b_flags = np.zeros(cap.max_bodies, np.int32)
+        for i, b in enumerate(self._bodies):
+            b_pos[i] = b["pos"]
+            b_angle[i] = b["angle"]
+            b_vel[i] = b["vel"]
+            b_angvel[i] = b["ang_vel"]
+            b_flags[i] = BODY_ACTIVE | (BODY_KINEMATIC if b["body_type"] == "kinematic" else 0)
+            if b["body_type"] == "dynamic":
+                m = b["mass"] if b["mass"] is not None else mass[i]
+                inr = b["inertia"] if b["inertia"] is not None else inertia[i]
+                if m <= 0:
+                    raise ValueError(f"dynamic body {i} has no mass (attach a collider or pass mass=)")
+                b_invm[i] = 1.0 / m
+                b_invi[i] = 0.0 if np.isinf(inr) else (1.0 / inr if inr > 0 else 0.0)
+
+        c_body = np.zeros(cap.max_colliders, np.int32)
+        c_verts = np.zeros((cap.max_colliders, nv, 2), np.float32)
+        c_nverts = np.ones(cap.max_colliders, np.int32)
+        c_radius = np.zeros(cap.max_colliders, np.float32)
+        c_fric = np.full(cap.max_colliders, 0.5, np.float32)
+        c_rest = np.zeros(cap.max_colliders, np.float32)
+        c_layer = np.zeros(cap.max_colliders, np.int32)
+        c_mask = np.full(cap.max_colliders, -1, np.int32)
+        c_flags = np.zeros(cap.max_colliders, np.int32)
+        for i, c in enumerate(self._colliders):
+            v = c["verts"]
+            c_body[i] = c["body"]
+            c_verts[i, : len(v)] = v
+            # pad unused vertex slots with the first vertex so max/min scans
+            # over the full buffer stay exact without masking
+            c_verts[i, len(v):] = v[0]
+            c_nverts[i] = len(v)
+            c_radius[i] = c["radius"]
+            c_fric[i] = c["friction"]
+            c_rest[i] = c["restitution"]
+            c_layer[i] = c["layer"]
+            c_mask[i] = c["mask"]
+            c_flags[i] = COL_ACTIVE | (COL_SENSOR if c["sensor"] else 0)
+
+        jn = max(cap.max_joints, 1)
+        j_arr = {
+            "jtype": np.zeros(jn, np.int32),
+            "body_a": np.zeros(jn, np.int32),
+            "body_b": np.zeros(jn, np.int32),
+            "anchor_a": np.zeros((jn, 2), np.float32),
+            "anchor_b": np.zeros((jn, 2), np.float32),
+            "rest": np.zeros(jn, np.float32),
+            "lo": np.zeros(jn, np.float32),
+            "hi": np.zeros(jn, np.float32),
+            "compliance": np.zeros(jn, np.float32),
+            "damping": np.zeros(jn, np.float32),
+            "motor_speed": np.zeros(jn, np.float32),
+            "motor_max": np.full(jn, np.inf, np.float32),
+        }
+        for i, jrow in enumerate(self._joints):
+            for k in j_arr:
+                j_arr[k][i] = jrow[k]
+
+        world = World(
+            bodies=Bodies(
+                pos=jnp.asarray(b_pos),
+                angle=jnp.asarray(b_angle),
+                vel=jnp.asarray(b_vel),
+                ang_vel=jnp.asarray(b_angvel),
+                inv_mass=jnp.asarray(b_invm),
+                inv_inertia=jnp.asarray(b_invi),
+                flags=jnp.asarray(b_flags),
+                prev_pos=jnp.asarray(b_pos),
+                prev_angle=jnp.asarray(b_angle),
+                sleep_count=jnp.zeros(cap.max_bodies, jnp.int32),
+            ),
+            colliders=Colliders(
+                body_idx=jnp.asarray(c_body),
+                verts=jnp.asarray(c_verts),
+                nverts=jnp.asarray(c_nverts),
+                radius=jnp.asarray(c_radius),
+                friction=jnp.asarray(c_fric),
+                restitution=jnp.asarray(c_rest),
+                layer=jnp.asarray(c_layer),
+                mask=jnp.asarray(c_mask),
+                flags=jnp.asarray(c_flags),
+            ),
+            joints=Joints(**{k: jnp.asarray(v) for k, v in j_arr.items()}),
+            gravity=jnp.asarray(self.gravity, jnp.float32),
+            step_count=jnp.zeros((), jnp.int32),
+        )
+        return world, cap
+
+
+# -- host-side despawn/mutation helpers (between frames; SURVEY.md §7.2) ----
+
+
+def despawn_body(world: World, body: int) -> World:
+    """Deactivate a body and all colliders attached to it. O(capacity)."""
+    b = world.bodies
+    flags = b.flags.at[body].set(b.flags[body] & ~BODY_ACTIVE)
+    inv_mass = b.inv_mass.at[body].set(0.0)
+    inv_inertia = b.inv_inertia.at[body].set(0.0)
+    c = world.colliders
+    owned = c.body_idx == body
+    cflags = jnp.where(owned, c.flags & ~COL_ACTIVE, c.flags)
+    return dataclasses.replace(
+        world,
+        bodies=dataclasses.replace(b, flags=flags, inv_mass=inv_mass, inv_inertia=inv_inertia),
+        colliders=dataclasses.replace(c, flags=cflags),
+    )
+
+
+def world_pose(world: World):
+    """Convenience: (pos, angle) arrays of all bodies."""
+    return world.bodies.pos, world.bodies.angle

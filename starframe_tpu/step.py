@@ -1,0 +1,136 @@
+"""The one jitted ``step``: broadphase → narrowphase → XPBD substeps → events.
+
+TPU-native equivalent of ``PhysicsWorld::tick`` (SURVEY.md §3.2; stage order
+is driver-normative, BASELINE.json:5). The whole frame is a single traced
+program: control crosses host↔device exactly once per frame — or once per
+rollout via :func:`rollout`'s ``lax.scan`` — which is the discipline the 1e8
+body-steps/sec target depends on (SURVEY.md §3.5, §7.8.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .broadphase import broadphase, compute_aabbs
+from .config import Capacity, SolverConfig
+from .contacts import Contacts
+from .diagnostics import Diagnostics, compute_diagnostics
+from .narrowphase import narrowphase, world_verts
+from .solver import BodyState, substep
+from .state import World
+
+
+def _capacity_of(world: World) -> Capacity:
+    return Capacity(
+        max_bodies=world.bodies.n,
+        max_colliders=world.colliders.m,
+        max_pairs=0,  # filled by caller
+        max_joints=world.joints.j,
+        max_verts=world.colliders.max_verts,
+    )
+
+
+def step(
+    world: World,
+    cfg: SolverConfig,
+    max_pairs: int,
+    gravity: Optional[jax.Array] = None,
+) -> tuple[World, Contacts, Diagnostics]:
+    """Advance one frame of ``cfg.dt`` seconds. Pure function of the world.
+
+    ``gravity`` overrides ``world.gravity`` for this frame (starframe's
+    per-tick forcefield argument — SURVEY.md §3.1).
+    """
+    g = world.gravity if gravity is None else gravity
+    cap = dataclasses.replace(_capacity_of(world), max_pairs=max_pairs)
+
+    # 1-3: collision detection once per frame (SURVEY.md §3.2 steps 1-3)
+    wverts = world_verts(world)
+    lo, hi = compute_aabbs(world, wverts, cfg.contact_margin, cfg.dt)
+    pairs = broadphase(world, lo, hi, cap, cfg)
+    contacts = narrowphase(world, wverts, pairs.pair_a, pairs.pair_b, pairs.valid, cfg.contact_margin)
+
+    # 5: XPBD substep loop
+    h = cfg.dt / cfg.substeps
+    b = world.bodies
+    s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
+
+    def body_fn(_, s):
+        return substep(s, b, contacts, world.joints, g, h, cfg)
+
+    s = jax.lax.fori_loop(0, cfg.substeps, body_fn, s0)
+
+    # sleeping: zero velocities of bodies that stayed slow for sleep_frames
+    sleep_count = b.sleep_count
+    vel, ang_vel = s.vel, s.ang_vel
+    if cfg.sleep_velocity > 0.0:
+        slow = (jnp.sum(vel**2, axis=-1) + ang_vel**2) < cfg.sleep_velocity**2
+        sleep_count = jnp.where(slow, sleep_count + 1, 0)
+        asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
+        vel = jnp.where(asleep[:, None], 0.0, vel)
+        ang_vel = jnp.where(asleep, 0.0, ang_vel)
+
+    new_bodies = dataclasses.replace(
+        b,
+        pos=s.pos,
+        angle=s.angle,
+        vel=vel,
+        ang_vel=ang_vel,
+        prev_pos=b.pos,  # frame-start pose, for render interpolation
+        prev_angle=b.angle,
+        sleep_count=sleep_count,
+    )
+    new_world = dataclasses.replace(
+        world, bodies=new_bodies, step_count=world.step_count + 1
+    )
+    diag = compute_diagnostics(new_world, contacts, pairs)
+    return new_world, contacts, diag
+
+
+def make_step(
+    cfg: SolverConfig,
+    max_pairs: int,
+    with_contacts: bool = False,
+    donate: bool = True,
+):
+    """Build a jitted per-frame step function ``world -> world`` (or
+    ``world -> (world, contacts, diagnostics)`` with ``with_contacts=True``).
+
+    The input world buffer is donated so stepping is allocation-free in
+    steady state (SURVEY.md §7.8.5)."""
+
+    def _full(world: World):
+        return step(world, cfg, max_pairs)
+
+    def _plain(world: World):
+        return step(world, cfg, max_pairs)[0]
+
+    fn = _full if with_contacts else _plain
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def rollout(world: World, cfg: SolverConfig, max_pairs: int, n_frames: int,
+            record=None):
+    """On-device N-frame rollout via ``lax.scan`` — zero host sync inside
+    (the headless equivalent of starframe's fixed-timestep loop,
+    SURVEY.md §2 row 13). ``record(world) -> pytree`` selects the per-frame
+    trajectory to stack (default: body poses)."""
+    if record is None:
+        record = lambda w: (w.bodies.pos, w.bodies.angle)
+
+    def body_fn(w, _):
+        w2, _, diag = step(w, cfg, max_pairs)
+        return w2, (record(w2), diag)
+
+    final, (traj, diags) = jax.lax.scan(body_fn, world, None, length=n_frames)
+    return final, traj, diags
+
+
+def make_rollout(cfg: SolverConfig, max_pairs: int, n_frames: int, record=None):
+    return jax.jit(partial(rollout, cfg=cfg, max_pairs=max_pairs,
+                           n_frames=n_frames, record=record))

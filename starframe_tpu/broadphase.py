@@ -21,6 +21,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import Capacity, SolverConfig
 from .state import BODY_KINEMATIC, COL_SENSOR, World
@@ -112,9 +113,13 @@ def dense_pairs(world: World, lo, hi, cap: Capacity) -> PairBuffer:
     return PairBuffer(pa, pb, valid, count, overflow, jnp.zeros((), jnp.int32))
 
 
+_HASH_X = jnp.int32(np.uint32(0x9E3779B1).astype(np.int32))  # int32 wraparound
+_HASH_Y = jnp.int32(np.uint32(0x85EBCA77).astype(np.int32))
+
+
 def _hash_cell(cx, cy):
     """Spatial hash of integer cell coords -> non-negative int32."""
-    h = cx * jnp.int32(0x9E3779B1) ^ (cy * jnp.int32(0x85EBCA77))
+    h = cx * _HASH_X ^ (cy * _HASH_Y)
     h = h ^ (h >> 15)
     return h & jnp.int32(0x7FFFFFFF)
 

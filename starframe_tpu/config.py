@@ -70,6 +70,13 @@ class SolverConfig:
     # dense "large set" path (2-level HGrid equivalent, SURVEY.md §7.3).
     grid_cell_capacity: int = 8
     max_large: int = 64
+    # Joint position solve: 'colored' = graph-colored exact Gauss-Seidel
+    # batches (colors from the native greedy coloring at build time,
+    # BASELINE.json:5); 'jacobi' = one averaged pass with the contacts.
+    joint_solver: str = "colored"
+    # Static upper bound on color batches per substep (scenes needing more
+    # still work: the solver normalizes by per-body count within a batch).
+    max_joint_colors: int = 8
     # Velocity at which bodies are considered for sleeping (0 disables).
     sleep_velocity: float = 0.0
     sleep_frames: int = 30

@@ -35,13 +35,15 @@ _PARALLEL_COS = 0.98  # |cos| above which edges count as parallel
 _EPS = 1e-10
 
 
-def world_verts(world: World) -> jax.Array:
+def collider_world_verts(colliders, body_pos, body_angle) -> jax.Array:
     """Transform all collider core vertices to world space: [M, V, 2]."""
-    c = world.colliders
-    b = world.bodies
-    pos = b.pos[c.body_idx]  # [M, 2]
-    ang = b.angle[c.body_idx]  # [M]
-    return m2.transform(pos[:, None, :], ang[:, None], c.verts)
+    pos = body_pos[colliders.body_idx]  # [M, 2]
+    ang = body_angle[colliders.body_idx]  # [M]
+    return m2.transform(pos[:, None, :], ang[:, None], colliders.verts)
+
+
+def world_verts(world: World) -> jax.Array:
+    return collider_world_verts(world.colliders, world.bodies.pos, world.bodies.angle)
 
 
 def _edge_data(v, n_valid):
@@ -156,11 +158,18 @@ def manifold_pair(va, na, ra, vb, nb, rb, margin):
     s0 = jnp.dot(t_hat, i0)
     s1 = jnp.dot(t_hat, i1)
     ds = s1 - s0
-    inv_ds = jnp.where(jnp.abs(ds) > _EPS, 1.0 / jnp.where(jnp.abs(ds) > _EPS, ds, 1.0), 0.0)
+    ds_ok = jnp.abs(ds) > 1e-6
+    inv_ds = jnp.where(ds_ok, 1.0 / jnp.where(ds_ok, ds, 1.0), 0.0)
     cs0 = jnp.clip(s0, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
     cs1 = jnp.clip(s1, jnp.minimum(lo, hi), jnp.maximum(lo, hi))
     q0 = i0 + (i1 - i0) * ((cs0 - s0) * inv_ds)
     q1 = i0 + (i1 - i0) * ((cs1 - s0) * inv_ds)
+    # incident edge ~perpendicular to the ref tangent (e.g. crossed
+    # capsules): both projections coincide — take the endpoint deepest
+    # along the ref normal, not an arbitrary one
+    deep = jnp.where(jnp.dot(n_ref, i0) <= jnp.dot(n_ref, i1), i0, i1)
+    q0 = jnp.where(ds_ok, q0, deep)
+    q1 = jnp.where(ds_ok, q1, deep)
 
     def _clip_point(q):
         plane_d = jnp.dot(n_ref, q - r0)
@@ -189,7 +198,17 @@ def manifold_pair(va, na, ra, vb, nb, rb, margin):
 
     # ---- choose path ----
     parallel = i_has_edges & (inc_normal_dot < -_PARALLEL_COS)
-    use_clip = jnp.logical_not(both_points) & ((s_core <= 0.0) | parallel)
+    # clip is only valid while the clipped incident span has real extent on
+    # the ref face; collapsed-to-corner means the true closest feature is the
+    # corner (vertex Voronoi region) -> closest path. Two *thin* shapes
+    # (segments/circles, <= 2 core verts) have no interior: a non-parallel
+    # crossing must use the closest-point depth, not endpoint plane distance.
+    clip_has_extent = jnp.abs(cs1 - cs0) > 1e-6
+    both_thin = (na <= 2) & (nb <= 2)
+    deep_clip = (s_core <= 0.0) & jnp.logical_not(both_thin)
+    use_clip = jnp.logical_not(both_points) & (
+        deep_clip | (parallel & clip_has_extent)
+    )
 
     n_out = jnp.where(use_clip, n_ref, n_close)  # ref -> inc
     w_ref_pts = jnp.where(use_clip, jnp.stack([cw_ref0, cw_ref1]), jnp.stack([pw_ref, pw_ref]))
@@ -211,15 +230,18 @@ _manifold_vmapped = jax.vmap(manifold_pair, in_axes=(0, 0, 0, 0, 0, 0, None))
 
 
 @jax.named_scope("narrowphase")
-def narrowphase(world: World, wverts: jax.Array, pair_a: jax.Array,
+def narrowphase(colliders, body_pos, body_angle, pair_a: jax.Array,
                 pair_b: jax.Array, pair_valid: jax.Array, margin: float) -> Contacts:
-    """Generate contact manifolds for the candidate pair buffer.
+    """Generate contact manifolds for the candidate pair buffer at the given
+    body poses. Called once per *substep* (fresh anchors each substep — the
+    TGS-style discipline that keeps rolling contact torque-free; the frame-
+    level pair buffer comes from broadphase once per frame, SURVEY.md §3.2).
 
     ``pair_a``/``pair_b``: [P] collider indices (fill slots arbitrary but in
     range); ``pair_valid``: [P] bool.
     """
-    c = world.colliders
-    b = world.bodies
+    c = colliders
+    wverts = collider_world_verts(colliders, body_pos, body_angle)
 
     ca = pair_a
     cb = pair_b
@@ -234,8 +256,8 @@ def narrowphase(world: World, wverts: jax.Array, pair_a: jax.Array,
 
     body_a = c.body_idx[ca]
     body_b = c.body_idx[cb]
-    pos_a, ang_a = b.pos[body_a], b.angle[body_a]
-    pos_b, ang_b = b.pos[body_b], b.angle[body_b]
+    pos_a, ang_a = body_pos[body_a], body_angle[body_a]
+    pos_b, ang_b = body_pos[body_b], body_angle[body_b]
 
     # store anchors body-locally; normal in A's frame (refreshed per substep)
     anchor_a = m2.transform_inv(pos_a[:, None, :], ang_a[:, None], wa)

@@ -83,11 +83,19 @@ def _accum_init(n: int) -> _Accum:
     )
 
 
-def _apply_accum(s: BodyState, acc: _Accum, relaxation: float, max_dpos: float) -> BodyState:
+def _apply_accum(s: BodyState, acc: _Accum, relaxation: float, max_dpos: float,
+                 dx=None, dang_tot=None):
+    """Apply count-normalized corrections. When ``dx``/``dang_tot`` running
+    totals are passed, also returns them updated — the substep reconstructs
+    velocities from these *applied deltas* instead of ``(pos - pos0)/h``,
+    which suffers catastrophic f32 cancellation far from the origin."""
     cnt = jnp.maximum(acc.count, 1.0)
     dpos = jnp.clip(acc.dpos * (relaxation / cnt)[:, None], -max_dpos, max_dpos)
     dang = jnp.clip(acc.dang * (relaxation / cnt), -max_dpos, max_dpos)
-    return BodyState(s.pos + dpos, s.angle + dang, s.vel, s.ang_vel)
+    s = BodyState(s.pos + dpos, s.angle + dang, s.vel, s.ang_vel)
+    if dx is None:
+        return s
+    return s, dx + dpos, dang_tot + dang
 
 
 def _contact_kinematics(s: BodyState, contacts: Contacts):
@@ -171,10 +179,12 @@ def solve_contact_positions(
 
 @jax.named_scope("solve_joints")
 def solve_joint_positions(
-    s: BodyState, bodies: Bodies, joints: Joints, acc: _Accum, h: float
+    s: BodyState, bodies: Bodies, joints: Joints, acc: _Accum, h: float,
+    mask=None,
 ) -> _Accum:
     """Position projection for distance/pin/weld joints and angle limits
-    (starframe's user constraints — SURVEY.md §2 row 8)."""
+    (starframe's user constraints — SURVEY.md §2 row 8). ``mask`` restricts
+    the pass to one color batch (graph-colored Gauss-Seidel)."""
     ba, bb = joints.body_a, joints.body_b
     im_a, im_b = bodies.inv_mass[ba], bodies.inv_mass[bb]
     ii_a, ii_b = bodies.inv_inertia[ba], bodies.inv_inertia[bb]
@@ -197,7 +207,8 @@ def solve_joint_positions(
     lo = jnp.where(is_point, 0.0, joints.lo)
     hi = jnp.where(is_point, 0.0, joints.hi)
     c_lin = jnp.where(d > hi, d - hi, jnp.where(d < lo, d - lo, 0.0))
-    lin_active = (is_dist | is_point) & (jnp.abs(c_lin) > 0.0) & (d > _EPS)
+    sel = jnp.ones_like(jt, bool) if mask is None else mask
+    lin_active = (is_dist | is_point) & (jnp.abs(c_lin) > 0.0) & (d > _EPS) & sel
 
     cr_a = m2.cross2(ra, n)
     cr_b = m2.cross2(rb, n)
@@ -214,7 +225,7 @@ def solve_joint_positions(
     c_ang = jnp.where(
         is_weld, phi, jnp.where(phi > joints.hi, phi - joints.hi, jnp.where(phi < joints.lo, phi - joints.lo, 0.0))
     )
-    ang_active = (is_weld | is_rng) & (jnp.abs(c_ang) > 0.0)
+    ang_active = (is_weld | is_rng) & (jnp.abs(c_ang) > 0.0) & sel
     dlam_ang = jnp.where(ang_active, _safe_div(-c_ang, ii_a + ii_b + alpha_t), 0.0)
 
     n_active = lin_active.astype(jnp.float32) + ang_active.astype(jnp.float32)
@@ -366,30 +377,65 @@ def velocity_pass(
 def substep(
     s: BodyState,
     bodies: Bodies,
-    contacts: Contacts,
+    colliders,
+    pair_a,
+    pair_b,
+    pair_valid,
     joints: Joints,
     gravity,
     h: float,
     cfg: SolverConfig,
-) -> BodyState:
+) -> tuple[BodyState, Contacts]:
+    """One XPBD substep with per-substep contact refresh.
+
+    Collision *pairs* come from the frame-level broadphase; *manifolds* are
+    regenerated here at the integrated pose (TGS-style). Frame-long stored
+    anchors on rotating bodies displace the normal's application point and
+    pump angular momentum into rolling contact — regenerating is both more
+    accurate and branch-free-cheap on the VPU.
+    """
+    from .narrowphase import narrowphase  # local import to avoid cycle
+
     s0 = s  # pose at substep start (for velocity reconstruction + friction)
     s = integrate(s, bodies, gravity, h)
     v_tilde = s  # velocities after external forces, before projection
 
-    acc = _accum_init(s.pos.shape[0])
+    contacts = narrowphase(
+        colliders, s.pos, s.angle, pair_a, pair_b, pair_valid, cfg.contact_margin
+    )
+
+    n_b = s.pos.shape[0]
+    dx = jnp.zeros((n_b, 2), jnp.float32)  # applied position corrections
+    dth = jnp.zeros((n_b,), jnp.float32)  # applied angle corrections
     lam_n = jnp.zeros(contacts.point_mask.shape, jnp.float32)
     for _ in range(cfg.iterations):
-        acc2 = _accum_init(s.pos.shape[0])
+        # contacts: averaged Jacobi over the whole (dynamic-topology) buffer
+        acc2 = _accum_init(n_b)
         acc2, lam_i = solve_contact_positions(s, s0, bodies, contacts, acc2, h, cfg)
-        acc2 = solve_joint_positions(s, bodies, joints, acc2, h)
-        s = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos)
         lam_n = lam_n + lam_i
-    del acc
+        # joints: graph-colored Gauss-Seidel — each color batch has no shared
+        # dynamic bodies, so corrections apply exactly (BASELINE.json:5);
+        # falls back to one averaged-Jacobi pass when coloring is disabled
+        if cfg.joint_solver == "colored":
+            s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos, dx, dth)
+            for color in range(cfg.max_joint_colors):
+                # final batch sweeps any colors beyond the static bound;
+                # count-normalization in _apply_accum keeps that tail safe
+                last = color == cfg.max_joint_colors - 1
+                msk = (joints.color >= color) if last else (joints.color == color)
+                accj = _accum_init(n_b)
+                accj = solve_joint_positions(s, bodies, joints, accj, h, mask=msk)
+                s, dx, dth = _apply_accum(s, accj, 1.0, cfg.max_dpos, dx, dth)
+        else:
+            acc2 = solve_joint_positions(s, bodies, joints, acc2, h)
+            s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos, dx, dth)
 
-    # velocity reconstruction from pose delta (kinematic bodies keep theirs)
+    # velocity reconstruction: v = ṽ + (applied corrections)/h — identical to
+    # the paper's (pos - pos0)/h but free of f32 cancellation at large |pos|
     kin = ((bodies.flags & BODY_KINEMATIC) != 0)[:, None]
-    vel = jnp.where(kin, s.vel, (s.pos - s0.pos) / h)
-    ang_vel = jnp.where(kin[:, 0], s.ang_vel, (s.angle - s0.angle) / h)
+    vel = jnp.where(kin, s.vel, v_tilde.vel + dx / h)
+    ang_vel = jnp.where(kin[:, 0], s.ang_vel, v_tilde.ang_vel + dth / h)
     s = BodyState(s.pos, s.angle, vel, ang_vel)
 
-    return velocity_pass(s, v_tilde, bodies, contacts, joints, lam_n, h, cfg)
+    s = velocity_pass(s, v_tilde, bodies, contacts, joints, lam_n, h, cfg)
+    return s, contacts

@@ -146,6 +146,11 @@ class Joints:
     damping: jax.Array  # [J] f32 (velocity-pass joint damping per second)
     motor_speed: jax.Array  # [J] f32 (target relative angular velocity)
     motor_max: jax.Array  # [J] f32 (max |impulse| per substep budget scale)
+    # Greedy graph-coloring batch index (BASELINE.json:5 "graph-colored
+    # constraint batches"): no two same-color joints share a dynamic body,
+    # so each color batch solves as exact parallel Gauss-Seidel. Computed at
+    # build time by the native helper (starframe_tpu/native).
+    color: jax.Array  # [J] i32
 
     @property
     def active(self):
@@ -229,6 +234,7 @@ def empty_world(cap: Capacity, gravity=(0.0, -9.81)) -> World:
         damping=jnp.zeros((max(nj, 1),), f32),
         motor_speed=jnp.zeros((max(nj, 1),), f32),
         motor_max=jnp.full((max(nj, 1),), jnp.inf, f32),
+        color=jnp.zeros((max(nj, 1),), i32),
     )
     return World(
         bodies=bodies,
@@ -553,6 +559,19 @@ class WorldBuilder:
         for i, jrow in enumerate(self._joints):
             for k in j_arr:
                 j_arr[k][i] = jrow[k]
+
+        # graph-color the joint topology (static bodies never conflict)
+        j_color = np.zeros(jn, np.int32)
+        if nj > 0:
+            from . import native
+
+            body_static = (b_invm == 0.0) & (b_invi == 0.0) & ((b_flags & BODY_KINEMATIC) == 0)
+            j_color[:nj], _ = native.greedy_color(
+                j_arr["body_a"][:nj], j_arr["body_b"][:nj],
+                active=(j_arr["jtype"][:nj] != JOINT_OFF),
+                body_is_static=body_static, n_bodies=cap.max_bodies,
+            )
+        j_arr["color"] = j_color
 
         world = World(
             bodies=Bodies(

@@ -49,21 +49,29 @@ def step(
     g = world.gravity if gravity is None else gravity
     cap = dataclasses.replace(_capacity_of(world), max_pairs=max_pairs)
 
-    # 1-3: collision detection once per frame (SURVEY.md §3.2 steps 1-3)
+    # 1-2: AABBs + broadphase once per frame (SURVEY.md §3.2 steps 1-2); the
+    # AABB sweep covers the whole frame so the pair set stays valid while
+    # manifolds are regenerated inside each substep (TGS-style, solver.py)
     wverts = world_verts(world)
     lo, hi = compute_aabbs(world, wverts, cfg.contact_margin, cfg.dt)
     pairs = broadphase(world, lo, hi, cap, cfg)
-    contacts = narrowphase(world, wverts, pairs.pair_a, pairs.pair_b, pairs.valid, cfg.contact_margin)
 
-    # 5: XPBD substep loop
+    # 3-5: XPBD substep loop with per-substep narrowphase
     h = cfg.dt / cfg.substeps
     b = world.bodies
     s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
 
     def body_fn(_, s):
-        return substep(s, b, contacts, world.joints, g, h, cfg)
+        s, _ = substep(s, b, world.colliders, pairs.pair_a, pairs.pair_b,
+                       pairs.valid, world.joints, g, h, cfg)
+        return s
 
     s = jax.lax.fori_loop(0, cfg.substeps, body_fn, s0)
+
+    # 6: events — manifolds at the final pose (dead-code-eliminated by XLA
+    # when the caller discards contacts/diagnostics)
+    contacts = narrowphase(world.colliders, s.pos, s.angle, pairs.pair_a,
+                           pairs.pair_b, pairs.valid, cfg.contact_margin)
 
     # sleeping: zero velocities of bodies that stayed slow for sleep_frames
     sleep_count = b.sleep_count

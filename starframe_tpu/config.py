@@ -70,6 +70,11 @@ class SolverConfig:
     # dense "large set" path (2-level HGrid equivalent, SURVEY.md §7.3).
     grid_cell_capacity: int = 8
     max_large: int = 64
+    # Constraint accumulation lowering: 'matmul' = one-hot MXU contraction
+    # (fast for small worlds, e.g. batched RL), 'scatter' = XLA scatter-add
+    # (for big single worlds), 'auto' = matmul while bodies <= threshold.
+    accum: str = "auto"
+    matmul_accum_max_bodies: int = 1024
     # Joint position solve: 'colored' = graph-colored exact Gauss-Seidel
     # batches (colors from the native greedy coloring at build time,
     # BASELINE.json:5); 'jacobi' = one averaged pass with the contacts.

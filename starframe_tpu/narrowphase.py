@@ -46,17 +46,34 @@ def world_verts(world: World) -> jax.Array:
     return collider_world_verts(world.colliders, world.bodies.pos, world.bodies.angle)
 
 
+def _select_row(rows, idx):
+    """rows[idx] without a dynamic gather: one-hot mask + sum-reduce.
+
+    Under vmap over the pair axis, per-pair scalar-index gathers lower to
+    element-granularity gather ops that dominate the whole narrowphase on
+    TPU (measured ~50% of kernel time); a masked sum is pure VPU work.
+    rows: [V, ...]; idx: scalar int. Returns rows[idx] with shape rows[1:].
+    """
+    V = rows.shape[0]
+    sel = jnp.arange(V) == idx
+    sel = sel.reshape((V,) + (1,) * (rows.ndim - 1))
+    return jnp.where(sel, rows, 0).sum(axis=0)
+
+
 def _edge_data(v, n_valid):
     """Edge endpoints + outward normals of a padded CCW polygon.
 
     v: [V, 2] world verts (slots >= n_valid padded with v[0]).
     Returns (e0[V,2], e1[V,2], normals[V,2], edge_valid[V]).
+
+    The wrap gather ``v[(i+1) % n]`` is expressed as a static roll plus a
+    masked overwrite at the wrap row — rolls are static slicing, gathers
+    are not (see _select_row).
     """
     V = v.shape[0]
     idx = jnp.arange(V)
-    nxt = jnp.where(idx + 1 < n_valid, idx + 1, 0)
     e0 = v
-    e1 = v[nxt]
+    e1 = jnp.where((idx == n_valid - 1)[:, None], v[0][None, :], jnp.roll(v, -1, axis=0))
     d = e1 - e0
     length = m2.norm(d)
     valid = (idx < n_valid) & (n_valid >= 2) & (length > 1e-9)
@@ -69,13 +86,16 @@ def _sat(e0, normals, edge_valid, verts_other):
 
     Padded verts of the other shape equal its v0, so the min over the full
     buffer is exact without a mask. Returns (best_sep, best_idx).
+
+    NOTE: written as broadcast-multiply-sum, NOT einsum/@ — under vmap over
+    the pair axis a contraction lowers to millions of 8x8 MXU matmuls at
+    <1% utilization; elementwise keeps this on the VPU (measured 100x).
     """
     # support distance: min_j n_i . w_j  -  n_i . e0_i
-    proj = jnp.einsum("vk,wk->vw", normals, verts_other)  # [V, W]
-    sep = jnp.min(proj, axis=1) - jnp.sum(normals * e0, axis=1)
+    proj = (normals[:, None, :] * verts_other[None, :, :]).sum(-1)  # [V, W]
+    sep = jnp.min(proj, axis=1) - (normals * e0).sum(-1)
     sep = jnp.where(edge_valid, sep, -jnp.inf)
-    best = jnp.argmax(sep)
-    return sep[best], best
+    return jnp.max(sep), jnp.argmax(sep)
 
 
 def _closest_seg_seg(p1, q1, p2, q2):
@@ -132,31 +152,39 @@ def manifold_pair(va, na, ra, vb, nb, rb, margin):
     flip = sep_b > sep_a + 1e-5
     s_core = jnp.maximum(sep_a, sep_b)
 
-    # reference edge (on R) and its normal
-    r0 = jnp.where(flip, e0b[ib], e0a[ia])
-    r1 = jnp.where(flip, e1b[ib], e1a[ia])
-    n_ref = jnp.where(flip, nrm_b[ib], nrm_a[ia])
+    # reference edge (on R) and its normal (masked-sum selection, no gathers)
+    r0 = jnp.where(flip, _select_row(e0b, ib), _select_row(e0a, ia))
+    r1 = jnp.where(flip, _select_row(e1b, ib), _select_row(e1a, ia))
+    n_ref = jnp.where(flip, _select_row(nrm_b, ib), _select_row(nrm_a, ia))
     r_ref = jnp.where(flip, rb, ra)
     r_inc = jnp.where(flip, ra, rb)
 
     # incident edge (on I): most anti-parallel to n_ref; degenerate -> (v0, v0)
-    inc_dots_a = jnp.where(eva, nrm_a @ n_ref, jnp.inf)
-    inc_dots_b = jnp.where(evb, nrm_b @ n_ref, jnp.inf)
+    inc_dots_a = jnp.where(eva, (nrm_a * n_ref).sum(-1), jnp.inf)
+    inc_dots_b = jnp.where(evb, (nrm_b * n_ref).sum(-1), jnp.inf)
     ka = jnp.argmin(inc_dots_a)
     kb = jnp.argmin(inc_dots_b)
     i_has_edges = jnp.where(flip, a_has_edges, b_has_edges)
-    i0 = jnp.where(flip, jnp.where(a_has_edges, e0a[ka], va[0]), jnp.where(b_has_edges, e0b[kb], vb[0]))
-    i1 = jnp.where(flip, jnp.where(a_has_edges, e1a[ka], va[0]), jnp.where(b_has_edges, e1b[kb], vb[0]))
-    inc_normal_dot = jnp.where(flip, inc_dots_a[ka], inc_dots_b[kb])
+    i0 = jnp.where(
+        flip,
+        jnp.where(a_has_edges, _select_row(e0a, ka), va[0]),
+        jnp.where(b_has_edges, _select_row(e0b, kb), vb[0]),
+    )
+    i1 = jnp.where(
+        flip,
+        jnp.where(a_has_edges, _select_row(e1a, ka), va[0]),
+        jnp.where(b_has_edges, _select_row(e1b, kb), vb[0]),
+    )
+    inc_normal_dot = jnp.where(flip, jnp.min(inc_dots_a), jnp.min(inc_dots_b))
 
     # ---- path 1: clip incident edge against reference face ----
     t_dir = r1 - r0
     t_len = m2.norm(t_dir)
     t_hat = t_dir / jnp.maximum(t_len, _EPS)
-    lo = jnp.dot(t_hat, r0)
-    hi = jnp.dot(t_hat, r1)
-    s0 = jnp.dot(t_hat, i0)
-    s1 = jnp.dot(t_hat, i1)
+    lo = (t_hat * r0).sum(-1)
+    hi = (t_hat * r1).sum(-1)
+    s0 = (t_hat * i0).sum(-1)
+    s1 = (t_hat * i1).sum(-1)
     ds = s1 - s0
     ds_ok = jnp.abs(ds) > 1e-6
     inv_ds = jnp.where(ds_ok, 1.0 / jnp.where(ds_ok, ds, 1.0), 0.0)
@@ -167,12 +195,12 @@ def manifold_pair(va, na, ra, vb, nb, rb, margin):
     # incident edge ~perpendicular to the ref tangent (e.g. crossed
     # capsules): both projections coincide — take the endpoint deepest
     # along the ref normal, not an arbitrary one
-    deep = jnp.where(jnp.dot(n_ref, i0) <= jnp.dot(n_ref, i1), i0, i1)
+    deep = jnp.where((n_ref * i0).sum(-1) <= (n_ref * i1).sum(-1), i0, i1)
     q0 = jnp.where(ds_ok, q0, deep)
     q1 = jnp.where(ds_ok, q1, deep)
 
     def _clip_point(q):
-        plane_d = jnp.dot(n_ref, q - r0)
+        plane_d = (n_ref * (q - r0)).sum(-1)
         sep = plane_d - r_ref - r_inc
         w_ref = q - n_ref * plane_d + n_ref * r_ref
         w_inc = q - n_ref * r_inc
@@ -229,61 +257,122 @@ def manifold_pair(va, na, ra, vb, nb, rb, margin):
 _manifold_vmapped = jax.vmap(manifold_pair, in_axes=(0, 0, 0, 0, 0, 0, None))
 
 
-@jax.named_scope("narrowphase")
-def narrowphase(colliders, body_pos, body_angle, pair_a: jax.Array,
-                pair_b: jax.Array, pair_valid: jax.Array, margin: float) -> Contacts:
-    """Generate contact manifolds for the candidate pair buffer at the given
-    body poses. Called once per *substep* (fresh anchors each substep — the
-    TGS-style discipline that keeps rolling contact torque-free; the frame-
-    level pair buffer comes from broadphase once per frame, SURVEY.md §3.2).
+def _dataclass_pytree(cls):
+    import dataclasses
 
-    ``pair_a``/``pair_b``: [P] collider indices (fill slots arbitrary but in
-    range); ``pair_valid``: [P] bool.
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_dataclass_pytree
+class PairData:
+    """Per-candidate-pair data that is constant for a whole frame.
+
+    Gathered ONCE per frame from the collider/body tables so the
+    per-substep narrowphase + solve touch no large gathers — only the
+    [P]-sized pose lookups change per substep. Vertex buffers are stored
+    P-last with split x/y (``[V, P]``) so every per-substep elementwise op
+    maps onto exact (8, 128) vector tiles (see kernels.py docstring).
     """
+
+    pair_a: jax.Array  # [P] i32 collider idx
+    pair_b: jax.Array  # [P] i32
+    valid: jax.Array  # [P] bool
+    body_a: jax.Array  # [P] i32
+    body_b: jax.Array  # [P] i32
+    verts_ax: jax.Array  # [V, P] f32 body-frame core verts, x
+    verts_ay: jax.Array  # [V, P]
+    verts_bx: jax.Array  # [V, P]
+    verts_by: jax.Array  # [V, P]
+    nverts_a: jax.Array  # [P] i32
+    nverts_b: jax.Array  # [P] i32
+    radius_a: jax.Array  # [P] f32
+    radius_b: jax.Array  # [P] f32
+    friction: jax.Array  # [P] f32 combined
+    restitution: jax.Array  # [P] f32 combined
+    sensor: jax.Array  # [P] bool
+    inv_mass_a: jax.Array  # [P] f32
+    inv_mass_b: jax.Array  # [P] f32
+    inv_inertia_a: jax.Array  # [P] f32
+    inv_inertia_b: jax.Array  # [P] f32
+    # one-hot accumulation matrices [P, N] (None when the scatter path is
+    # chosen for large N — SolverConfig.accum)
+    onehot_a: jax.Array | None
+    onehot_b: jax.Array | None
+
+    @property
+    def p(self) -> int:
+        return self.pair_a.shape[-1]
+
+
+@jax.named_scope("build_pair_data")
+def build_pair_data(colliders, bodies, pair_a, pair_b, pair_valid,
+                    with_onehot: bool) -> PairData:
+    """Hoist all frame-constant per-pair lookups out of the substep loop."""
     c = colliders
-    wverts = collider_world_verts(colliders, body_pos, body_angle)
-
-    ca = pair_a
-    cb = pair_b
-    va = wverts[ca]
-    vb = wverts[cb]
-    na = c.nverts[ca]
-    nb = c.nverts[cb]
-    ra = c.radius[ca]
-    rb = c.radius[cb]
-
-    normal, wa, wb, seps, pmask = _manifold_vmapped(va, na, ra, vb, nb, rb, margin)
-
+    ca, cb = pair_a, pair_b
     body_a = c.body_idx[ca]
     body_b = c.body_idx[cb]
-    pos_a, ang_a = body_pos[body_a], body_angle[body_a]
-    pos_b, ang_b = body_pos[body_b], body_angle[body_b]
-
-    # store anchors body-locally; normal in A's frame (refreshed per substep)
-    anchor_a = m2.transform_inv(pos_a[:, None, :], ang_a[:, None], wa)
-    anchor_b = m2.transform_inv(pos_b[:, None, :], ang_b[:, None], wb)
-    normal_a = m2.rotate_inv(ang_a, normal)
-
-    pmask = pmask & pair_valid[:, None]
-    sensor = ((c.flags[ca] & COL_SENSOR) != 0) | ((c.flags[cb] & COL_SENSOR) != 0)
-    solve_mask = pmask & jnp.logical_not(sensor)[:, None]
-
-    friction = jnp.sqrt(c.friction[ca] * c.friction[cb])
-    restitution = jnp.maximum(c.restitution[ca], c.restitution[cb])
-    touching = jnp.any(pmask & (seps < 0.0), axis=1)
-
-    return Contacts(
+    va = c.verts[ca]  # [P, V, 2]
+    vb = c.verts[cb]
+    n = bodies.inv_mass.shape[0]
+    if with_onehot:
+        rng = jnp.arange(n, dtype=body_a.dtype)[None, :]
+        onehot_a = (body_a[:, None] == rng).astype(jnp.float32)
+        onehot_b = (body_b[:, None] == rng).astype(jnp.float32)
+    else:
+        onehot_a = onehot_b = None
+    return PairData(
+        pair_a=ca,
+        pair_b=cb,
+        valid=pair_valid,
         body_a=body_a,
         body_b=body_b,
-        collider_a=ca,
-        collider_b=cb,
-        normal_a=normal_a,
-        anchor_a=anchor_a,
-        anchor_b=anchor_b,
+        verts_ax=va[..., 0].T,
+        verts_ay=va[..., 1].T,
+        verts_bx=vb[..., 0].T,
+        verts_by=vb[..., 1].T,
+        nverts_a=c.nverts[ca],
+        nverts_b=c.nverts[cb],
+        radius_a=c.radius[ca],
+        radius_b=c.radius[cb],
+        friction=jnp.sqrt(c.friction[ca] * c.friction[cb]),
+        restitution=jnp.maximum(c.restitution[ca], c.restitution[cb]),
+        sensor=((c.flags[ca] | c.flags[cb]) & COL_SENSOR) != 0,
+        inv_mass_a=bodies.inv_mass[body_a],
+        inv_mass_b=bodies.inv_mass[body_b],
+        inv_inertia_a=bodies.inv_inertia[body_a],
+        inv_inertia_b=bodies.inv_inertia[body_b],
+        onehot_a=onehot_a,
+        onehot_b=onehot_b,
+    )
+
+
+@jax.named_scope("narrowphase")
+def narrowphase(pd: PairData, body_pos, body_angle, margin: float) -> Contacts:
+    """Public-layout contact manifolds at the given poses (events/queries/
+    observer API). The hot path uses :func:`kernels.narrowphase_b` directly;
+    this converts its P-last arrays into the row-major :class:`Contacts`.
+    """
+    from .kernels import narrowphase_b
+
+    cb = narrowphase_b(pd, body_pos, body_angle, margin)
+    seps = cb.sep.T  # [P, 2]
+    pmask = cb.pmask.T
+    return Contacts(
+        body_a=pd.body_a,
+        body_b=pd.body_b,
+        collider_a=pd.pair_a,
+        collider_b=pd.pair_b,
+        normal_a=jnp.stack([cb.n_ax, cb.n_ay], axis=-1),
+        anchor_a=jnp.stack([cb.a_ax.T, cb.a_ay.T], axis=-1),
+        anchor_b=jnp.stack([cb.b_ax.T, cb.b_ay.T], axis=-1),
         point_mask=pmask,
-        solve_mask=solve_mask,
-        friction=friction,
-        restitution=restitution,
-        touching=touching,
+        solve_mask=cb.solve_mask.T,
+        friction=pd.friction,
+        restitution=pd.restitution,
+        touching=jnp.any(pmask & (seps < 0.0), axis=1),
         separation=seps,
     )

@@ -83,6 +83,44 @@ def _accum_init(n: int) -> _Accum:
     )
 
 
+def _use_matmul_accum(n_bodies: int, cfg: SolverConfig) -> bool:
+    if cfg.accum == "matmul":
+        return True
+    if cfg.accum == "scatter":
+        return False
+    return n_bodies <= cfg.matmul_accum_max_bodies
+
+
+def _accumulate(n: int, use_matmul: bool, idxs, vec2s, scalars, counts) -> _Accum:
+    """Segment-accumulate per-constraint contributions into per-body sums.
+
+    Two lowerings of the same math:
+    - ``scatter``: ``zeros.at[idx].add(val)`` — XLA TPU serializes scatters
+      with potentially-colliding indices, which measured ~30% of step time
+      on the batched-worlds config;
+    - ``matmul``: one-hot [K, N] against the stacked [K, 4] value matrix —
+      a single well-shaped MXU contraction. Wins for N up to ~1-2k bodies;
+      the scatter path remains for big single worlds (10k pile).
+    """
+    idx = jnp.concatenate(idxs)
+    val = jnp.concatenate(
+        [
+            jnp.concatenate([v2, sc[:, None], ct[:, None]], axis=1)
+            for v2, sc, ct in zip(vec2s, scalars, counts)
+        ]
+    )  # [K, 4]
+    if use_matmul:
+        onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]).astype(
+            jnp.float32
+        )  # [K, N]
+        out = jax.lax.dot_general(
+            onehot, val, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [N, 4]
+    else:
+        out = jnp.zeros((n, 4), jnp.float32).at[idx].add(val)
+    return _Accum(dpos=out[:, :2], dang=out[:, 2], count=out[:, 3])
+
+
 def _apply_accum(s: BodyState, acc: _Accum, relaxation: float, max_dpos: float,
                  dx=None, dang_tot=None):
     """Apply count-normalized corrections. When ``dx``/``dang_tot`` running
@@ -111,80 +149,15 @@ def _contact_kinematics(s: BodyState, contacts: Contacts):
     return n_w, wa, wb, ra, rb
 
 
-@jax.named_scope("solve_contacts")
-def solve_contact_positions(
-    s: BodyState,
-    s0: BodyState,
-    bodies: Bodies,
-    contacts: Contacts,
-    acc: _Accum,
-    h: float,
-    cfg: SolverConfig,
-):
-    """XPBD non-penetration + static-friction position projection.
-
-    Returns (acc, lambda_n[P,2]) — the per-point normal impulse magnitudes
-    for this substep, consumed by the velocity pass (restitution/friction
-    clamping), as in the small-steps paper.
-    """
-    ba, bb = contacts.body_a, contacts.body_b
-    im_a = bodies.inv_mass[ba][:, None]  # [P, 1]
-    im_b = bodies.inv_mass[bb][:, None]
-    ii_a = bodies.inv_inertia[ba][:, None]
-    ii_b = bodies.inv_inertia[bb][:, None]
-
-    n_w, wa, wb, ra, rb = _contact_kinematics(s, contacts)
-    n_p = n_w[:, None, :]  # [P, 1, 2]
-
-    c = m2.dot2(wb - wa, n_p)  # [P, 2] signed separation
-    active = (c < 0.0) & contacts.solve_mask
-
-    cr_a = m2.cross2(ra, n_p)  # [P, 2]
-    cr_b = m2.cross2(rb, n_p)
-    w_a = im_a + ii_a * cr_a * cr_a
-    w_b = im_b + ii_b * cr_b * cr_b
-    alpha_t = cfg.contact_compliance / (h * h)
-    dlam = jnp.where(active, _safe_div(-c, w_a + w_b + alpha_t), 0.0)  # [P, 2] >= 0
-    p_imp = dlam[..., None] * n_p  # [P, 2, 2]
-
-    # -- static friction at position level (BASELINE.json:5) --
-    wa0 = m2.transform(s0.pos[ba][:, None, :], s0.angle[ba][:, None], contacts.anchor_a)
-    wb0 = m2.transform(s0.pos[bb][:, None, :], s0.angle[bb][:, None], contacts.anchor_b)
-    dp = (wa - wa0) - (wb - wb0)  # [P, 2, 2] relative tangential slide
-    dp_t = dp - m2.dot2(dp, n_p)[..., None] * n_p
-    ct = m2.norm(dp_t)  # [P, 2]
-    t_hat = dp_t / jnp.maximum(ct, _EPS)[..., None]
-    cr_at = m2.cross2(ra, t_hat)
-    cr_bt = m2.cross2(rb, t_hat)
-    w_at = im_a + ii_a * cr_at * cr_at
-    w_bt = im_b + ii_b * cr_bt * cr_bt
-    dlam_t = _safe_div(-ct, w_at + w_bt)  # <= 0
-    stick = active & (jnp.abs(dlam_t) < contacts.friction[:, None] * dlam)
-    pt = jnp.where(stick[..., None], dlam_t[..., None] * t_hat, 0.0)  # [P, 2, 2]
-
-    # combined per-body contributions (sum over the 2 manifold points)
-    contrib_a = (-p_imp + pt).sum(axis=1)  # [P, 2]
-    contrib_b = (p_imp - pt).sum(axis=1)
-    dang_a = (ii_a * (-m2.cross2(ra, p_imp) + m2.cross2(ra, pt))).sum(axis=1)
-    dang_b = (ii_b * (m2.cross2(rb, p_imp) - m2.cross2(rb, pt))).sum(axis=1)
-    n_active = active.sum(axis=1).astype(jnp.float32)
-
-    acc = _Accum(
-        dpos=acc.dpos.at[ba].add(contrib_a * im_a).at[bb].add(contrib_b * im_b),
-        dang=acc.dang.at[ba].add(dang_a).at[bb].add(dang_b),
-        count=acc.count.at[ba].add(n_active).at[bb].add(n_active),
-    )
-    return acc, dlam
-
-
 @jax.named_scope("solve_joints")
 def solve_joint_positions(
-    s: BodyState, bodies: Bodies, joints: Joints, acc: _Accum, h: float,
+    s: BodyState, bodies: Bodies, joints: Joints, h: float,
     mask=None,
-) -> _Accum:
+):
     """Position projection for distance/pin/weld joints and angle limits
     (starframe's user constraints — SURVEY.md §2 row 8). ``mask`` restricts
-    the pass to one color batch (graph-colored Gauss-Seidel)."""
+    the pass to one color batch (graph-colored Gauss-Seidel). Returns
+    contribution lists for :func:`_accumulate`."""
     ba, bb = joints.body_a, joints.body_b
     im_a, im_b = bodies.inv_mass[ba], bodies.inv_mass[bb]
     ii_a, ii_b = bodies.inv_inertia[ba], bodies.inv_inertia[bb]
@@ -229,15 +202,13 @@ def solve_joint_positions(
     dlam_ang = jnp.where(ang_active, _safe_div(-c_ang, ii_a + ii_b + alpha_t), 0.0)
 
     n_active = lin_active.astype(jnp.float32) + ang_active.astype(jnp.float32)
-    acc = _Accum(
-        dpos=acc.dpos.at[ba].add(-p_imp * im_a[:, None]).at[bb].add(p_imp * im_b[:, None]),
-        dang=acc.dang.at[ba]
-        .add(-ii_a * m2.cross2(ra, p_imp) - dlam_ang * ii_a)
-        .at[bb]
-        .add(ii_b * m2.cross2(rb, p_imp) + dlam_ang * ii_b),
-        count=acc.count.at[ba].add(n_active).at[bb].add(n_active),
+    return (
+        [ba, bb],
+        [-p_imp * im_a[:, None], p_imp * im_b[:, None]],
+        [-ii_a * m2.cross2(ra, p_imp) - dlam_ang * ii_a,
+         ii_b * m2.cross2(rb, p_imp) + dlam_ang * ii_b],
+        [n_active, n_active],
     )
-    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -245,79 +216,10 @@ def solve_joint_positions(
 # ---------------------------------------------------------------------------
 
 
-@jax.named_scope("velocity_pass")
-def velocity_pass(
-    s: BodyState,
-    v_tilde: BodyState,
-    bodies: Bodies,
-    contacts: Contacts,
-    joints: Joints,
-    lam_n: jax.Array,
-    h: float,
-    cfg: SolverConfig,
-) -> BodyState:
-    """Restitution + dynamic friction (+ motors, joint damping) on velocities,
-    after velocities were re-derived from pose deltas (SURVEY.md §3.2 5d)."""
-    n_bodies = s.pos.shape[0]
-    dvel = jnp.zeros((n_bodies, 2), jnp.float32)
-    dang = jnp.zeros((n_bodies,), jnp.float32)
-    count = jnp.zeros((n_bodies,), jnp.float32)
-
-    # ---- contacts ----
-    ba, bb = contacts.body_a, contacts.body_b
-    im_a = bodies.inv_mass[ba][:, None]
-    im_b = bodies.inv_mass[bb][:, None]
-    ii_a = bodies.inv_inertia[ba][:, None]
-    ii_b = bodies.inv_inertia[bb][:, None]
-
-    n_w, wa, wb, ra, rb = _contact_kinematics(s, contacts)
-    n_p = n_w[:, None, :]
-
-    def point_vel(vel, ang_vel, r):
-        return vel[:, None, :] + m2.cross_sv(ang_vel[:, None], r)
-
-    u_rel = point_vel(s.vel[bb], s.ang_vel[bb], rb) - point_vel(s.vel[ba], s.ang_vel[ba], ra)
-    vn = m2.dot2(u_rel, n_p)  # [P, 2]
-    ut = u_rel - vn[..., None] * n_p
-    vt = m2.norm(ut)
-
-    u_rel0 = point_vel(v_tilde.vel[bb], v_tilde.ang_vel[bb], rb) - point_vel(
-        v_tilde.vel[ba], v_tilde.ang_vel[ba], ra
-    )
-    vn0 = m2.dot2(u_rel0, n_p)
-
-    active = (lam_n > 0.0) & contacts.solve_mask
-
-    cr_a = m2.cross2(ra, n_p)
-    cr_b = m2.cross2(rb, n_p)
-    w_n = im_a + ii_a * cr_a * cr_a + im_b + ii_b * cr_b * cr_b
-
-    e = jnp.where(vn0 < -cfg.restitution_threshold, contacts.restitution[:, None], 0.0)
-    dv_n = jnp.where(active, -vn + jnp.maximum(-e * vn0, 0.0), 0.0)
-    lam_v = _safe_div(dv_n, w_n)
-    p_n = lam_v[..., None] * n_p  # applied +p to b, -p to a
-
-    # dynamic friction, clamped by the substep normal impulse (mu * lam_n / h)
-    t_hat = ut / jnp.maximum(vt, _EPS)[..., None]
-    cr_at = m2.cross2(ra, t_hat)
-    cr_bt = m2.cross2(rb, t_hat)
-    w_t = im_a + ii_a * cr_at * cr_at + im_b + ii_b * cr_bt * cr_bt
-    lam_f = jnp.minimum(_safe_div(vt, w_t), contacts.friction[:, None] * lam_n / h)
-    lam_f = jnp.where(active, lam_f, 0.0)
-    p_f = lam_f[..., None] * t_hat  # applied -p to b, +p to a (oppose slide)
-
-    imp = p_n - p_f  # net impulse applied to b at each point; a gets the negative
-    contrib_b = imp.sum(axis=1)
-    contrib_a = -contrib_b
-    dang_b = (ii_b * m2.cross2(rb, imp)).sum(axis=1)
-    dang_a = -(ii_a * m2.cross2(ra, imp)).sum(axis=1)
-    n_act = active.sum(axis=1).astype(jnp.float32)
-
-    dvel = dvel.at[ba].add(contrib_a * im_a).at[bb].add(contrib_b * im_b)
-    dang = dang.at[ba].add(dang_a).at[bb].add(dang_b)
-    count = count.at[ba].add(n_act).at[bb].add(n_act)
-
-    # ---- joints: angular motors + damping ----
+@jax.named_scope("velocity_joints")
+def velocity_joints(s: BodyState, bodies: Bodies, joints: Joints, h: float):
+    """Joint velocity rows: angular motors (BASELINE.json:10) + damping.
+    Returns contribution lists for :func:`_accumulate`."""
     jba, jbb = joints.body_a, joints.body_b
     j_ii_a = bodies.inv_inertia[jba]
     j_ii_b = bodies.inv_inertia[jbb]
@@ -348,25 +250,13 @@ def velocity_pass(
     p_d = jnp.where(damped[:, None], -ju_rel * _safe_div(damp_f, w_lin)[:, None], 0.0)
 
     j_act = (is_motor | damped).astype(jnp.float32)
-    dvel = dvel.at[jba].add(-p_d * j_im_a[:, None]).at[jbb].add(p_d * j_im_b[:, None])
-    dang = (
-        dang.at[jba]
-        .add(-lam_m * j_ii_a - j_ii_a * m2.cross2(jra, p_d))
-        .at[jbb]
-        .add(lam_m * j_ii_b + j_ii_b * m2.cross2(jrb, p_d))
+    return (
+        [jba, jbb],
+        [-p_d * j_im_a[:, None], p_d * j_im_b[:, None]],
+        [-lam_m * j_ii_a - j_ii_a * m2.cross2(jra, p_d),
+         lam_m * j_ii_b + j_ii_b * m2.cross2(jrb, p_d)],
+        [j_act, j_act],
     )
-    count = count.at[jba].add(j_act).at[jbb].add(j_act)
-
-    cnt = jnp.maximum(count, 1.0)
-    vel = s.vel + dvel / cnt[:, None]
-    ang_vel = s.ang_vel + dang / cnt
-
-    # global damping
-    if cfg.linear_damping > 0.0:
-        vel = vel * (1.0 / (1.0 + h * cfg.linear_damping))
-    if cfg.angular_damping > 0.0:
-        ang_vel = ang_vel * (1.0 / (1.0 + h * cfg.angular_damping))
-    return BodyState(s.pos, s.angle, vel, ang_vel)
 
 
 # ---------------------------------------------------------------------------
@@ -374,60 +264,76 @@ def velocity_pass(
 # ---------------------------------------------------------------------------
 
 
+def _accumulate_contacts(n_b: int, use_mm: bool, pd, vals_a, vals_b) -> _Accum:
+    from .kernels import accumulate_onehot, accumulate_scatter
+
+    if use_mm and pd.onehot_a is not None:
+        dpos, dang, count = accumulate_onehot(vals_a, vals_b, pd.onehot_a, pd.onehot_b)
+    else:
+        dpos, dang, count = accumulate_scatter(vals_a, vals_b, pd.body_a, pd.body_b, n_b)
+    return _Accum(dpos=dpos, dang=dang, count=count)
+
+
 def substep(
     s: BodyState,
     bodies: Bodies,
-    colliders,
-    pair_a,
-    pair_b,
-    pair_valid,
+    pd,
     joints: Joints,
     gravity,
     h: float,
     cfg: SolverConfig,
-) -> tuple[BodyState, Contacts]:
+):
     """One XPBD substep with per-substep contact refresh.
 
-    Collision *pairs* come from the frame-level broadphase; *manifolds* are
-    regenerated here at the integrated pose (TGS-style). Frame-long stored
-    anchors on rotating bodies displace the normal's application point and
-    pump angular momentum into rolling contact — regenerating is both more
-    accurate and branch-free-cheap on the VPU.
+    Collision *pairs* come from the frame-level broadphase (pre-gathered
+    into ``pd``: PairData); *manifolds* are regenerated here at the
+    integrated pose (TGS-style) by the P-last kernels (kernels.py). Frame-
+    long stored anchors on rotating bodies displace the normal's application
+    point and pump angular momentum into rolling contact — regenerating is
+    both more accurate and branch-free-cheap on the VPU.
     """
-    from .narrowphase import narrowphase  # local import to avoid cycle
+    from .kernels import narrowphase_b, solve_contacts_b, velocity_contacts_b
 
     s0 = s  # pose at substep start (for velocity reconstruction + friction)
     s = integrate(s, bodies, gravity, h)
     v_tilde = s  # velocities after external forces, before projection
 
-    contacts = narrowphase(
-        colliders, s.pos, s.angle, pair_a, pair_b, pair_valid, cfg.contact_margin
-    )
+    cb = narrowphase_b(pd, s.pos, s.angle, cfg.contact_margin)
 
     n_b = s.pos.shape[0]
+    use_mm = _use_matmul_accum(n_b, cfg)
+    # a zero-capacity joint table ([0]-shaped arrays) makes every joint pass
+    # a no-op graph that XLA eliminates — no special-casing needed, but skip
+    # tracing the color loop entirely for a little compile time
+    joint_iters = range(cfg.max_joint_colors) if joints.j > 0 else range(0)
     dx = jnp.zeros((n_b, 2), jnp.float32)  # applied position corrections
     dth = jnp.zeros((n_b,), jnp.float32)  # applied angle corrections
-    lam_n = jnp.zeros(contacts.point_mask.shape, jnp.float32)
+    lam_n = jnp.zeros(cb.pmask.shape, jnp.float32)
     for _ in range(cfg.iterations):
         # contacts: averaged Jacobi over the whole (dynamic-topology) buffer
-        acc2 = _accum_init(n_b)
-        acc2, lam_i = solve_contact_positions(s, s0, bodies, contacts, acc2, h, cfg)
+        vals_a, vals_b, lam_i = solve_contacts_b(
+            s.pos, s.angle, s0.pos, s0.angle, pd, cb, h, cfg.contact_compliance
+        )
         lam_n = lam_n + lam_i
+        acc2 = _accumulate_contacts(n_b, use_mm, pd, vals_a, vals_b)
         # joints: graph-colored Gauss-Seidel — each color batch has no shared
         # dynamic bodies, so corrections apply exactly (BASELINE.json:5);
         # falls back to one averaged-Jacobi pass when coloring is disabled
         if cfg.joint_solver == "colored":
             s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos, dx, dth)
-            for color in range(cfg.max_joint_colors):
+            for color in joint_iters:
                 # final batch sweeps any colors beyond the static bound;
                 # count-normalization in _apply_accum keeps that tail safe
                 last = color == cfg.max_joint_colors - 1
                 msk = (joints.color >= color) if last else (joints.color == color)
-                accj = _accum_init(n_b)
-                accj = solve_joint_positions(s, bodies, joints, accj, h, mask=msk)
+                j_contrib = solve_joint_positions(s, bodies, joints, h, mask=msk)
+                accj = _accumulate(n_b, use_mm, *j_contrib)
                 s, dx, dth = _apply_accum(s, accj, 1.0, cfg.max_dpos, dx, dth)
         else:
-            acc2 = solve_joint_positions(s, bodies, joints, acc2, h)
+            j_contrib = solve_joint_positions(s, bodies, joints, h)
+            accj = _accumulate(n_b, use_mm, *j_contrib)
+            acc2 = _Accum(acc2.dpos + accj.dpos, acc2.dang + accj.dang,
+                          acc2.count + accj.count)
             s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos, dx, dth)
 
     # velocity reconstruction: v = ṽ + (applied corrections)/h — identical to
@@ -437,5 +343,23 @@ def substep(
     ang_vel = jnp.where(kin[:, 0], s.ang_vel, v_tilde.ang_vel + dth / h)
     s = BodyState(s.pos, s.angle, vel, ang_vel)
 
-    s = velocity_pass(s, v_tilde, bodies, contacts, joints, lam_n, h, cfg)
-    return s, contacts
+    # velocity pass: restitution + dynamic friction (contacts, P-last) plus
+    # motors and joint damping (row-major), one accumulation
+    cv_a, cv_b = velocity_contacts_b(
+        s.pos, s.angle, s.vel, s.ang_vel, v_tilde.vel, v_tilde.ang_vel,
+        pd, cb, lam_n, h, cfg.restitution_threshold,
+    )
+    accv = _accumulate_contacts(n_b, use_mm, pd, cv_a, cv_b)
+    if joints.j > 0:
+        jv = velocity_joints(s, bodies, joints, h)
+        accjv = _accumulate(n_b, use_mm, *jv)
+        accv = _Accum(accv.dpos + accjv.dpos, accv.dang + accjv.dang,
+                      accv.count + accjv.count)
+    cnt = jnp.maximum(accv.count, 1.0)
+    vel = s.vel + accv.dpos / cnt[:, None]
+    ang_vel = s.ang_vel + accv.dang / cnt
+    if cfg.linear_damping > 0.0:
+        vel = vel * (1.0 / (1.0 + h * cfg.linear_damping))
+    if cfg.angular_damping > 0.0:
+        ang_vel = ang_vel * (1.0 / (1.0 + h * cfg.angular_damping))
+    return BodyState(s.pos, s.angle, vel, ang_vel), cb

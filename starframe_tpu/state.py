@@ -221,20 +221,22 @@ def empty_world(cap: Capacity, gravity=(0.0, -9.81)) -> World:
         mask=jnp.full((nc,), _ALL_LAYERS, i32),
         flags=jnp.zeros((nc,), i32),
     )
+    # zero-capacity joint tables are truly empty ([0]-shaped): every joint
+    # pass then compiles to a no-op graph, so contact-only worlds pay nothing
     joints = Joints(
-        jtype=jnp.zeros((max(nj, 1),), i32),
-        body_a=jnp.zeros((max(nj, 1),), i32),
-        body_b=jnp.zeros((max(nj, 1),), i32),
-        anchor_a=jnp.zeros((max(nj, 1), 2), f32),
-        anchor_b=jnp.zeros((max(nj, 1), 2), f32),
-        rest=jnp.zeros((max(nj, 1),), f32),
-        lo=jnp.zeros((max(nj, 1),), f32),
-        hi=jnp.zeros((max(nj, 1),), f32),
-        compliance=jnp.zeros((max(nj, 1),), f32),
-        damping=jnp.zeros((max(nj, 1),), f32),
-        motor_speed=jnp.zeros((max(nj, 1),), f32),
-        motor_max=jnp.full((max(nj, 1),), jnp.inf, f32),
-        color=jnp.zeros((max(nj, 1),), i32),
+        jtype=jnp.zeros((nj,), i32),
+        body_a=jnp.zeros((nj,), i32),
+        body_b=jnp.zeros((nj,), i32),
+        anchor_a=jnp.zeros((nj, 2), f32),
+        anchor_b=jnp.zeros((nj, 2), f32),
+        rest=jnp.zeros((nj,), f32),
+        lo=jnp.zeros((nj,), f32),
+        hi=jnp.zeros((nj,), f32),
+        compliance=jnp.zeros((nj,), f32),
+        damping=jnp.zeros((nj,), f32),
+        motor_speed=jnp.zeros((nj,), f32),
+        motor_max=jnp.full((nj,), jnp.inf, f32),
+        color=jnp.zeros((nj,), i32),
     )
     return World(
         bodies=bodies,
@@ -541,7 +543,7 @@ class WorldBuilder:
             c_mask[i] = c["mask"]
             c_flags[i] = COL_ACTIVE | (COL_SENSOR if c["sensor"] else 0)
 
-        jn = max(cap.max_joints, 1)
+        jn = cap.max_joints
         j_arr = {
             "jtype": np.zeros(jn, np.int32),
             "body_a": np.zeros(jn, np.int32),

@@ -20,7 +20,7 @@ from .broadphase import broadphase, compute_aabbs
 from .config import Capacity, SolverConfig
 from .contacts import Contacts
 from .diagnostics import Diagnostics, compute_diagnostics
-from .narrowphase import narrowphase, world_verts
+from .narrowphase import build_pair_data, narrowphase, world_verts
 from .solver import BodyState, substep
 from .state import World
 
@@ -51,10 +51,16 @@ def step(
 
     # 1-2: AABBs + broadphase once per frame (SURVEY.md §3.2 steps 1-2); the
     # AABB sweep covers the whole frame so the pair set stays valid while
-    # manifolds are regenerated inside each substep (TGS-style, solver.py)
+    # manifolds are regenerated inside each substep (TGS-style, solver.py);
+    # all frame-constant per-pair lookups are hoisted into PairData here
     wverts = world_verts(world)
     lo, hi = compute_aabbs(world, wverts, cfg.contact_margin, cfg.dt)
     pairs = broadphase(world, lo, hi, cap, cfg)
+    from .solver import _use_matmul_accum
+
+    pd = build_pair_data(world.colliders, world.bodies, pairs.pair_a,
+                         pairs.pair_b, pairs.valid,
+                         with_onehot=_use_matmul_accum(world.bodies.n, cfg))
 
     # 3-5: XPBD substep loop with per-substep narrowphase
     h = cfg.dt / cfg.substeps
@@ -62,16 +68,14 @@ def step(
     s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
 
     def body_fn(_, s):
-        s, _ = substep(s, b, world.colliders, pairs.pair_a, pairs.pair_b,
-                       pairs.valid, world.joints, g, h, cfg)
+        s, _ = substep(s, b, pd, world.joints, g, h, cfg)
         return s
 
     s = jax.lax.fori_loop(0, cfg.substeps, body_fn, s0)
 
     # 6: events — manifolds at the final pose (dead-code-eliminated by XLA
     # when the caller discards contacts/diagnostics)
-    contacts = narrowphase(world.colliders, s.pos, s.angle, pairs.pair_a,
-                           pairs.pair_b, pairs.valid, cfg.contact_margin)
+    contacts = narrowphase(pd, s.pos, s.angle, cfg.contact_margin)
 
     # sleeping: zero velocities of bodies that stayed slow for sleep_frames
     sleep_count = b.sleep_count

@@ -85,8 +85,9 @@ class SolverConfig:
     # Velocity at which bodies are considered for sleeping (0 disables).
     sleep_velocity: float = 0.0
     sleep_frames: int = 30
-    # Use Pallas kernels for the solver inner loop where available.
-    use_pallas: bool = False
+    # Whole-frame Pallas kernel (pallas/frame.py): True/"auto" = use on TPU
+    # for contact-only worlds with one-hot accumulation; False = never.
+    use_pallas: object = "auto"
 
     @property
     def h(self) -> float:

@@ -35,7 +35,7 @@ class ManifoldB(NamedTuple):
     wb_x: jax.Array  # [2, P]
     wb_y: jax.Array  # [2, P]
     sep: jax.Array  # [2, P]
-    pmask: jax.Array  # [2, P] bool
+    pmask: jax.Array  # [2, P] f32 0/1 mask
 
 
 def _edge_data_b(vx, vy, n_valid):
@@ -45,7 +45,9 @@ def _edge_data_b(vx, vy, n_valid):
     edge_valid [V, P]. The wrap "gather" is a static roll + masked overwrite.
     """
     V = vx.shape[0]
-    idx = jnp.arange(V)[:, None]  # [V, 1]
+    # broadcasted_iota: 1D iota does not lower on TPU/pallas; rank tracks the
+    # input so the same code runs on [V, P] and G-packed [V, G, P] arrays
+    idx = jax.lax.broadcasted_iota(jnp.int32, (V,) + (1,) * (vx.ndim - 1), 0)
     wrap = idx == (n_valid[None, :] - 1)  # [V, P]
     e1x = jnp.where(wrap, vx[0][None, :], jnp.roll(vx, -1, axis=0))
     e1y = jnp.where(wrap, vy[0][None, :], jnp.roll(vy, -1, axis=0))
@@ -66,23 +68,35 @@ def _sat_b(e0x, e0y, nx, ny, valid, ox, oy):
     e0*/n*: [V, P]; valid: [V, P]; o*: [W, P] (other verts, padded with v0).
     Returns (sep[P], onehot[V, P] of the argmax edge).
     """
-    # min_j (n . o_j): [V, W, P] contraction unrolled over W (W <= 8 static)
+    # min_j (n . o_j), statically unrolled over the other shape's verts
+    # (W <= 8): avoids a [V, W, P] cube in VMEM and stays pallas-safe
     W = ox.shape[0]
-    m = nx[:, None, :] * ox[None, :, :] + ny[:, None, :] * oy[None, :, :]  # [V,W,P]
-    mn = jnp.min(m, axis=1)  # [V, P]
+    mn = nx * ox[0][None, :] + ny * oy[0][None, :]  # [V, P]
+    for j in range(1, W):
+        mn = jnp.minimum(mn, nx * ox[j][None, :] + ny * oy[j][None, :])
     sep = mn - (nx * e0x + ny * e0y)
     sep = jnp.where(valid, sep, -jnp.inf)
     best = jnp.max(sep, axis=0)  # [P]
-    # one-hot of the first argmax row (match jnp.argmax tie-breaking: first)
-    is_best = sep == best[None, :]
-    first = jnp.cumsum(is_best.astype(jnp.int32), axis=0) == 1
-    onehot = is_best & first
+    onehot = _first_true(sep == best[None, :])
     return best, onehot
 
 
+def _first_true(mask):
+    """f32 one-hot of the first True row per column (static unroll over the
+    small leading axis — pallas-safe: no cumsum, no bool stacking/selects,
+    which Mosaic cannot lower for i1 vectors)."""
+    V = mask.shape[0]
+    seen = mask[0]
+    rows = [mask[0].astype(jnp.float32)]
+    for i in range(1, V):
+        rows.append((mask[i] & jnp.logical_not(seen)).astype(jnp.float32))
+        seen = seen | mask[i]
+    return jnp.stack(rows)
+
+
 def _select_b(onehot, rows):
-    """Masked-sum row selection, P-last. onehot: [V, P] bool; rows: [V, P]."""
-    return jnp.where(onehot, rows, 0.0).sum(axis=0)
+    """Masked-sum row selection, P-last. onehot: [V, P] f32 0/1; rows: [V, P]."""
+    return (onehot * rows).sum(axis=0)
 
 
 def _closest_seg_seg_b(p1x, p1y, q1x, q1y, p2x, p2y, q2x, q2y):
@@ -169,11 +183,12 @@ def manifold_batch(vax, vay, na, ra, vbx, vby, nb, rb, margin) -> ManifoldB:
     inc_b = jnp.where(evb, nbx * n_refx[None] + nby * n_refy[None], jnp.inf)
     mina = jnp.min(inc_a, axis=0)
     minb = jnp.min(inc_b, axis=0)
-    oha = (inc_a == mina[None]) & (jnp.cumsum((inc_a == mina[None]).astype(jnp.int32), axis=0) == 1)
-    ohb = (inc_b == minb[None]) & (jnp.cumsum((inc_b == minb[None]).astype(jnp.int32), axis=0) == 1)
+    oha = _first_true(inc_a == mina[None])
+    ohb = _first_true(inc_b == minb[None])
     # incident is on the OTHER shape from the reference: B when not flipped,
-    # A when flipped — hence pick(B-variant, A-variant)
-    i_has = pick(b_has, a_has)
+    # A when flipped — hence pick(B-variant, A-variant). Written with logical
+    # ops, not where: Mosaic cannot select between i1 vectors.
+    i_has = (flip & a_has) | (jnp.logical_not(flip) & b_has)
     i0x = pick(jnp.where(b_has, _select_b(ohb, e0bx), vbx[0]),
                jnp.where(a_has, _select_b(oha, e0ax), vax[0]))
     i0y = pick(jnp.where(b_has, _select_b(ohb, e0by), vby[0]),
@@ -263,9 +278,9 @@ def manifold_batch(vax, vay, na, ra, vbx, vby, nb, rb, margin) -> ManifoldB:
     wiy = jnp.where(use_clip[None, :], jnp.stack([cwi0y, cwi1y]), jnp.stack([pwiy, pwiy]))
     seps = jnp.where(use_clip[None, :], jnp.stack([csep0, csep1]), jnp.stack([psep, psep]))
 
-    pmask0 = seps[0] < margin
-    pmask1 = use_clip & clip_distinct & (seps[1] < margin)
-    pmask = jnp.stack([pmask0, pmask1])
+    pmask0 = (seps[0] < margin).astype(jnp.float32)
+    pmask1 = (use_clip & clip_distinct & (seps[1] < margin)).astype(jnp.float32)
+    pmask = jnp.stack([pmask0, pmask1])  # f32 0/1: Mosaic can't stack i1
 
     flipn = jnp.where(flip, -1.0, 1.0)
     n_x = noutx * flipn
@@ -282,6 +297,54 @@ def manifold_batch(vax, vay, na, ra, vbx, vby, nb, rb, margin) -> ManifoldB:
 # ---------------------------------------------------------------------------
 
 
+class PairPose(NamedTuple):
+    """Per-pair gathered poses (position + cos/sin), P-last [P] components.
+
+    The XLA path fills this with index gathers (gather_pair_pose); the
+    Pallas whole-frame kernel fills it with one-hot MXU dots — the math
+    downstream is shared.
+    """
+
+    pax: jax.Array
+    pay: jax.Array
+    ca: jax.Array
+    sa: jax.Array
+    pbx: jax.Array
+    pby: jax.Array
+    cb: jax.Array
+    sb: jax.Array
+
+
+class PairVel(NamedTuple):
+    """Per-pair gathered velocities, P-last [P] components."""
+
+    vax: jax.Array
+    vay: jax.Array
+    oa: jax.Array
+    vbx: jax.Array
+    vby: jax.Array
+    ob: jax.Array
+
+
+def make_pair_pose(pax, pay, aa, pbx, pby, ab) -> PairPose:
+    return PairPose(pax, pay, jnp.cos(aa), jnp.sin(aa),
+                    pbx, pby, jnp.cos(ab), jnp.sin(ab))
+
+
+def gather_pair_pose(pd, pos, angle) -> PairPose:
+    return make_pair_pose(
+        pos[:, 0][pd.body_a], pos[:, 1][pd.body_a], angle[pd.body_a],
+        pos[:, 0][pd.body_b], pos[:, 1][pd.body_b], angle[pd.body_b],
+    )
+
+
+def gather_pair_vel(pd, vel, ang_vel) -> PairVel:
+    return PairVel(
+        vel[:, 0][pd.body_a], vel[:, 1][pd.body_a], ang_vel[pd.body_a],
+        vel[:, 0][pd.body_b], vel[:, 1][pd.body_b], ang_vel[pd.body_b],
+    )
+
+
 class ContactsB(NamedTuple):
     """Internal P-last contact storage used by the substep loop."""
 
@@ -291,21 +354,15 @@ class ContactsB(NamedTuple):
     a_ay: jax.Array  # [2, P]
     b_ax: jax.Array  # [2, P] anchors on B, body frame
     b_ay: jax.Array  # [2, P]
-    solve_mask: jax.Array  # [2, P]
-    pmask: jax.Array  # [2, P]
+    solve_mask: jax.Array  # [2, P] f32 0/1
+    pmask: jax.Array  # [2, P] f32 0/1
     sep: jax.Array  # [2, P]
 
 
-def narrowphase_b(pd, body_pos, body_angle, margin: float) -> ContactsB:
-    """P-last narrowphase: gather poses, transform verts, build manifolds."""
-    pax = body_pos[:, 0][pd.body_a]
-    pay = body_pos[:, 1][pd.body_a]
-    pbx = body_pos[:, 0][pd.body_b]
-    pby = body_pos[:, 1][pd.body_b]
-    ca = jnp.cos(body_angle[pd.body_a])
-    sa = jnp.sin(body_angle[pd.body_a])
-    cb = jnp.cos(body_angle[pd.body_b])
-    sb = jnp.sin(body_angle[pd.body_b])
+def narrowphase_b(pd, pose: PairPose, margin: float) -> ContactsB:
+    """P-last narrowphase: transform verts at the given pair poses, build
+    manifolds."""
+    pax, pay, ca, sa, pbx, pby, cb, sb = pose
 
     vax = pax[None] + ca[None] * pd.verts_ax - sa[None] * pd.verts_ay  # [V, P]
     vay = pay[None] + sa[None] * pd.verts_ax + ca[None] * pd.verts_ay
@@ -327,21 +384,14 @@ def narrowphase_b(pd, body_pos, body_angle, margin: float) -> ContactsB:
     n_ax = ca * m.n_x + sa * m.n_y
     n_ay = -sa * m.n_x + ca * m.n_y
 
-    pmask = m.pmask & pd.valid[None, :]
-    solve_mask = pmask & jnp.logical_not(pd.sensor)[None, :]
+    pmask = m.pmask * pd.valid.astype(jnp.float32)[None, :]
+    solve_mask = pmask * (1.0 - pd.sensor.astype(jnp.float32))[None, :]
     return ContactsB(n_ax, n_ay, a_ax, a_ay, b_ax, b_ay, solve_mask, pmask, m.sep)
 
 
-def _pair_kinematics(pd, cb_: ContactsB, pos, angle):
-    """World-space contact geometry at the given poses, P-last."""
-    pax = pos[:, 0][pd.body_a]
-    pay = pos[:, 1][pd.body_a]
-    pbx = pos[:, 0][pd.body_b]
-    pby = pos[:, 1][pd.body_b]
-    ca = jnp.cos(angle[pd.body_a])
-    sa = jnp.sin(angle[pd.body_a])
-    cb = jnp.cos(angle[pd.body_b])
-    sb = jnp.sin(angle[pd.body_b])
+def _pair_kinematics(cb_: ContactsB, pose: PairPose):
+    """World-space contact geometry at the given pair poses, P-last."""
+    pax, pay, ca, sa, pbx, pby, cb, sb = pose
     nx = ca * cb_.n_ax - sa * cb_.n_ay  # [P]
     ny = sa * cb_.n_ax + ca * cb_.n_ay
     rax = ca[None] * cb_.a_ax - sa[None] * cb_.a_ay  # [2, P] anchor offset from COM
@@ -355,7 +405,7 @@ def _pair_kinematics(pd, cb_: ContactsB, pos, angle):
     return nx, ny, rax, ray, rbx, rby, wax, way, wbx, wby
 
 
-def solve_contacts_b(s_pos, s_angle, s0_pos, s0_angle, pd, cb_: ContactsB,
+def solve_contacts_b(pose: PairPose, pose0: PairPose, pd, cb_: ContactsB,
                      h: float, contact_compliance: float):
     """XPBD contact projection, P-last. Returns (vals_a[4,P], vals_b[4,P],
     lam_n[2,P]) where vals rows are (dpos_x, dpos_y, dang, count) ready for
@@ -365,12 +415,12 @@ def solve_contacts_b(s_pos, s_angle, s0_pos, s0_angle, pd, cb_: ContactsB,
     ii_a = pd.inv_inertia_a[None]
     ii_b = pd.inv_inertia_b[None]
 
-    nx, ny, rax, ray, rbx, rby, wax, way, wbx, wby = _pair_kinematics(pd, cb_, s_pos, s_angle)
+    nx, ny, rax, ray, rbx, rby, wax, way, wbx, wby = _pair_kinematics(cb_, pose)
     nxp = nx[None]  # [1, P]
     nyp = ny[None]
 
     c = (wbx - wax) * nxp + (wby - way) * nyp  # [2, P]
-    active = (c < 0.0) & cb_.solve_mask
+    active = (c < 0.0) & (cb_.solve_mask > 0.0)
 
     cr_a = rax * nyp - ray * nxp  # [2, P]
     cr_b = rbx * nyp - rby * nxp
@@ -383,7 +433,7 @@ def solve_contacts_b(s_pos, s_angle, s0_pos, s0_angle, pd, cb_: ContactsB,
     p_y = dlam * nyp
 
     # static friction at position level
-    _, _, _, _, _, _, wax0, way0, wbx0, wby0 = _pair_kinematics(pd, cb_, s0_pos, s0_angle)
+    _, _, _, _, _, _, wax0, way0, wbx0, wby0 = _pair_kinematics(cb_, pose0)
     dpx = (wax - wax0) - (wbx - wbx0)
     dpy = (way - way0) - (wby - wby0)
     dpn = dpx * nxp + dpy * nyp
@@ -417,7 +467,7 @@ def solve_contacts_b(s_pos, s_angle, s0_pos, s0_angle, pd, cb_: ContactsB,
     return vals_a, vals_b, dlam
 
 
-def velocity_contacts_b(s_pos, s_angle, vel, ang_vel, vel0, ang_vel0,
+def velocity_contacts_b(pose: PairPose, pvel: PairVel, pvel0: PairVel,
                         pd, cb_: ContactsB, lam_n, h: float,
                         restitution_threshold: float):
     """Restitution + dynamic friction velocity impulses, P-last.
@@ -428,20 +478,14 @@ def velocity_contacts_b(s_pos, s_angle, vel, ang_vel, vel0, ang_vel0,
     ii_a = pd.inv_inertia_a[None]
     ii_b = pd.inv_inertia_b[None]
 
-    nx, ny, rax, ray, rbx, rby, *_ = _pair_kinematics(pd, cb_, s_pos, s_angle)
+    nx, ny, rax, ray, rbx, rby, *_ = _pair_kinematics(cb_, pose)
     nxp, nyp = nx[None], ny[None]
 
     def point_vel(vx, vy, om, rx, ry):
         return vx[None] - om[None] * ry, vy[None] + om[None] * rx
 
-    vaxp = vel[:, 0][pd.body_a]
-    vayp = vel[:, 1][pd.body_a]
-    vbxp = vel[:, 0][pd.body_b]
-    vbyp = vel[:, 1][pd.body_b]
-    oa = ang_vel[pd.body_a]
-    ob = ang_vel[pd.body_b]
-    uax, uay = point_vel(vaxp, vayp, oa, rax, ray)
-    ubx, uby = point_vel(vbxp, vbyp, ob, rbx, rby)
+    uax, uay = point_vel(pvel.vax, pvel.vay, pvel.oa, rax, ray)
+    ubx, uby = point_vel(pvel.vbx, pvel.vby, pvel.ob, rbx, rby)
     relx = ubx - uax
     rely = uby - uay
     vn = relx * nxp + rely * nyp  # [2, P]
@@ -449,17 +493,11 @@ def velocity_contacts_b(s_pos, s_angle, vel, ang_vel, vel0, ang_vel0,
     uty = rely - vn * nyp
     vt = jnp.sqrt(utx * utx + uty * uty)
 
-    va0x = vel0[:, 0][pd.body_a]
-    va0y = vel0[:, 1][pd.body_a]
-    vb0x = vel0[:, 0][pd.body_b]
-    vb0y = vel0[:, 1][pd.body_b]
-    oa0 = ang_vel0[pd.body_a]
-    ob0 = ang_vel0[pd.body_b]
-    ua0x, ua0y = point_vel(va0x, va0y, oa0, rax, ray)
-    ub0x, ub0y = point_vel(vb0x, vb0y, ob0, rbx, rby)
+    ua0x, ua0y = point_vel(pvel0.vax, pvel0.vay, pvel0.oa, rax, ray)
+    ub0x, ub0y = point_vel(pvel0.vbx, pvel0.vby, pvel0.ob, rbx, rby)
     vn0 = (ub0x - ua0x) * nxp + (ub0y - ua0y) * nyp
 
-    active = (lam_n > 0.0) & cb_.solve_mask
+    active = (lam_n > 0.0) & (cb_.solve_mask > 0.0)
 
     cr_a = rax * nyp - ray * nxp
     cr_b = rbx * nyp - rby * nxp

@@ -356,11 +356,11 @@ def narrowphase(pd: PairData, body_pos, body_angle, margin: float) -> Contacts:
     observer API). The hot path uses :func:`kernels.narrowphase_b` directly;
     this converts its P-last arrays into the row-major :class:`Contacts`.
     """
-    from .kernels import narrowphase_b
+    from .kernels import gather_pair_pose, narrowphase_b
 
-    cb = narrowphase_b(pd, body_pos, body_angle, margin)
+    cb = narrowphase_b(pd, gather_pair_pose(pd, body_pos, body_angle), margin)
     seps = cb.sep.T  # [P, 2]
-    pmask = cb.pmask.T
+    pmask = cb.pmask.T > 0.0
     return Contacts(
         body_a=pd.body_a,
         body_b=pd.body_b,
@@ -370,7 +370,7 @@ def narrowphase(pd: PairData, body_pos, body_angle, margin: float) -> Contacts:
         anchor_a=jnp.stack([cb.a_ax.T, cb.a_ay.T], axis=-1),
         anchor_b=jnp.stack([cb.b_ax.T, cb.b_ay.T], axis=-1),
         point_mask=pmask,
-        solve_mask=cb.solve_mask.T,
+        solve_mask=cb.solve_mask.T > 0.0,
         friction=pd.friction,
         restitution=pd.restitution,
         touching=jnp.any(pmask & (seps < 0.0), axis=1),

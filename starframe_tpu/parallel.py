@@ -39,8 +39,55 @@ def world_slice(batched: World, i: int) -> World:
 
 
 def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
-    """vmapped frame step over the leading world axis (un-jitted)."""
+    """Frame step over the leading world axis (un-jitted).
+
+    Contact-only world batches on TPU take the whole-frame Pallas kernel
+    directly (grid over worlds, G worlds per program — see pallas/frame.py);
+    everything else is vmap(step).
+    """
+    from .step import use_pallas_frame
+
+    if use_pallas_frame(worlds, max_pairs, cfg):
+        return _batched_step_pallas(worlds, cfg, max_pairs)
     return jax.vmap(lambda w: step(w, cfg, max_pairs)[0])(worlds)
+
+
+def _batched_step_pallas(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
+    import dataclasses
+
+    from .pallas import run_frame_batched
+    from .step import frame_prep, pallas_frame_kwargs
+
+    pairs, pd = jax.vmap(
+        lambda w: frame_prep(w, cfg, max_pairs, skip_onehot=True)
+    )(worlds)
+    b = worlds.bodies
+    pos, angle, vel, ang_vel = run_frame_batched(
+        b.pos, b.angle, b.vel, b.ang_vel, b.inv_mass, b.inv_inertia, b.flags,
+        pd.verts_ax, pd.verts_ay, pd.verts_bx, pd.verts_by,
+        pd.nverts_a, pd.nverts_b, pd.radius_a, pd.radius_b,
+        pd.friction, pd.restitution,
+        pd.inv_mass_a, pd.inv_mass_b, pd.inv_inertia_a, pd.inv_inertia_b,
+        pd.valid & jnp.logical_not(pd.sensor), pd.valid,
+        pd.body_a, pd.body_b, worlds.gravity,
+        **pallas_frame_kwargs(cfg),
+    )
+
+    sleep_count = b.sleep_count
+    if cfg.sleep_velocity > 0.0:
+        slow = (jnp.sum(vel**2, axis=-1) + ang_vel**2) < cfg.sleep_velocity**2
+        sleep_count = jnp.where(slow, sleep_count + 1, 0)
+        asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
+        vel = jnp.where(asleep[..., None], 0.0, vel)
+        ang_vel = jnp.where(asleep, 0.0, ang_vel)
+
+    new_bodies = dataclasses.replace(
+        b, pos=pos, angle=angle, vel=vel, ang_vel=ang_vel,
+        prev_pos=b.pos, prev_angle=b.angle, sleep_count=sleep_count,
+    )
+    return dataclasses.replace(
+        worlds, bodies=new_bodies, step_count=worlds.step_count + 1
+    )
 
 
 def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True):
@@ -78,6 +125,14 @@ def make_sharded_step(
     :func:`shard_world` and the output sharding is preserved.
     """
     mesh = make_mesh() if mesh is None else mesh
+
+    # the whole-frame Pallas kernel only lowers on TPU; a CPU mesh (e.g. the
+    # 8-virtual-device test mesh) must take the XLA path
+    mesh_dev = next(iter(mesh.devices.flat))
+    if not (mesh_dev.platform == "tpu" or "TPU" in getattr(mesh_dev, "device_kind", "")):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, use_pallas=False)
 
     def fn(worlds: World) -> World:
         return batched_step(worlds, cfg, max_pairs)

@@ -292,13 +292,20 @@ def substep(
     point and pump angular momentum into rolling contact — regenerating is
     both more accurate and branch-free-cheap on the VPU.
     """
-    from .kernels import narrowphase_b, solve_contacts_b, velocity_contacts_b
+    from .kernels import (
+        gather_pair_pose,
+        gather_pair_vel,
+        narrowphase_b,
+        solve_contacts_b,
+        velocity_contacts_b,
+    )
 
     s0 = s  # pose at substep start (for velocity reconstruction + friction)
     s = integrate(s, bodies, gravity, h)
     v_tilde = s  # velocities after external forces, before projection
 
-    cb = narrowphase_b(pd, s.pos, s.angle, cfg.contact_margin)
+    pose0 = gather_pair_pose(pd, s0.pos, s0.angle)
+    cb = narrowphase_b(pd, gather_pair_pose(pd, s.pos, s.angle), cfg.contact_margin)
 
     n_b = s.pos.shape[0]
     use_mm = _use_matmul_accum(n_b, cfg)
@@ -312,7 +319,8 @@ def substep(
     for _ in range(cfg.iterations):
         # contacts: averaged Jacobi over the whole (dynamic-topology) buffer
         vals_a, vals_b, lam_i = solve_contacts_b(
-            s.pos, s.angle, s0.pos, s0.angle, pd, cb, h, cfg.contact_compliance
+            gather_pair_pose(pd, s.pos, s.angle), pose0, pd, cb, h,
+            cfg.contact_compliance,
         )
         lam_n = lam_n + lam_i
         acc2 = _accumulate_contacts(n_b, use_mm, pd, vals_a, vals_b)
@@ -346,7 +354,9 @@ def substep(
     # velocity pass: restitution + dynamic friction (contacts, P-last) plus
     # motors and joint damping (row-major), one accumulation
     cv_a, cv_b = velocity_contacts_b(
-        s.pos, s.angle, s.vel, s.ang_vel, v_tilde.vel, v_tilde.ang_vel,
+        gather_pair_pose(pd, s.pos, s.angle),
+        gather_pair_vel(pd, s.vel, s.ang_vel),
+        gather_pair_vel(pd, v_tilde.vel, v_tilde.ang_vel),
         pd, cb, lam_n, h, cfg.restitution_threshold,
     )
     accv = _accumulate_contacts(n_b, use_mm, pd, cv_a, cv_b)

@@ -35,6 +35,57 @@ def _capacity_of(world: World) -> Capacity:
     )
 
 
+def frame_prep(world: World, cfg: SolverConfig, max_pairs: int,
+               skip_onehot: bool = False):
+    """Per-frame collision prep: AABBs + broadphase + hoisted PairData
+    (SURVEY.md §3.2 steps 1-2). The AABB sweep covers the whole frame so the
+    pair set stays valid while manifolds regenerate inside each substep."""
+    from .solver import _use_matmul_accum
+
+    cap = dataclasses.replace(_capacity_of(world), max_pairs=max_pairs)
+    wverts = world_verts(world)
+    lo, hi = compute_aabbs(world, wverts, cfg.contact_margin, cfg.dt)
+    pairs = broadphase(world, lo, hi, cap, cfg)
+    pd = build_pair_data(
+        world.colliders, world.bodies, pairs.pair_a, pairs.pair_b, pairs.valid,
+        with_onehot=_use_matmul_accum(world.bodies.n, cfg) and not skip_onehot,
+    )
+    return pairs, pd
+
+
+def use_pallas_frame(world: World, max_pairs: int, cfg: SolverConfig) -> bool:
+    """Static decision: run the whole-frame Pallas kernel? (TPU, contact-only
+    worlds small enough that the in-VMEM one-hot matrices fit.)"""
+    if cfg.use_pallas is False:
+        return False
+    if world.joints.j != 0:
+        return False
+    # tiny worlds trip Mosaic vector-layout edge cases and gain nothing
+    if max_pairs < 128 or world.bodies.n < 8:
+        return False
+    # the [N, 2P] f32 one-hot must fit comfortably in VMEM alongside the
+    # working set (bigger single worlds crash the Mosaic kernel; they take
+    # the XLA path, whose scatter accumulation scales to 10k bodies)
+    if 2 * world.bodies.n * max_pairs * 4 > 4 * 1024 * 1024:
+        return False
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    on_tpu = dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
+    return bool(on_tpu)
+
+
+def pallas_frame_kwargs(cfg: SolverConfig) -> dict:
+    return dict(
+        substeps=cfg.substeps, iterations=cfg.iterations,
+        h=cfg.dt / cfg.substeps, margin=cfg.contact_margin,
+        compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
+        max_dpos=cfg.max_dpos, rest_threshold=cfg.restitution_threshold,
+        lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
+    )
+
+
 def step(
     world: World,
     cfg: SolverConfig,
@@ -47,31 +98,38 @@ def step(
     per-tick forcefield argument — SURVEY.md §3.1).
     """
     g = world.gravity if gravity is None else gravity
-    cap = dataclasses.replace(_capacity_of(world), max_pairs=max_pairs)
-
-    # 1-2: AABBs + broadphase once per frame (SURVEY.md §3.2 steps 1-2); the
-    # AABB sweep covers the whole frame so the pair set stays valid while
-    # manifolds are regenerated inside each substep (TGS-style, solver.py);
-    # all frame-constant per-pair lookups are hoisted into PairData here
-    wverts = world_verts(world)
-    lo, hi = compute_aabbs(world, wverts, cfg.contact_margin, cfg.dt)
-    pairs = broadphase(world, lo, hi, cap, cfg)
-    from .solver import _use_matmul_accum
-
-    pd = build_pair_data(world.colliders, world.bodies, pairs.pair_a,
-                         pairs.pair_b, pairs.valid,
-                         with_onehot=_use_matmul_accum(world.bodies.n, cfg))
+    pallas_on = use_pallas_frame(world, max_pairs, cfg)
+    pairs, pd = frame_prep(world, cfg, max_pairs, skip_onehot=pallas_on)
 
     # 3-5: XPBD substep loop with per-substep narrowphase
     h = cfg.dt / cfg.substeps
     b = world.bodies
-    s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
+    if pallas_on:
+        # whole-frame Pallas kernel, W=1 (see pallas/frame.py)
+        from .pallas import run_frame_batched
 
-    def body_fn(_, s):
-        s, _ = substep(s, b, pd, world.joints, g, h, cfg)
-        return s
+        one = lambda x: x[None]
+        pos, angle, vel, ang_vel = run_frame_batched(
+            one(b.pos), one(b.angle), one(b.vel), one(b.ang_vel),
+            one(b.inv_mass), one(b.inv_inertia), one(b.flags),
+            one(pd.verts_ax), one(pd.verts_ay), one(pd.verts_bx), one(pd.verts_by),
+            one(pd.nverts_a), one(pd.nverts_b), one(pd.radius_a), one(pd.radius_b),
+            one(pd.friction), one(pd.restitution),
+            one(pd.inv_mass_a), one(pd.inv_mass_b),
+            one(pd.inv_inertia_a), one(pd.inv_inertia_b),
+            one(pd.valid & jnp.logical_not(pd.sensor)), one(pd.valid),
+            one(pd.body_a), one(pd.body_b), one(g),
+            **pallas_frame_kwargs(cfg),
+        )
+        s = BodyState(pos[0], angle[0], vel[0], ang_vel[0])
+    else:
+        s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
 
-    s = jax.lax.fori_loop(0, cfg.substeps, body_fn, s0)
+        def body_fn(_, s):
+            s, _ = substep(s, b, pd, world.joints, g, h, cfg)
+            return s
+
+        s = jax.lax.fori_loop(0, cfg.substeps, body_fn, s0)
 
     # 6: events — manifolds at the final pose (dead-code-eliminated by XLA
     # when the caller discards contacts/diagnostics)

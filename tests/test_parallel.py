@@ -28,12 +28,16 @@ def test_batched_step_equals_per_world_step(small_batch):
 
 
 def test_sharded_step_matches_unsharded(small_batch, cpu_devices):
+    import dataclasses
+
     scene = small_batch
     mesh = sf.parallel.make_mesh(cpu_devices[:8])
 
-    # unsharded reference on cpu device 0
+    # unsharded reference on cpu device 0 (pallas only lowers on TPU, so the
+    # CPU reference must take the XLA path explicitly)
+    cfg_cpu = dataclasses.replace(scene.config, use_pallas=False)
     ref_in = jax.device_put(scene.world, cpu_devices[0])
-    bstep = sf.make_batched_step(scene.config, scene.capacity.max_pairs, donate=False)
+    bstep = sf.make_batched_step(cfg_cpu, scene.capacity.max_pairs, donate=False)
     ref = bstep(ref_in)
 
     sharded_in = sf.parallel.shard_world(scene.world, mesh)

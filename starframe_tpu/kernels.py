@@ -538,10 +538,13 @@ def velocity_contacts_b(pose: PairPose, pvel: PairVel, pvel0: PairVel,
 
 def accumulate_onehot(vals_a, vals_b, onehot_a, onehot_b):
     """[4, P] @ [P, N] one-hot contraction -> (dpos[N,2], dang[N], count[N])."""
+    hp = jax.lax.Precision.HIGHEST  # DEFAULT would bf16-round the values
     out = jax.lax.dot_general(
-        vals_a, onehot_a, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        vals_a, onehot_a, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hp,
     ) + jax.lax.dot_general(
-        vals_b, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        vals_b, onehot_b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hp,
     )  # [4, N]
     return out[:2].T, out[2], out[3]
 

@@ -65,7 +65,11 @@ def pick_group_size(n_bodies: int, max_pairs: int, n_worlds: int) -> int:
 
 
 def _dot(a, b, dn=(((1,), (0,)), ((), ()))):
-    return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32)
+    # HIGHEST precision is load-bearing: DEFAULT rounds f32 operands to bf16
+    # on the MXU, which quantizes gathered *positions* (0.39 -> 0.390625) and
+    # broke stacking (pyramids collapsed from phantom penetration jitter)
+    return jax.lax.dot_general(a, b, dn, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _frame_kernel(

@@ -114,7 +114,9 @@ def _accumulate(n: int, use_matmul: bool, idxs, vec2s, scalars, counts) -> _Accu
             jnp.float32
         )  # [K, N]
         out = jax.lax.dot_general(
-            onehot, val, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            onehot, val, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # DEFAULT bf16-rounds values
         )  # [N, 4]
     else:
         out = jnp.zeros((n, 4), jnp.float32).at[idx].add(val)

@@ -60,8 +60,11 @@ def use_pallas_frame(world: World, max_pairs: int, cfg: SolverConfig) -> bool:
         return False
     if world.joints.j != 0:
         return False
-    # tiny worlds trip Mosaic vector-layout edge cases and gain nothing
-    if max_pairs < 128 or world.bodies.n < 8:
+    # Mosaic vector layouts need lane/sublane-aligned shapes; unaligned or
+    # tiny worlds take the XLA path (they gain little from the kernel anyway)
+    if max_pairs < 128 or max_pairs % 128 != 0:
+        return False
+    if world.bodies.n < 8 or world.bodies.n % 8 != 0:
         return False
     # the [N, 2P] f32 one-hot must fit comfortably in VMEM alongside the
     # working set (bigger single worlds crash the Mosaic kernel; they take

@@ -99,7 +99,10 @@ def main():
     per_chip_target = NORTH_STAR_V5E8 / 8.0
     if args.config == "batched":
         scene = sf.scenes.batched_worlds(n_worlds=args.worlds, n_bodies=args.bodies)
-        bps, per_frame = bench_scene(scene, args.frames, batched=True)
+        # big workloads: short scan chunks — the TPU relay kills single
+        # executions much past ~1-2 minutes
+        n_chunk = 5 if args.worlds * args.bodies >= 2 ** 18 else args.frames
+        bps, per_frame = bench_scene(scene, n_chunk, batched=True)
         out = {
             "metric": f"body-steps/sec ({args.worlds}x{args.bodies}-body worlds, 1 chip)",
             "value": round(bps, 1),
@@ -108,7 +111,7 @@ def main():
         }
     elif args.config == "pile":
         scene = sf.scenes.pile(n_bodies=args.pile_bodies)
-        bps, per_frame = bench_scene(scene, max(args.frames // 3, 5), batched=False)
+        bps, per_frame = bench_scene(scene, 5, batched=False)
         out = {
             "metric": f"body-steps/sec ({args.pile_bodies}-body pile)",
             "value": round(bps, 1),

@@ -44,6 +44,8 @@ from .shapes import Shape
 from .step import make_step, step, rollout, make_rollout
 from .contacts import Contacts
 from . import scenes
+from . import events
+from .events import ContactEvents, diff_contacts
 from . import io
 from . import queries
 from .queries import raycast, query_point, query_aabb, RayHit
@@ -75,6 +77,9 @@ __all__ = [
     "make_rollout",
     "Contacts",
     "scenes",
+    "events",
+    "ContactEvents",
+    "diff_contacts",
     "io",
     "queries",
     "raycast",

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 _EPS = 1e-10
 _PARALLEL_COS = 0.98
+# surfaces within this slop count as "touching" for contact events
+TOUCH_SLOP = 1e-3
 
 
 class ManifoldB(NamedTuple):

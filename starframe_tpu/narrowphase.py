@@ -34,6 +34,8 @@ from .state import COL_SENSOR, World
 _PARALLEL_COS = 0.98  # |cos| above which edges count as parallel
 _EPS = 1e-10
 
+from .kernels import TOUCH_SLOP  # noqa: E402  (shared with the solver)
+
 
 def collider_world_verts(colliders, body_pos, body_angle) -> jax.Array:
     """Transform all collider core vertices to world space: [M, V, 2]."""
@@ -373,6 +375,6 @@ def narrowphase(pd: PairData, body_pos, body_angle, margin: float) -> Contacts:
         solve_mask=cb.solve_mask.T > 0.0,
         friction=pd.friction,
         restitution=pd.restitution,
-        touching=jnp.any(pmask & (seps < 0.0), axis=1),
+        touching=jnp.any(pmask & (seps < TOUCH_SLOP), axis=1),
         separation=seps,
     )

@@ -96,6 +96,29 @@ def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
+                    n_frames: int, record=None):
+    """On-device N-frame rollout of a world batch via ``lax.scan`` — the
+    RL-workload shape (BASELINE.json:11): one host round trip for the whole
+    trajectory. ``record(worlds) -> pytree`` picks what to stack per frame
+    (default: poses)."""
+    if record is None:
+        record = lambda w: (w.bodies.pos, w.bodies.angle)
+
+    def body(w, _):
+        w2 = batched_step(w, cfg, max_pairs)
+        return w2, record(w2)
+
+    final, traj = jax.lax.scan(body, worlds, None, length=n_frames)
+    return final, traj
+
+
+def make_batched_rollout(cfg: SolverConfig, max_pairs: int, n_frames: int,
+                         record=None):
+    return jax.jit(partial(batched_rollout, cfg=cfg, max_pairs=max_pairs,
+                           n_frames=n_frames, record=record))
+
+
 def make_mesh(devices=None, axis: str = "worlds") -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), (axis,))

@@ -374,4 +374,12 @@ def substep(
         vel = vel * (1.0 / (1.0 + h * cfg.linear_damping))
     if cfg.angular_damping > 0.0:
         ang_vel = ang_vel * (1.0 / (1.0 + h * cfg.angular_damping))
-    return BodyState(s.pos, s.angle, vel, ang_vel), cb
+
+    # contact happened at any point during this substep? (events need the
+    # in-frame view — a bounce separates again before the frame ends)
+    from .kernels import TOUCH_SLOP
+
+    touched = jnp.any(
+        (lam_n > 0.0) | ((cb.sep < TOUCH_SLOP) & (cb.pmask > 0.0)), axis=0
+    )
+    return BodyState(s.pos, s.angle, vel, ang_vel), cb, touched

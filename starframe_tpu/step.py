@@ -125,18 +125,23 @@ def step(
             **pallas_frame_kwargs(cfg),
         )
         s = BodyState(pos[0], angle[0], vel[0], ang_vel[0])
+        touched = jnp.zeros((max_pairs,), bool)
     else:
         s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
+        touched0 = jnp.zeros((max_pairs,), bool)
 
-        def body_fn(_, s):
-            s, _ = substep(s, b, pd, world.joints, g, h, cfg)
-            return s
+        def body_fn(_, carry):
+            s, touched = carry
+            s, _, t = substep(s, b, pd, world.joints, g, h, cfg)
+            return s, touched | t
 
-        s = jax.lax.fori_loop(0, cfg.substeps, body_fn, s0)
+        s, touched = jax.lax.fori_loop(0, cfg.substeps, body_fn, (s0, touched0))
 
-    # 6: events — manifolds at the final pose (dead-code-eliminated by XLA
-    # when the caller discards contacts/diagnostics)
+    # 6: events — manifolds at the final pose, with `touching` reflecting
+    # any in-frame contact (a bounce separates before the frame ends); the
+    # whole block is dead-code-eliminated by XLA when contacts are unused
     contacts = narrowphase(pd, s.pos, s.angle, cfg.contact_margin)
+    contacts = dataclasses.replace(contacts, touching=contacts.touching | touched)
 
     # sleeping: zero velocities of bodies that stayed slow for sleep_frames
     sleep_count = b.sleep_count

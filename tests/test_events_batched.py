@@ -1,0 +1,61 @@
+"""Contact events + batched rollout + Pallas-path determinism
+(BASELINE.json:11 "deterministic replay")."""
+
+import numpy as np
+
+import starframe_tpu as sf
+from starframe_tpu.shapes import Shape
+
+
+def test_contact_events_started_and_ended():
+    b = sf.WorldBuilder()
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(10.0, 0.5), restitution=0.9)
+    ball = b.add_body(pos=(0.0, 1.2))
+    b.add_collider(ball, Shape.circle(0.3), restitution=0.9)
+    world, cap = b.build()
+    step = sf.make_step(sf.SolverConfig(restitution_threshold=0.1),
+                        cap.max_pairs, with_contacts=True, donate=False)
+    ev = sf.ContactEvents()
+    history = []
+    for _ in range(90):
+        world, contacts, diag = step(world)
+        ev.update(contacts)
+        if ev.started:
+            history.append("start")
+        if ev.ended:
+            history.append("end")
+    # restitution 0.9 from 1.2: bounces -> at least one start AND one end
+    assert "start" in history and "end" in history
+    pair = (0, 1)
+    assert all(s == {pair} or s == set() for s in [ev.started, ev.ended])
+
+
+def test_batched_rollout_and_determinism():
+    scene = sf.scenes.batched_worlds(n_worlds=8, n_bodies=16, substeps=4)
+    roll = sf.parallel.make_batched_rollout(scene.config, scene.capacity.max_pairs, 20)
+    final1, traj1 = roll(scene.world)
+    final2, traj2 = roll(scene.world)
+    # bit-exact determinism across runs (BASELINE.json:11)
+    np.testing.assert_array_equal(np.asarray(final1.bodies.pos), np.asarray(final2.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(traj1[0]), np.asarray(traj2[0]))
+    assert traj1[0].shape == (20, 8, 16, 2)
+    assert np.isfinite(np.asarray(final1.bodies.pos)).all()
+
+
+def test_pallas_path_determinism_on_tpu():
+    """On TPU the batched path runs the Pallas kernel; replays must be
+    bit-exact. (On CPU this exercises the XLA path instead — still useful.)"""
+    scene = sf.scenes.batched_worlds(n_worlds=4, n_bodies=32, substeps=6, seed=3)
+    step = sf.make_batched_step(scene.config, scene.capacity.max_pairs, donate=False)
+
+    def run():
+        w = scene.world
+        for _ in range(30):
+            w = step(w)
+        return np.asarray(w.bodies.pos), np.asarray(w.bodies.angle)
+
+    p1, a1 = run()
+    p2, a2 = run()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(a1, a2)

@@ -146,7 +146,13 @@ def grid_pairs(world: World, lo, hi, cap: Capacity, cfg: SolverConfig) -> PairBu
     mean_ext = jnp.sum(jnp.where(active, max_ext, 0.0)) / n_active
     cell = jnp.maximum(mean_ext * 1.5, 1e-3)
 
-    is_large = active & (max_ext > 3.0 * cell)
+    # Correctness bound, not a tuning knob: the center-hash 9-neighborhood
+    # scan finds a small-small pair iff the centers differ by <= 1 cell per
+    # axis, which overlap guarantees only when e_i + e_j <= 2*cell. Keeping
+    # every extent-> cell collider in the "small" set therefore guarantees
+    # completeness; anything larger goes through the dense large-set path.
+    # (A 3*cell threshold here silently dropped overlapping mid-size pairs.)
+    is_large = active & (max_ext > cell)
     is_small = active & jnp.logical_not(is_large)
 
     # ---- small-small via hashed grid ----

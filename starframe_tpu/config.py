@@ -65,9 +65,11 @@ class SolverConfig:
     # 'grid' (sort-and-segment spatial hash; BASELINE.json:5 "sort-and-
     # segment pair generator"). 'auto' picks by collider capacity.
     broadphase: str = "auto"
-    # Grid broadphase: number of colliders one cell can hold before overflow,
-    # and objects whose AABB exceeds `large_factor * cell_size` go through the
-    # dense "large set" path (2-level HGrid equivalent, SURVEY.md §7.3).
+    # Grid broadphase: number of colliders one cell can hold before overflow.
+    # Objects whose AABB extent exceeds one cell go through the dense "large
+    # set" path (2-level HGrid equivalent, SURVEY.md §7.3); that threshold is
+    # fixed at 1.0 cells — it is a completeness bound of the 9-neighborhood
+    # scan, not a tunable (see broadphase.grid_pairs).
     grid_cell_capacity: int = 8
     max_large: int = 64
     # Constraint accumulation lowering: 'matmul' = one-hot MXU contraction

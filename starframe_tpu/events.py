@@ -15,11 +15,17 @@ import numpy as np
 from .contacts import Contacts
 
 
-def touching_keys(contacts: Contacts):
-    """Device-side canonical pair keys [P] (i64-packed) + touching mask."""
-    a = jnp.minimum(contacts.collider_a, contacts.collider_b).astype(jnp.int64)
-    b = jnp.maximum(contacts.collider_a, contacts.collider_b).astype(jnp.int64)
-    return (a << 32) | b, contacts.touching
+def touching_keys(contacts: Contacts, n_colliders: int):
+    """Device-side canonical pair keys [P] + touching mask.
+
+    Packs ``(min, max)`` collider indices into one int32 as
+    ``a * n_colliders + b``. An int64 shift-pack would silently truncate
+    under JAX's default x64-disabled mode (the ``a << 32`` bits vanish and
+    keys collapse to ``b``), so the static collider capacity is required.
+    """
+    a = jnp.minimum(contacts.collider_a, contacts.collider_b).astype(jnp.int32)
+    b = jnp.maximum(contacts.collider_a, contacts.collider_b).astype(jnp.int32)
+    return a * jnp.int32(n_colliders) + b, contacts.touching
 
 
 def diff_contacts(prev: Contacts | None, cur: Contacts):

@@ -10,6 +10,7 @@ the framework works without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -18,10 +19,16 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "_libsf_native.so")
+_HASH = _SO + ".srchash"
 _SRC = os.path.join(_HERE, "coloring.cpp")
 
 _lib = None
 _tried = False
+
+
+def _src_digest() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _load():
@@ -30,11 +37,22 @@ def _load():
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        # Staleness check by recorded source hash, not mtime: git checkouts
+        # don't preserve mtimes, and a binary that doesn't match the source
+        # on disk must never load silently. The .so is never committed
+        # (gitignored) — it is always built locally from source.
+        digest = _src_digest()
+        recorded = None
+        if os.path.exists(_HASH):
+            with open(_HASH) as f:
+                recorded = f.read().strip()
+        if (not os.path.exists(_SO)) or recorded != digest:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
                 check=True, capture_output=True, timeout=120,
             )
+            with open(_HASH, "w") as f:
+                f.write(digest)
         lib = ctypes.CDLL(_SO)
         lib.sf_greedy_color.restype = ctypes.c_int32
         lib.sf_greedy_color.argtypes = [

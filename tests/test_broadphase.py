@@ -119,6 +119,36 @@ def test_grid_matches_oracle(seed, with_large):
     assert not extra, f"grid fabricated pairs: {sorted(extra)[:10]}"
 
 
+def test_grid_mixed_sizes_no_missed_pairs():
+    """Regression (ADVICE r1, high): mid-size colliders — extent between 1x
+    and 3x the cell size — used to be classified 'small' yet sit 2 cells
+    apart with overlapping AABBs, so the 9-neighborhood center scan missed
+    the pair with zero overflow signal. Anything wider than one cell must
+    take the dense large-set path."""
+    b = sf.WorldBuilder()
+    # many tiny colliders pin the mean extent (hence cell size) low
+    rng = np.random.default_rng(7)
+    for i in range(58):
+        body = b.add_body(pos=rng.uniform(-12, 12, 2))
+        b.add_collider(body, Shape.circle(0.08))
+    # two mid-size boxes whose AABBs overlap but whose centers are ~2 cells
+    # apart (the exact miss window of the old 3x-cell threshold)
+    b1 = b.add_body(pos=(50.0, 0.0))
+    b.add_collider(b1, Shape.box(0.4, 0.4))
+    b2 = b.add_body(pos=(50.7, 0.0))
+    b.add_collider(b2, Shape.box(0.4, 0.4))
+    world, cap = b.build(CAP)
+    cfg = sf.SolverConfig(grid_cell_capacity=16)
+    pb, lo, hi = _jitted_path(cap, cfg, "grid")(world)
+    assert int(pb.cell_overflow) == 0
+    assert int(pb.overflow) == 0
+    got = found_pairs(pb)
+    want = oracle_pairs(world, lo, hi)
+    assert (58, 59) in want, "test setup: the two boxes must overlap"
+    assert want - got == set(), f"grid missed pairs: {sorted(want - got)[:10]}"
+    assert got - want == set()
+
+
 def test_grid_dense_cluster_overflow_detected():
     """A cluster denser than the fan-out must raise the overflow counter,
     never silently miss pairs without saying so."""

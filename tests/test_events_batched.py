@@ -31,6 +31,43 @@ def test_contact_events_started_and_ended():
     assert all(s == {pair} or s == set() for s in [ev.started, ev.ended])
 
 
+def test_touching_keys_unique():
+    """Regression (ADVICE r1, medium): with x64 disabled, an int64 shift-pack
+    truncates to the low word and keys (1,5) and (3,5) collide. Keys must be
+    unique per canonical pair."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from starframe_tpu.contacts import Contacts
+    from starframe_tpu.events import touching_keys
+
+    import dataclasses
+
+    n = 13
+    pairs = list(itertools.combinations(range(n), 2))
+    p = len(pairs)
+    ca = jnp.array([q[0] for q in pairs], jnp.int32)
+    cb = jnp.array([q[1] for q in pairs], jnp.int32)
+    zp = jnp.zeros((p,), jnp.float32)
+    zp2 = jnp.zeros((p, 2), jnp.float32)
+    z22 = jnp.zeros((p, 2, 2), jnp.float32)
+    mask = jnp.ones((p, 2), bool)
+    c = Contacts(
+        body_a=ca, body_b=cb, collider_a=ca, collider_b=cb,
+        normal_a=zp2, anchor_a=z22, anchor_b=z22,
+        point_mask=mask, solve_mask=mask, friction=zp, restitution=zp,
+        touching=jnp.ones((p,), bool), separation=zp2,
+    )
+    keys, touching = touching_keys(c, n_colliders=n)
+    keys = np.asarray(keys)
+    assert len(np.unique(keys)) == p
+    # swapped order produces the same canonical key
+    c_swapped = dataclasses.replace(c, collider_a=cb, collider_b=ca)
+    keys2, _ = touching_keys(c_swapped, n_colliders=n)
+    np.testing.assert_array_equal(keys, np.asarray(keys2))
+
+
 def test_batched_rollout_and_determinism():
     scene = sf.scenes.batched_worlds(n_worlds=8, n_bodies=16, substeps=4)
     roll = sf.parallel.make_batched_rollout(scene.config, scene.capacity.max_pairs, 20)

@@ -87,9 +87,24 @@ class SolverConfig:
     # Velocity at which bodies are considered for sleeping (0 disables).
     sleep_velocity: float = 0.0
     sleep_frames: int = 30
-    # Whole-frame Pallas kernel (pallas/frame.py): True/"auto" = use on TPU
-    # for contact-only worlds with one-hot accumulation; False = never.
+    # Whole-frame Pallas kernel (pallas/frame2.py): True/"auto" = use on TPU
+    # for worlds whose shapes fit the kernel; False = never.
     use_pallas: object = "auto"
+    # Manifold regeneration cadence: 'frame' = narrowphase once per frame at
+    # frame-start poses with a velocity-expanded speculative margin (the
+    # reference's pipeline order, SURVEY.md §3.2: broadphase -> narrowphase ->
+    # substeps); 'substep' = regenerate at every substep's integrated pose
+    # (TGS-style; more accurate for fast rolling contact, ~10x the manifold
+    # math). The Pallas frame kernel always runs 'frame'.
+    manifold_refresh: str = "frame"
+    # Partner slots per dynamic collider in the slot-table broadphase
+    # (pallas/slots.py). Rows with more true overlaps than this are truncated
+    # and counted in the overflow diagnostic.
+    slot_capacity: int = 8
+    # The batched Pallas path assumes every world in a batch shares one
+    # collider->body topology (true for replicate_world / same-built scenes);
+    # set False for heterogeneous batches to force the vmap path.
+    batch_uniform_topology: bool = True
 
     @property
     def h(self) -> float:

@@ -1,0 +1,381 @@
+"""Whole-frame slot kernel v2: worlds on sublanes, entities on lanes.
+
+Round 1's whole-frame kernel (frame.py) kept state VMEM-resident but moved
+data with per-world one-hot MXU dots; at one-dot-per-carry granularity those
+measured 4-11 us each and were ~97% of kernel time. This rewrite applies the
+round-1 microbenchmark findings (PROFILE.md):
+
+- **Layout**: every array is ``[Wb, lanes]`` — a block of Wb worlds on the
+  sublane axis, bodies/colliders on the lane axis. All per-slot math is
+  identical across worlds, so the VPU is perfectly tiled.
+- **Gathers**: body->slot pose reads are in-register lane gathers
+  (lanegather.py), ~10 cycles per [8, 256] component instead of a dot.
+- **Accumulation**: slot->body writes need NO scatter and NO per-pair
+  one-hot: each *dynamic collider owns its slots* (slots.py), so summing a
+  body's corrections is a sum over its C slot slices — contiguous adds —
+  followed by one small collider->body matmul (identity when each body has
+  one collider).
+- **Narrowphase once per frame** (reference pipeline order, SURVEY.md §3.2:
+  broadphase -> narrowphase -> substeps): manifolds are built at frame-start
+  poses with a velocity-expanded speculative margin (Box2D-style), anchors
+  stored body-local; substeps re-project anchors at current poses. Round 1
+  refreshed manifolds per substep, which cost ~800 P-ops x 10 substeps.
+
+Every contact pair (i, j) between dynamic bodies is processed twice — once
+in i's row (computing i's correction) and once in j's row — trading ~2x
+manifold math for conflict-free, gather/scatter-free accumulation. Static
+and kinematic colliders own no rows (their corrections are zero), so a
+ground slab touching hundreds of bodies costs nothing.
+
+Batch-uniformity: the collider->body reduction uses world 0's topology for
+the whole block (worlds built by ``replicate_world``/same-shape builders
+satisfy this; ``SolverConfig.batch_uniform_topology=False`` forces the vmap
+path for heterogeneous batches).
+
+Joint handling lives in the same kernel via per-body joint slot tables
+(static topology) — see ``joint_slot_tables`` in state.py and the
+``j*``-prefixed inputs; worlds without joints compile the joint passes away.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernels import (
+    TOUCH_SLOP,
+    PairPose,
+    PairVel,
+    manifold_batch,
+    solve_contacts_b,
+    velocity_contacts_b,
+)
+from .lanegather import lane_gather
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+def _mkpose(px, py, aa, qx, qy, ab) -> PairPose:
+    return PairPose(px, py, jnp.cos(aa), jnp.sin(aa),
+                    qx, qy, jnp.cos(ab), jnp.sin(ab))
+
+
+def _frame2_kernel(
+    # body-level [Wb, N]
+    posx_r, posy_r, ang_r, velx_r, vely_r, angvel_r,
+    invm_r, invi_r, dyn_r, kin_r,
+    # collider-level [Wb, M] (verts [Wb, V, M])
+    cbody_r, vlx_r, vly_r, nverts_r, radius_r, fric_r, rest_r, sensor_r,
+    # slot tables [Wb, C, M]
+    partner_r, slot_act_r,
+    # per-world gravity [Wb, 2]
+    grav_r,
+    # outputs
+    oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r, otouched_r,
+    *, C: int, substeps: int, iterations: int, h: float, dt: float,
+    margin: float, compliance: float, relaxation: float, max_dpos: float,
+    rest_threshold: float, lin_damp: float, ang_damp: float,
+):
+    px, py, an = posx_r[:], posy_r[:], ang_r[:]
+    vx, vy, om = velx_r[:], vely_r[:], angvel_r[:]
+    invm, invi = invm_r[:], invi_r[:]
+    dyn, kin = dyn_r[:], kin_r[:]
+    cbody = cbody_r[:]
+    nverts = nverts_r[:]
+    radius = radius_r[:]
+    Wb, N = px.shape
+    M = cbody.shape[1]
+    V = vlx_r.shape[1]
+    gx = grav_r[:, 0:1]  # [Wb, 1] — per-world gravity (round 1 used world 0's)
+    gy = grav_r[:, 1:2]
+
+    # ---- frame constants ----------------------------------------------------
+    # collider->body reduction matrix from world 0's topology (identity when
+    # each body owns one collider — the batched-RL case)
+    cb0 = jnp.swapaxes(cbody[0:1, :], 0, 1)  # [M, 1]
+    oh_bc = (jax.lax.broadcasted_iota(i32, (M, N), 1) == cb0).astype(f32)
+
+    def to_bodies(vals):  # [4, Wb, M] slot-row sums -> [4, Wb, N]
+        flat = vals.reshape(4 * Wb, M)
+        out = jax.lax.dot_general(
+            flat, oh_bc, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+        return out.reshape(4, Wb, N)
+
+    ca_b, sa_b = jnp.cos(an), jnp.sin(an)
+    o_px = lane_gather(px, cbody)
+    o_py = lane_gather(py, cbody)
+    o_ca = lane_gather(ca_b, cbody)
+    o_sa = lane_gather(sa_b, cbody)
+    o_invm = lane_gather(invm, cbody)
+    o_invi = lane_gather(invi, cbody)
+    o_dyn = lane_gather(dyn, cbody)
+    # conservative per-collider speed bound for the speculative margin
+    ext = None
+    for v in range(V):
+        d = jnp.sqrt(vlx_r[:, v, :] ** 2 + vly_r[:, v, :] ** 2)
+        ext = d if ext is None else jnp.maximum(ext, d)
+    ext = ext + radius
+    spd_b = jnp.sqrt(vx * vx + vy * vy)
+    o_spd = lane_gather(spd_b, cbody) + jnp.abs(lane_gather(om, cbody)) * ext
+
+    # ---- per-slice frame setup: partner gathers + manifolds ----------------
+    slices = []
+    for c in range(C):
+        pc = partner_r[:, c, :]  # [Wb, M] i32 partner collider
+        act = slot_act_r[:, c, :]  # [Wb, M] f32 0/1
+        pb = lane_gather(cbody, pc)  # partner body
+        p_px = lane_gather(px, pb)
+        p_py = lane_gather(py, pb)
+        p_ca = lane_gather(ca_b, pb)
+        p_sa = lane_gather(sa_b, pb)
+        p_spd = lane_gather(spd_b, pb) + jnp.abs(lane_gather(om, pb)) * lane_gather(ext, pc)
+
+        own_wx, own_wy, par_wx, par_wy = [], [], [], []
+        for v in range(V):
+            ovx, ovy = vlx_r[:, v, :], vly_r[:, v, :]
+            own_wx.append(o_px + o_ca * ovx - o_sa * ovy)
+            own_wy.append(o_py + o_sa * ovx + o_ca * ovy)
+            pvx = lane_gather(ovx, pc)
+            pvy = lane_gather(ovy, pc)
+            par_wx.append(p_px + p_ca * pvx - p_sa * pvy)
+            par_wy.append(p_py + p_sa * pvx + p_ca * pvy)
+        wvax = jnp.stack(own_wx)  # [V, Wb, M]
+        wvay = jnp.stack(own_wy)
+        wvbx = jnp.stack(par_wx)
+        wvby = jnp.stack(par_wy)
+
+        # velocity-expanded speculative margin: a contact that will form
+        # during THIS frame's substeps must already be in the manifold
+        margin_eff = margin + dt * (o_spd + p_spd)
+        m = manifold_batch(
+            wvax, wvay, nverts, radius,
+            wvbx, wvby, lane_gather(nverts, pc), lane_gather(radius, pc),
+            margin_eff,
+        )
+        # body-local anchors and normal (rotate by -angle at frame start)
+        dxa = m.wa_x - o_px[None]
+        dya = m.wa_y - o_py[None]
+        a_ax = o_ca[None] * dxa + o_sa[None] * dya
+        a_ay = -o_sa[None] * dxa + o_ca[None] * dya
+        dxb = m.wb_x - p_px[None]
+        dyb = m.wb_y - p_py[None]
+        b_ax = p_ca[None] * dxb + p_sa[None] * dyb
+        b_ay = -p_sa[None] * dxb + p_ca[None] * dyb
+        n_ax = o_ca * m.n_x + o_sa * m.n_y
+        n_ay = -o_sa * m.n_x + o_ca * m.n_y
+        pmask = m.pmask * act[None]
+        p_sensor = lane_gather(sensor_r[:], pc)
+        solvable = act * (1.0 - jnp.maximum(sensor_r[:], p_sensor))
+        cb_ = SimpleNamespace(
+            n_ax=n_ax, n_ay=n_ay, a_ax=a_ax, a_ay=a_ay, b_ax=b_ax, b_ay=b_ay,
+            solve_mask=pmask * solvable[None], pmask=pmask, sep=m.sep,
+        )
+        pd_ = SimpleNamespace(
+            friction=jnp.sqrt(fric_r[:] * lane_gather(fric_r[:], pc)),
+            restitution=jnp.maximum(rest_r[:], lane_gather(rest_r[:], pc)),
+            inv_mass_a=o_invm,
+            inv_mass_b=lane_gather(invm, pb),
+            inv_inertia_a=o_invi,
+            inv_inertia_b=lane_gather(invi, pb),
+        )
+        p_dyn = lane_gather(dyn, pb)
+        slices.append(SimpleNamespace(pb=pb, cb=cb_, pd=pd_, p_dyn=p_dyn))
+
+    touch0 = tuple(
+        jnp.max(jnp.maximum((s.cb.sep < TOUCH_SLOP).astype(f32) * s.cb.pmask,
+                            0.0), axis=0)
+        for s in slices
+    )
+
+    # ---- substep loop --------------------------------------------------------
+    def substep(_, carry):
+        px, py, an, vx, vy, om, touched = carry
+        ca0b, sa0b = jnp.cos(an), jnp.sin(an)
+
+        # substep-start pair poses (static-friction reference)
+        pose0s = []
+        for s in slices:
+            pose0s.append(PairPose(
+                lane_gather(px, cbody), lane_gather(py, cbody),
+                lane_gather(ca0b, cbody), lane_gather(sa0b, cbody),
+                lane_gather(px, s.pb), lane_gather(py, s.pb),
+                lane_gather(ca0b, s.pb), lane_gather(sa0b, s.pb),
+            ))
+
+        # integrate (semi-implicit Euler)
+        vx = vx + gx * h * dyn
+        vy = vy + gy * h * dyn
+        px = px + vx * h
+        py = py + vy * h
+        an = an + om * h
+        vtx, vty, vtom = vx, vy, om  # v_tilde
+
+        dxx = jnp.zeros_like(px)
+        dxy = jnp.zeros_like(py)
+        dth = jnp.zeros_like(an)
+        lam_ns = [jnp.zeros_like(s.cb.sep) for s in slices]
+        for _it in range(iterations):
+            cab, sab = jnp.cos(an), jnp.sin(an)
+            acc = None
+            for k, s in enumerate(slices):
+                pose = PairPose(
+                    lane_gather(px, cbody), lane_gather(py, cbody),
+                    lane_gather(cab, cbody), lane_gather(sab, cbody),
+                    lane_gather(px, s.pb), lane_gather(py, s.pb),
+                    lane_gather(cab, s.pb), lane_gather(sab, s.pb),
+                )
+                vals_a, _, lam_i = solve_contacts_b(
+                    pose, pose0s[k], s.pd, s.cb, h, compliance)
+                lam_ns[k] = lam_ns[k] + lam_i
+                acc = vals_a if acc is None else acc + vals_a
+            ab = to_bodies(acc)  # [4, Wb, N]
+            cnt = jnp.maximum(ab[3], 1.0)
+            ddx = jnp.clip(ab[0] * relaxation / cnt, -max_dpos, max_dpos)
+            ddy = jnp.clip(ab[1] * relaxation / cnt, -max_dpos, max_dpos)
+            dda = jnp.clip(ab[2] * relaxation / cnt, -max_dpos, max_dpos)
+            px = px + ddx
+            py = py + ddy
+            an = an + dda
+            dxx = dxx + ddx
+            dxy = dxy + ddy
+            dth = dth + dda
+
+        # velocity reconstruction (kinematic bodies keep their velocity)
+        nk = 1.0 - kin
+        vx = kin * vx + nk * (vtx + dxx / h)
+        vy = kin * vy + nk * (vty + dxy / h)
+        om = kin * om + nk * (vtom + dth / h)
+
+        # velocity pass: restitution + dynamic friction
+        cab, sab = jnp.cos(an), jnp.sin(an)
+        accv = None
+        new_touched = []
+        for k, s in enumerate(slices):
+            pose_v = PairPose(
+                lane_gather(px, cbody), lane_gather(py, cbody),
+                lane_gather(cab, cbody), lane_gather(sab, cbody),
+                lane_gather(px, s.pb), lane_gather(py, s.pb),
+                lane_gather(cab, s.pb), lane_gather(sab, s.pb),
+            )
+            pvel = PairVel(
+                lane_gather(vx, cbody), lane_gather(vy, cbody),
+                lane_gather(om, cbody),
+                lane_gather(vx, s.pb), lane_gather(vy, s.pb),
+                lane_gather(om, s.pb),
+            )
+            pvel0 = PairVel(
+                lane_gather(vtx, cbody), lane_gather(vty, cbody),
+                lane_gather(vtom, cbody),
+                lane_gather(vtx, s.pb), lane_gather(vty, s.pb),
+                lane_gather(vtom, s.pb),
+            )
+            cv_a, _ = velocity_contacts_b(
+                pose_v, pvel, pvel0, s.pd, s.cb, lam_ns[k], h, rest_threshold)
+            accv = cv_a if accv is None else accv + cv_a
+            tk = jnp.max((lam_ns[k] > 0.0).astype(f32) * s.cb.pmask, axis=0)
+            new_touched.append(jnp.maximum(touched[k], tk))
+        abv = to_bodies(accv)
+        cntv = jnp.maximum(abv[3], 1.0)
+        vx = vx + abv[0] / cntv
+        vy = vy + abv[1] / cntv
+        om = om + abv[2] / cntv
+        if lin_damp > 0.0:
+            sdamp = 1.0 / (1.0 + h * lin_damp)
+            vx = vx * sdamp
+            vy = vy * sdamp
+        if ang_damp > 0.0:
+            om = om * (1.0 / (1.0 + h * ang_damp))
+        return px, py, an, vx, vy, om, tuple(new_touched)
+
+    carry = (px, py, an, vx, vy, om, touch0)
+    px, py, an, vx, vy, om, touched = jax.lax.fori_loop(
+        0, substeps, substep, carry)
+    oposx_r[:] = px
+    oposy_r[:] = py
+    oang_r[:] = an
+    ovelx_r[:] = vx
+    ovely_r[:] = vy
+    oangvel_r[:] = om
+    otouched_r[:] = jnp.stack(touched, axis=1)  # [Wb, C, M]
+
+
+def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):
+    """Worlds per program: slice storage (~26 [Wb, M] arrays per slot slice)
+    is the VMEM driver."""
+    wb = 16
+    while wb > 1 and (26 * c * wb * m * 4 > budget or n_worlds % wb != 0):
+        wb //= 2
+    return max(wb, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "C", "substeps", "iterations", "h", "dt", "margin", "compliance",
+        "relaxation", "max_dpos", "rest_threshold", "lin_damp", "ang_damp",
+        "worlds_per_program", "interpret",
+    ),
+)
+def run_frame2(
+    posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin,  # [W, N]
+    cbody, vlx, vly, nverts, radius, fric, rest, sensor,  # [W, M] / [W, V, M]
+    partner, slot_act,  # [W, C, M]
+    gravity,  # [W, 2]
+    *, C, substeps, iterations, h, dt, margin, compliance, relaxation,
+    max_dpos, rest_threshold, lin_damp, ang_damp,
+    worlds_per_program: int = 0, interpret: bool = False,
+):
+    """Run one frame's XPBD substeps for a world batch. Returns
+    ``(posx, posy, ang, velx, vely, angvel, touched[W, C, M])``."""
+    W, N = posx.shape
+    M = cbody.shape[1]
+    V = vlx.shape[1]
+    Wb = worlds_per_program or pick_frame_worlds(W, M, C)
+
+    kernel = functools.partial(
+        _frame2_kernel, C=C, substeps=substeps, iterations=iterations, h=h,
+        dt=dt, margin=margin, compliance=compliance, relaxation=relaxation,
+        max_dpos=max_dpos, rest_threshold=rest_threshold, lin_damp=lin_damp,
+        ang_damp=ang_damp,
+    )
+
+    def nspec():
+        return pl.BlockSpec((Wb, N), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def mspec():
+        return pl.BlockSpec((Wb, M), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def vspec():
+        return pl.BlockSpec((Wb, V, M), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
+
+    def cspec():
+        return pl.BlockSpec((Wb, C, M), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
+
+    gspec = pl.BlockSpec((Wb, 2), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(W // Wb,),
+        in_specs=(
+            [nspec()] * 10
+            + [mspec(), vspec(), vspec()] + [mspec()] * 5
+            + [cspec(), cspec(), gspec]
+        ),
+        out_specs=tuple([nspec()] * 6 + [cspec()]),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((W, N), f32)] * 6
+            + [jax.ShapeDtypeStruct((W, C, M), f32)]
+        ),
+        interpret=interpret,
+    )(
+        posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin,
+        cbody, vlx, vly, nverts, radius, fric, rest, sensor,
+        partner, slot_act, gravity,
+    )
+    return outs

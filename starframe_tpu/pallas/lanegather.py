@@ -1,0 +1,46 @@
+"""In-register lane gathers for Pallas TPU kernels.
+
+``jnp.take_along_axis(x, i, axis=-1)`` lowers to a fast in-vreg gather on
+TPU iff ``x`` and ``i`` have identical shapes and the gather stays within a
+single 128-lane vector register (measured in tools/microbench3.py — see
+PROFILE.md "Pallas lane-gather"). Wider sources are decomposed here into
+per-128-lane-chunk gathers + in-range selects: a gather from an ``S``-wide
+source into ``Q`` output lanes costs ~``(Q/128 vregs) * (S/128 chunks) * 2.5``
+vector ops — orders of magnitude cheaper than XLA's gather HLO at batch
+scale (43 ms for one [4096,1024]<-[4096,256] component, PROFILE.md).
+
+This primitive is the backbone of the v2 whole-frame kernel: body->slot pose
+gathers and slot->body accumulation both ride it, replacing round 1's
+per-world one-hot MXU dots (which were dot-issue-bound at ~4-11 us each).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LANES = 128
+
+
+def lane_gather(src, idx):
+    """``out[..., q] = src[..., idx[..., q]]`` along the last (lane) axis.
+
+    src: ``[..., S]`` float/int array; idx: ``[..., Q]`` int32 with values in
+    ``[0, S)`` (out-of-range values read chunk-0 garbage — callers mask).
+    S and Q must be multiples of 128 and the leading dims must match.
+    """
+    S = src.shape[-1]
+    Q = idx.shape[-1]
+    if S % LANES or Q % LANES:
+        raise ValueError(f"lane_gather needs multiples of {LANES}, got S={S} Q={Q}")
+    cols = []
+    for k in range(Q // LANES):
+        ik = idx[..., LANES * k: LANES * (k + 1)]
+        acc = None
+        for c in range(S // LANES):
+            ic = ik - c * LANES
+            inr = (ic >= 0) & (ic < LANES)
+            chunk = src[..., LANES * c: LANES * (c + 1)]
+            g = jnp.take_along_axis(chunk, jnp.where(inr, ic, 0), axis=-1)
+            acc = g if acc is None else jnp.where(inr, g, acc)
+        cols.append(acc)
+    return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=-1)

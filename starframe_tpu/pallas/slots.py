@@ -1,0 +1,201 @@
+"""Slot-table broadphase: one Pallas kernel from body poses to per-collider
+partner slots, for batched worlds.
+
+TPU-native equivalent of starframe's HGrid broadphase (SURVEY.md §2 row 5)
+for the batched-worlds regime (BASELINE.json:11): instead of compacting a
+pair LIST (which needs ``nonzero``/gather/scatter — all poison on TPU at
+batch scale, PROFILE.md), every *dynamic* collider owns ``C`` partner slots.
+The kernel computes swept AABBs in VMEM, builds the dense ``[M, M]`` overlap
+mask per world (M <= ~1k, so M^2 stays VMEM-resident), ranks each row's hits
+with one small matmul against a strictly-lower-triangular matrix, and
+rank-selects the first ``C`` partners per collider — emitting ``partner
+[W, C, M]`` / ``slot_active [W, C, M]`` tables that the whole-frame kernel
+(frame2.py) consumes with in-register lane gathers.
+
+Owner-row design notes:
+
+- A dynamic-dynamic overlap appears in BOTH rows (each side later applies
+  its own half of the XPBD correction); a static/kinematic collider gets no
+  row at all (its correction is identically zero), which is what keeps a
+  ground slab touching hundreds of bodies from overflowing any row.
+- ``count [W, M]`` is the TRUE per-row hit count; rows with count > C are
+  silently truncated in the tables, so callers must surface
+  ``sum(max(count - C, 0))`` as an overflow diagnostic (SURVEY.md §4.6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lanegather import lane_gather
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+
+def _slot_kernel(
+    # body-level [Wb, N]
+    posx_r, posy_r, ang_r, velx_r, vely_r, responds_r, moves_r,
+    # collider-level [Wb, M] (verts [Wb, V, M])
+    cbody_r, vlx_r, vly_r, radius_r, layer_r, lmask_r, active_r, sensor_r,
+    # outputs
+    partner_o, slot_act_o, count_o,
+    *, C: int, margin: float, dt: float,
+):
+    posx, posy, ang = posx_r[:], posy_r[:], ang_r[:]
+    velx, vely = velx_r[:], vely_r[:]
+    cbody = cbody_r[:]
+    radius = radius_r[:]
+    Wb, M = cbody.shape
+
+    # ---- swept AABBs per collider (SURVEY.md §3.2 step 1) ----
+    ca_b, sa_b = jnp.cos(ang), jnp.sin(ang)
+    px = lane_gather(posx, cbody)
+    py = lane_gather(posy, cbody)
+    ca = lane_gather(ca_b, cbody)
+    sa = lane_gather(sa_b, cbody)
+    vx = lane_gather(velx, cbody)
+    vy = lane_gather(vely, cbody)
+
+    lox = hix = loy = hiy = None
+    V = vlx_r.shape[1]
+    for v in range(V):  # padded verts repeat v0, so min/max over V are exact
+        vlx = vlx_r[:, v, :]
+        vly = vly_r[:, v, :]
+        wx = px + ca * vlx - sa * vly
+        wy = py + sa * vlx + ca * vly
+        lox = wx if lox is None else jnp.minimum(lox, wx)
+        hix = wx if hix is None else jnp.maximum(hix, wx)
+        loy = wy if loy is None else jnp.minimum(loy, wy)
+        hiy = wy if hiy is None else jnp.maximum(hiy, wy)
+    sweep_x = jnp.abs(vx) * dt
+    sweep_y = jnp.abs(vy) * dt
+    pad = radius + 0.5 * margin
+    lox = lox - pad - sweep_x
+    hix = hix + pad + sweep_x
+    loy = loy - pad - sweep_y
+    hiy = hiy + pad + sweep_y
+
+    # ---- dense eligibility+overlap mask [Wb, M(partner j), M(own i)] ----
+    def as_i(x):  # own/row axis: lanes
+        return x[:, None, :]
+
+    def as_j(x):  # partner axis: sublanes (one relayout per quantity)
+        return x[:, :, None]
+
+    ov = (
+        (as_j(lox) <= as_i(hix)) & (as_i(lox) <= as_j(hix))
+        & (as_j(loy) <= as_i(hiy)) & (as_i(loy) <= as_j(hiy))
+    )
+    layer = layer_r[:]
+    lmask = lmask_r[:]
+    active = active_r[:]
+    sensor = sensor_r[:]
+    responds = lane_gather(responds_r[:], cbody)  # inv_mass|inv_inertia > 0
+    moves = lane_gather(moves_r[:], cbody)  # responds or kinematic
+
+    diff_body = as_j(cbody) != as_i(cbody)
+    layer_ok = (
+        ((as_i(lmask) >> as_j(layer)) & 1) & ((as_j(lmask) >> as_i(layer)) & 1)
+    ) != 0
+    both_active = (as_i(active) > 0) & (as_j(active) > 0)
+    sensorish = (as_i(sensor) > 0) | (as_j(sensor) > 0)
+    # row-eligibility: the OWN side must be able to respond (dynamic-ish) or
+    # be a moving sensor; pairs where only the partner responds live in the
+    # partner's row instead. Kinematic/static own rows would apply nothing.
+    row_ok = (as_i(responds) > 0) | ((as_i(sensor) > 0) & (as_i(moves) > 0))
+    pair_moves = (as_i(moves) > 0) | (as_j(moves) > 0)
+    mask = (ov & diff_body & layer_ok & both_active & row_ok
+            & (pair_moves | sensorish)).astype(f32)
+
+    # ---- rank partners within each row: one MXU dot per world ----
+    # rank[w, j, i] = #{j' < j : mask[w, j', i]} = (LT @ mask_w)[j, i]
+    jj = jax.lax.broadcasted_iota(i32, (M, M), 0)
+    kk = jax.lax.broadcasted_iota(i32, (M, M), 1)
+    lt = (kk < jj).astype(f32)  # strictly lower triangular
+    rank = jnp.stack([
+        jax.lax.dot_general(
+            lt, mask[w], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        for w in range(Wb)
+    ])  # [Wb, M, M]
+
+    # ---- rank-select the first C partners per row ----
+    # (iota must be integer-typed for Mosaic; convert after)
+    j_iota = jax.lax.broadcasted_iota(i32, (Wb, M, M), 1).astype(f32)
+    parts = []
+    acts = []
+    for c in range(C):
+        oh = jnp.where(rank == float(c), mask, 0.0)  # [Wb, M, M]
+        parts.append(jnp.sum(oh * j_iota, axis=1, keepdims=True))  # [Wb, 1, M]
+        acts.append(jnp.sum(oh, axis=1, keepdims=True))
+    partner_o[:] = jnp.concatenate(parts, axis=1).astype(i32)
+    slot_act_o[:] = jnp.concatenate(acts, axis=1)
+    count_o[:] = jnp.sum(mask, axis=1).astype(i32)
+
+
+def pick_worlds_per_program(n_worlds: int, m: int, budget_bytes=6 * 1024 * 1024):
+    """Worlds per program: the [Wb, M, M] mask+rank pair is the VMEM driver."""
+    wb = 32
+    while wb > 1 and (wb * m * m * 4 * 3 > budget_bytes or n_worlds % wb != 0):
+        wb //= 2
+    return max(wb, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "margin", "dt", "worlds_per_program", "interpret"),
+)
+def build_slot_tables(
+    posx, posy, ang, velx, vely, responds, moves,  # [W, N]
+    cbody, vlx, vly, radius, layer, lmask, active, sensor,  # [W, M] / [W, V, M]
+    *, C: int, margin: float, dt: float, worlds_per_program: int = 0,
+    interpret: bool = False,
+):
+    """Build per-collider partner slot tables for a world batch.
+
+    Returns ``(partner [W, C, M] i32, slot_active [W, C, M] f32,
+    count [W, M] i32)``. Overflowed rows (count > C) keep their first C
+    partners in rank order.
+    """
+    W, N = posx.shape
+    M = cbody.shape[1]
+    V = vlx.shape[1]
+    Wb = worlds_per_program or pick_worlds_per_program(W, M)
+
+    kernel = functools.partial(_slot_kernel, C=C, margin=margin, dt=dt)
+
+    def nspec():
+        return pl.BlockSpec((Wb, N), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def mspec():
+        return pl.BlockSpec((Wb, M), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def vspec():
+        return pl.BlockSpec((Wb, V, M), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
+
+    def cspec():
+        return pl.BlockSpec((Wb, C, M), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
+
+    partner, slot_act, count = pl.pallas_call(
+        kernel,
+        grid=(W // Wb,),
+        in_specs=[nspec()] * 7 + [mspec(), vspec(), vspec()] + [mspec()] * 5,
+        out_specs=(cspec(), cspec(), mspec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, C, M), i32),
+            jax.ShapeDtypeStruct((W, C, M), f32),
+            jax.ShapeDtypeStruct((W, M), i32),
+        ),
+        interpret=interpret,
+    )(
+        posx, posy, ang, velx, vely, responds, moves,
+        cbody, vlx, vly, radius, layer, lmask, active, sensor,
+    )
+    return partner, slot_act, count

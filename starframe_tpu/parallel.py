@@ -38,56 +38,125 @@ def world_slice(batched: World, i: int) -> World:
     return jax.tree.map(lambda x: x[i], batched)
 
 
-def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
-    """Frame step over the leading world axis (un-jitted).
+def use_pallas_frame2(worlds: World, cfg: SolverConfig) -> bool:
+    """Static decision: run the batched slot kernel (pallas/frame2.py)?
 
-    Contact-only world batches on TPU take the whole-frame Pallas kernel
-    directly (grid over worlds, G worlds per program — see pallas/frame.py);
-    everything else is vmap(step).
+    All conditions are shape/config-static so the choice is stable under
+    jit. The kernel's collider->body reduction uses world 0's topology for
+    the whole batch — ``cfg.batch_uniform_topology`` is the user's promise
+    that worlds share it (true for ``replicate_world``/same-built scenes).
     """
-    from .step import use_pallas_frame
+    if cfg.use_pallas is False or not cfg.batch_uniform_topology:
+        return False
+    if worlds.joints.j != 0:
+        return False
+    n, m = worlds.bodies.n, worlds.colliders.m
+    w = worlds.bodies.pos.shape[0]
+    # lane gathers need 128-multiples; the dense [M, M] slot mask needs to
+    # stay VMEM-resident (big single worlds take the XLA grid path instead)
+    if n % 128 != 0 or m % 128 != 0 or m > 1024 or w % 8 != 0:
+        return False
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
 
-    if use_pallas_frame(worlds, max_pairs, cfg):
-        return _batched_step_pallas(worlds, cfg, max_pairs)
-    return jax.vmap(lambda w: step(w, cfg, max_pairs)[0])(worlds)
+
+def _frame2_arrays(worlds: World, cfg: SolverConfig):
+    """XLA-side prep for the two Pallas kernels: flat f32/i32 [W, ...] views."""
+    b, c = worlds.bodies, worlds.colliders
+    from .state import BODY_KINEMATIC, COL_ACTIVE, COL_SENSOR
+
+    f32 = jnp.float32
+    responds = ((b.inv_mass > 0) | (b.inv_inertia > 0)).astype(f32)
+    kin = ((b.flags & BODY_KINEMATIC) != 0).astype(f32)
+    moves = jnp.maximum(responds, kin)
+    body = dict(
+        posx=b.pos[..., 0], posy=b.pos[..., 1], ang=b.angle,
+        velx=b.vel[..., 0], vely=b.vel[..., 1], angvel=b.ang_vel,
+        invm=b.inv_mass, invi=b.inv_inertia,
+        dyn=(b.inv_mass > 0).astype(f32), kin=kin,
+        responds=responds, moves=moves,
+    )
+    col = dict(
+        cbody=c.body_idx,
+        vlx=jnp.swapaxes(c.verts[..., 0], -1, -2),  # [W, V, M]
+        vly=jnp.swapaxes(c.verts[..., 1], -1, -2),
+        nverts=c.nverts, radius=c.radius,
+        fric=c.friction, rest=c.restitution,
+        layer=c.layer, lmask=c.mask,
+        active=((c.flags & COL_ACTIVE) != 0).astype(f32),
+        sensor=((c.flags & COL_SENSOR) != 0).astype(f32),
+    )
+    return body, col
 
 
-def _batched_step_pallas(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
+def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False):
+    """One batched frame through the slot kernels. Returns
+    ``(new_worlds, touched [W, C, M], partner [W, C, M], count [W, M])`` —
+    the slot tables back the batched contact-event API and the overflow
+    diagnostic (sum(max(count - C, 0)) must be 0 for trustworthy physics)."""
     import dataclasses
 
-    from .pallas import run_frame_batched
-    from .step import frame_prep, pallas_frame_kwargs
+    from .pallas.frame2 import run_frame2
+    from .pallas.slots import build_slot_tables
 
-    pairs, pd = jax.vmap(
-        lambda w: frame_prep(w, cfg, max_pairs, skip_onehot=True)
-    )(worlds)
-    b = worlds.bodies
-    pos, angle, vel, ang_vel = run_frame_batched(
-        b.pos, b.angle, b.vel, b.ang_vel, b.inv_mass, b.inv_inertia, b.flags,
-        pd.verts_ax, pd.verts_ay, pd.verts_bx, pd.verts_by,
-        pd.nverts_a, pd.nverts_b, pd.radius_a, pd.radius_b,
-        pd.friction, pd.restitution,
-        pd.inv_mass_a, pd.inv_mass_b, pd.inv_inertia_a, pd.inv_inertia_b,
-        pd.valid & jnp.logical_not(pd.sensor), pd.valid,
-        pd.body_a, pd.body_b, worlds.gravity,
-        **pallas_frame_kwargs(cfg),
+    body, col = _frame2_arrays(worlds, cfg)
+    C = cfg.slot_capacity
+    partner, slot_act, count = build_slot_tables(
+        body["posx"], body["posy"], body["ang"], body["velx"], body["vely"],
+        body["responds"], body["moves"],
+        col["cbody"], col["vlx"], col["vly"], col["radius"],
+        col["layer"], col["lmask"], col["active"], col["sensor"],
+        C=C, margin=cfg.contact_margin, dt=cfg.dt, interpret=interpret,
+    )
+    gravity = jnp.broadcast_to(worlds.gravity, (body["posx"].shape[0], 2))
+    posx, posy, ang, velx, vely, angvel, touched = run_frame2(
+        body["posx"], body["posy"], body["ang"],
+        body["velx"], body["vely"], body["angvel"],
+        body["invm"], body["invi"], body["dyn"], body["kin"],
+        col["cbody"], col["vlx"], col["vly"], col["nverts"], col["radius"],
+        col["fric"], col["rest"], col["sensor"],
+        partner, slot_act, gravity,
+        C=C, substeps=cfg.substeps, iterations=cfg.iterations,
+        h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
+        compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
+        max_dpos=cfg.max_dpos, rest_threshold=cfg.restitution_threshold,
+        lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
+        interpret=interpret,
     )
 
+    b = worlds.bodies
+    pos = jnp.stack([posx, posy], axis=-1)
+    vel = jnp.stack([velx, vely], axis=-1)
     sleep_count = b.sleep_count
     if cfg.sleep_velocity > 0.0:
-        slow = (jnp.sum(vel**2, axis=-1) + ang_vel**2) < cfg.sleep_velocity**2
+        slow = (jnp.sum(vel**2, axis=-1) + angvel**2) < cfg.sleep_velocity**2
         sleep_count = jnp.where(slow, sleep_count + 1, 0)
         asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
         vel = jnp.where(asleep[..., None], 0.0, vel)
-        ang_vel = jnp.where(asleep, 0.0, ang_vel)
+        angvel = jnp.where(asleep, 0.0, angvel)
 
     new_bodies = dataclasses.replace(
-        b, pos=pos, angle=angle, vel=vel, ang_vel=ang_vel,
+        b, pos=pos, angle=ang, vel=vel, ang_vel=angvel,
         prev_pos=b.pos, prev_angle=b.angle, sleep_count=sleep_count,
     )
-    return dataclasses.replace(
+    new_worlds = dataclasses.replace(
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
+    return new_worlds, touched, partner, count
+
+
+def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
+    """Frame step over the leading world axis (un-jitted).
+
+    Contact-only world batches on TPU take the slot-table Pallas kernels
+    (pallas/slots.py + pallas/frame2.py); everything else is vmap(step).
+    """
+    if use_pallas_frame2(worlds, cfg):
+        return frame2_step(worlds, cfg)[0]
+    return jax.vmap(lambda w: step(w, cfg, max_pairs)[0])(worlds)
 
 
 def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True):

@@ -284,15 +284,18 @@ def substep(
     gravity,
     h: float,
     cfg: SolverConfig,
+    cb=None,
 ):
-    """One XPBD substep with per-substep contact refresh.
+    """One XPBD substep.
 
     Collision *pairs* come from the frame-level broadphase (pre-gathered
-    into ``pd``: PairData); *manifolds* are regenerated here at the
-    integrated pose (TGS-style) by the P-last kernels (kernels.py). Frame-
-    long stored anchors on rotating bodies displace the normal's application
-    point and pump angular momentum into rolling contact — regenerating is
-    both more accurate and branch-free-cheap on the VPU.
+    into ``pd``: PairData). With ``cb=None`` (``manifold_refresh='substep'``)
+    manifolds are regenerated here at the integrated pose (TGS-style) —
+    frame-long stored anchors on rotating bodies displace the normal's
+    application point and pump angular momentum into rolling contact. With a
+    precomputed ``cb`` (``manifold_refresh='frame'``, the reference's
+    pipeline order) the frame-start manifolds are reused across substeps and
+    only the anchor kinematics are re-evaluated at current poses.
     """
     from .kernels import (
         gather_pair_pose,
@@ -307,7 +310,9 @@ def substep(
     v_tilde = s  # velocities after external forces, before projection
 
     pose0 = gather_pair_pose(pd, s0.pos, s0.angle)
-    cb = narrowphase_b(pd, gather_pair_pose(pd, s.pos, s.angle), cfg.contact_margin)
+    if cb is None:
+        cb = narrowphase_b(pd, gather_pair_pose(pd, s.pos, s.angle),
+                           cfg.contact_margin)
 
     n_b = s.pos.shape[0]
     use_mm = _use_matmul_accum(n_b, cfg)

@@ -53,40 +53,17 @@ def frame_prep(world: World, cfg: SolverConfig, max_pairs: int,
     return pairs, pd
 
 
-def use_pallas_frame(world: World, max_pairs: int, cfg: SolverConfig) -> bool:
-    """Static decision: run the whole-frame Pallas kernel? (TPU, contact-only
-    worlds small enough that the in-VMEM one-hot matrices fit.)"""
-    if cfg.use_pallas is False:
-        return False
-    if world.joints.j != 0:
-        return False
-    # Mosaic vector layouts need lane/sublane-aligned shapes; unaligned or
-    # tiny worlds take the XLA path (they gain little from the kernel anyway)
-    if max_pairs < 128 or max_pairs % 128 != 0:
-        return False
-    if world.bodies.n < 8 or world.bodies.n % 8 != 0:
-        return False
-    # the [N, 2P] f32 one-hot must fit comfortably in VMEM alongside the
-    # working set (bigger single worlds crash the Mosaic kernel; they take
-    # the XLA path, whose scatter accumulation scales to 10k bodies)
-    if 2 * world.bodies.n * max_pairs * 4 > 4 * 1024 * 1024:
-        return False
-    try:
-        dev = jax.devices()[0]
-    except Exception:
-        return False
-    on_tpu = dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
-    return bool(on_tpu)
-
-
-def pallas_frame_kwargs(cfg: SolverConfig) -> dict:
-    return dict(
-        substeps=cfg.substeps, iterations=cfg.iterations,
-        h=cfg.dt / cfg.substeps, margin=cfg.contact_margin,
-        compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
-        max_dpos=cfg.max_dpos, rest_threshold=cfg.restitution_threshold,
-        lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
-    )
+def speculative_margin(pd, bodies, cfg: SolverConfig):
+    """Per-pair velocity-expanded contact margin [P] for once-per-frame
+    manifolds: surfaces approaching at v close the gap by at most
+    ``(|v_a|+|v_b|)*dt`` within the frame (rotation bounded via each
+    collider's circumradius) — Box2D's speculative-distance idea."""
+    ext_a = jnp.max(jnp.sqrt(pd.verts_ax**2 + pd.verts_ay**2), axis=0) + pd.radius_a
+    ext_b = jnp.max(jnp.sqrt(pd.verts_bx**2 + pd.verts_by**2), axis=0) + pd.radius_b
+    spd = jnp.linalg.norm(bodies.vel, axis=-1)
+    spd_a = spd[pd.body_a] + jnp.abs(bodies.ang_vel[pd.body_a]) * ext_a
+    spd_b = spd[pd.body_b] + jnp.abs(bodies.ang_vel[pd.body_b]) * ext_b
+    return cfg.contact_margin + cfg.dt * (spd_a + spd_b)
 
 
 def step(
@@ -101,41 +78,33 @@ def step(
     per-tick forcefield argument — SURVEY.md §3.1).
     """
     g = world.gravity if gravity is None else gravity
-    pallas_on = use_pallas_frame(world, max_pairs, cfg)
-    pairs, pd = frame_prep(world, cfg, max_pairs, skip_onehot=pallas_on)
+    pairs, pd = frame_prep(world, cfg, max_pairs)
 
-    # 3-5: XPBD substep loop with per-substep narrowphase
+    # 3-5: XPBD substep loop
     h = cfg.dt / cfg.substeps
     b = world.bodies
-    if pallas_on:
-        # whole-frame Pallas kernel, W=1 (see pallas/frame.py)
-        from .pallas import run_frame_batched
+    s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
+    touched0 = jnp.zeros((max_pairs,), bool)
 
-        one = lambda x: x[None]
-        pos, angle, vel, ang_vel = run_frame_batched(
-            one(b.pos), one(b.angle), one(b.vel), one(b.ang_vel),
-            one(b.inv_mass), one(b.inv_inertia), one(b.flags),
-            one(pd.verts_ax), one(pd.verts_ay), one(pd.verts_bx), one(pd.verts_by),
-            one(pd.nverts_a), one(pd.nverts_b), one(pd.radius_a), one(pd.radius_b),
-            one(pd.friction), one(pd.restitution),
-            one(pd.inv_mass_a), one(pd.inv_mass_b),
-            one(pd.inv_inertia_a), one(pd.inv_inertia_b),
-            one(pd.valid & jnp.logical_not(pd.sensor)), one(pd.valid),
-            one(pd.body_a), one(pd.body_b), one(g),
-            **pallas_frame_kwargs(cfg),
+    cb_frame = None
+    if cfg.manifold_refresh == "frame":
+        # reference pipeline order (SURVEY.md §3.2): narrowphase ONCE at
+        # frame-start poses; the speculative margin is velocity-expanded
+        # so contacts that form during this frame's substeps are already
+        # in the manifold (solve activates only at actual penetration)
+        from .kernels import gather_pair_pose, narrowphase_b
+
+        cb_frame = narrowphase_b(
+            pd, gather_pair_pose(pd, b.pos, b.angle),
+            speculative_margin(pd, b, cfg),
         )
-        s = BodyState(pos[0], angle[0], vel[0], ang_vel[0])
-        touched = jnp.zeros((max_pairs,), bool)
-    else:
-        s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
-        touched0 = jnp.zeros((max_pairs,), bool)
 
-        def body_fn(_, carry):
-            s, touched = carry
-            s, _, t = substep(s, b, pd, world.joints, g, h, cfg)
-            return s, touched | t
+    def body_fn(_, carry):
+        s, touched = carry
+        s, _, t = substep(s, b, pd, world.joints, g, h, cfg, cb=cb_frame)
+        return s, touched | t
 
-        s, touched = jax.lax.fori_loop(0, cfg.substeps, body_fn, (s0, touched0))
+    s, touched = jax.lax.fori_loop(0, cfg.substeps, body_fn, (s0, touched0))
 
     # 6: events — manifolds at the final pose, with `touching` reflecting
     # any in-frame contact (a bounce separates before the frame ends); the

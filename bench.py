@@ -54,7 +54,8 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
     return jax.jit(chunk)
 
 
-def bench_scene(scene, frames: int, batched: bool, reps: int = 3):
+def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
+                profile_dir: str = None, latency_reps: int = 0):
     flags = np.asarray(jax.device_get(scene.world.bodies.flags))
     n_body_per_frame = int(((flags & 1) != 0).sum())
     log(f"[bench] scene={scene.name} bodies/frame={n_body_per_frame} "
@@ -77,17 +78,55 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3):
     bps = n_body_per_frame / per_frame
     log(f"[bench] best of {reps}: {per_frame * 1e3:.3f} ms/frame | "
         f"{bps:.3e} body-steps/s")
-    return bps, per_frame
+
+    pcts = {}
+    if latency_reps:
+        # p50/p99 single-frame step latency (the metric definition,
+        # BASELINE.json:2). Each sample is one 1-frame chunk; note the
+        # axon relay adds a ~0.5 ms fixed dispatch floor per execution,
+        # so these are conservative upper bounds on on-device latency.
+        run1 = _chunk_runner(scene, 1, batched)
+        w1, cs = run1(w)
+        float(np.asarray(cs))  # compile + warm
+        lat = []
+        for _ in range(latency_reps):
+            t0 = time.perf_counter()
+            w1, cs = run1(w1)
+            float(np.asarray(cs))
+            lat.append(time.perf_counter() - t0)
+        lat = np.sort(np.asarray(lat))
+        pcts = {
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 4),
+            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 4),
+        }
+        log(f"[bench] single-frame latency over {latency_reps} reps: "
+            f"p50 {pcts['p50_ms']:.3f} ms  p99 {pcts['p99_ms']:.3f} ms "
+            f"(incl. ~0.5 ms relay dispatch floor)")
+
+    if profile_dir:
+        log(f"[bench] writing jax.profiler trace to {profile_dir}")
+        with jax.profiler.trace(profile_dir):
+            w, cs = run(w)
+            float(np.asarray(cs))
+    return bps, per_frame, pcts
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="batched",
-                    choices=["batched", "pile", "box_stack", "rope_bridge", "mechanism"])
+                    choices=["batched", "pile", "box_stack", "rope_bridge",
+                             "mechanism", "batched_rope", "batched_mechanism"])
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the XLA path (A/B against the slot kernels)")
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--worlds", type=int, default=4096)
     ap.add_argument("--bodies", type=int, default=256)
     ap.add_argument("--pile-bodies", type=int, default=10_000)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of one timed chunk")
+    ap.add_argument("--latency-reps", type=int, default=None,
+                    help="single-frame reps for p50/p99 (default: 30 for "
+                         "latency configs, 0 for throughput configs)")
     args = ap.parse_args()
 
     import starframe_tpu as sf
@@ -96,37 +135,73 @@ def main():
     log(f"[bench] device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
         f"x{jax.device_count()}")
 
+    def no_pallas(scene):
+        if args.no_pallas:
+            import dataclasses
+
+            scene.config = dataclasses.replace(scene.config, use_pallas=False)
+        return scene
+
     per_chip_target = NORTH_STAR_V5E8 / 8.0
     if args.config == "batched":
-        scene = sf.scenes.batched_worlds(n_worlds=args.worlds, n_bodies=args.bodies)
+        scene = no_pallas(
+            sf.scenes.batched_worlds(n_worlds=args.worlds, n_bodies=args.bodies))
         # big workloads: short scan chunks — the TPU relay kills single
         # executions much past ~1-2 minutes
         n_chunk = 5 if args.worlds * args.bodies >= 2 ** 18 else args.frames
-        bps, per_frame = bench_scene(scene, n_chunk, batched=True)
+        lat = args.latency_reps if args.latency_reps is not None else 0
+        bps, per_frame, pcts = bench_scene(scene, n_chunk, batched=True,
+                                           profile_dir=args.profile,
+                                           latency_reps=lat)
         out = {
             "metric": f"body-steps/sec ({args.worlds}x{args.bodies}-body worlds, 1 chip)",
             "value": round(bps, 1),
             "unit": "body-steps/s",
             "vs_baseline": round(bps / per_chip_target, 4),
+            **pcts,
+        }
+    elif args.config in ("batched_rope", "batched_mechanism"):
+        base = (sf.scenes.rope_bridge() if args.config == "batched_rope"
+                else sf.scenes.mechanism())
+        n_w = min(args.worlds, 1024)
+        scene = sf.scenes.batchify(base, n_w, use_kernel=not args.no_pallas)
+        lat = args.latency_reps if args.latency_reps is not None else 0
+        bps, per_frame, pcts = bench_scene(scene, 10, batched=True,
+                                           profile_dir=args.profile,
+                                           latency_reps=lat)
+        out = {
+            "metric": f"body-steps/sec ({scene.name} x{n_w} worlds, 1 chip)",
+            "value": round(bps, 1),
+            "unit": "body-steps/s",
+            "vs_baseline": round(bps / per_chip_target, 4),
+            **pcts,
         }
     elif args.config == "pile":
         scene = sf.scenes.pile(n_bodies=args.pile_bodies)
-        bps, per_frame = bench_scene(scene, 5, batched=False)
+        lat = args.latency_reps if args.latency_reps is not None else 0
+        bps, per_frame, pcts = bench_scene(scene, 5, batched=False,
+                                           profile_dir=args.profile,
+                                           latency_reps=lat)
         out = {
             "metric": f"body-steps/sec ({args.pile_bodies}-body pile)",
             "value": round(bps, 1),
             "unit": "body-steps/s",
             "vs_baseline": round(bps / per_chip_target, 4),
+            **pcts,
         }
     else:
         scene = getattr(sf.scenes, args.config)()
-        bps, per_frame = bench_scene(scene, args.frames, batched=False)
+        lat = args.latency_reps if args.latency_reps is not None else 30
+        bps, per_frame, pcts = bench_scene(scene, args.frames, batched=False,
+                                           profile_dir=args.profile,
+                                           latency_reps=lat)
         ms = per_frame * 1e3
         out = {
-            "metric": f"avg step latency ({scene.name}, 60Hz scene)",
+            "metric": f"step latency ({scene.name}, 60Hz scene)",
             "value": round(ms, 4),
             "unit": "ms",
             "vs_baseline": round(16.666 / max(ms, 1e-9), 4),
+            **pcts,
         }
 
     print(json.dumps(out), flush=True)

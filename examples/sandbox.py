@@ -52,20 +52,47 @@ def main():
     scene = SCENES[args.scene]()
     world = scene.world
 
+    grab = None
     if args.grab:
-        # mouse-grab flow: point query -> temporary drag joint. Joints are
-        # fixed-capacity, so the grab is baked into a rebuilt scene here;
-        # an interactive app would pre-allocate a spare joint row instead.
+        # mouse-grab flow (SURVEY.md §3.3): point query picks the body under
+        # the cursor, then a kinematic cursor body + a soft runtime pin joint
+        # drag it for the first second. Capacities are static, so spare rows
+        # are appended once up front; spawning into them never recompiles.
         gx, gy = (float(v) for v in args.grab.split(","))
-        body = sf.queries.pick_body(world, (gx, gy))
-        print(f"grab at ({gx}, {gy}): body {body}")
+        world = sf.state.expand_capacity(world, extra_bodies=1, extra_joints=1)
+        picked = sf.queries.pick_body(world, (gx, gy))
+        if picked < 0:
+            print(f"grab at ({gx}, {gy}): nothing there")
+        else:
+            world, cursor = sf.spawn_body(world, pos=(gx, gy),
+                                          body_type="kinematic")
+            world, joint = sf.spawn_joint(
+                world, sf.JOINT_PIN, cursor, picked,
+                anchor_b=sf.queries.body_local_point(world, picked, (gx, gy)),
+                compliance=2e-4, damping=20.0,
+            )
+            grab = dict(cursor=cursor, joint=joint, start=np.array([gx, gy]),
+                        target=np.array([gx + 2.0, gy + 1.5]))
+            print(f"grab at ({gx}, {gy}): body {picked}, dragging to "
+                  f"{grab['target']}")
 
-    step = scene.make_step(with_contacts=True, donate=False)
+    from starframe_tpu.step import make_step
+
+    step = make_step(scene.config, scene.capacity.max_pairs,
+                     with_contacts=True, donate=False)
     n_frames = int(args.seconds * 60)
     events = sf.ContactEvents()
 
     t0 = time.perf_counter()
     for f in range(n_frames):
+        if grab is not None and f <= 60:
+            t = min(f / 60.0, 1.0)
+            cur = grab["start"] * (1 - t) + grab["target"] * t
+            world = sf.set_body_pose(world, grab["cursor"], pos=cur)
+            if f == 60:  # release
+                world = sf.despawn_joint(world, grab["joint"])
+                world = sf.despawn_body(world, grab["cursor"])
+                print(f"frame {f}: released grab")
         world, contacts, diag = step(world)
         events.update(contacts)
         if events.started:

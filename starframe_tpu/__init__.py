@@ -36,8 +36,20 @@ from .state import (
     JointKey,
     BODY_ACTIVE,
     BODY_KINEMATIC,
+    BODY_DYNAMIC,
     COL_ACTIVE,
     COL_SENSOR,
+    JOINT_DISTANCE,
+    JOINT_PIN,
+    JOINT_WELD,
+    JOINT_ANGLE_RANGE,
+    JOINT_ANGULAR_MOTOR,
+    spawn_body,
+    spawn_collider,
+    spawn_joint,
+    despawn_body,
+    despawn_joint,
+    set_body_pose,
 )
 from . import shapes
 from .shapes import Shape
@@ -87,6 +99,12 @@ __all__ = [
     "query_aabb",
     "RayHit",
     "Diagnostics",
+    "spawn_body",
+    "spawn_collider",
+    "spawn_joint",
+    "despawn_body",
+    "despawn_joint",
+    "set_body_pose",
     "batch_worlds",
     "make_batched_step",
     "make_sharded_step",

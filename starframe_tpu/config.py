@@ -101,6 +101,9 @@ class SolverConfig:
     # (pallas/slots.py). Rows with more true overlaps than this are truncated
     # and counted in the overflow diagnostic.
     slot_capacity: int = 8
+    # Joint slots per body for the whole-frame kernel's joint tier (a body
+    # attached to more joints than this overflows — counted, not silent).
+    joint_slot_capacity: int = 4
     # The batched Pallas path assumes every world in a batch shares one
     # collider->body topology (true for replicate_world / same-built scenes);
     # set False for heterogeneous batches to force the vmap path.

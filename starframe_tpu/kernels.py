@@ -538,6 +538,133 @@ def velocity_contacts_b(pose: PairPose, pvel: PairVel, pvel0: PairVel,
     return vals_a, vals_b
 
 
+# ---------------------------------------------------------------------------
+# Slot-form joint solve (for the whole-frame kernel: each body's joint slots
+# are canonicalized own-as-A, so only the own-side correction is produced;
+# the partner computes its own half in its own slot row)
+# ---------------------------------------------------------------------------
+
+
+def _wrap_pi(x):
+    """Wrap to (-pi, pi] without mod (pallas-safe)."""
+    two_pi = 2.0 * jnp.pi
+    return x - two_pi * jnp.floor((x + jnp.pi) / two_pi)
+
+
+def solve_joints_b(pose: "PairPose", an_o, an_p, jd, h: float):
+    """XPBD joint position projection, slot-form P-last. ``pose`` carries the
+    own (A) and partner (B) poses; ``an_o``/``an_p`` the raw angles (for the
+    angular rows). ``jd`` fields (each [S]): jtype, oax, oay (own anchor),
+    pax, pay (partner anchor), rest, lo, hi, compliance, im_o, im_p, ii_o,
+    ii_p, active. Returns own-side vals [4, S] (dpos_x, dpos_y, dang, count).
+
+    Mirrors solver.solve_joint_positions (the row-major XLA twin); anchors
+    and rest/lo/hi/motor_speed must be pre-canonicalized so the OWN body is
+    endpoint A (distance/pin are swap-symmetric; weld/range/motor negate).
+    """
+    from .state import (
+        JOINT_ANGLE_RANGE,
+        JOINT_DISTANCE,
+        JOINT_PIN,
+        JOINT_WELD,
+    )
+
+    jt = jd.jtype
+    wax = pose.pax + pose.ca * jd.oax - pose.sa * jd.oay
+    way = pose.pay + pose.sa * jd.oax + pose.ca * jd.oay
+    wbx = pose.pbx + pose.cb * jd.pax - pose.sb * jd.pay
+    wby = pose.pby + pose.sb * jd.pax + pose.cb * jd.pay
+    rax = wax - pose.pax
+    ray = way - pose.pay
+    rbx = wbx - pose.pbx
+    rby = wby - pose.pby
+
+    dx = wbx - wax
+    dy = wby - way
+    d = jnp.sqrt(dx * dx + dy * dy)
+    inv_d = 1.0 / jnp.maximum(d, _EPS)
+    nx = dx * inv_d
+    ny = dy * inv_d
+
+    is_dist = jt == JOINT_DISTANCE
+    is_point = (jt == JOINT_PIN) | (jt == JOINT_WELD)
+    lo = jnp.where(is_point, 0.0, jd.lo)
+    hi = jnp.where(is_point, 0.0, jd.hi)
+    c_lin = jnp.where(d > hi, d - hi, jnp.where(d < lo, d - lo, 0.0))
+    lin_active = (is_dist | is_point) & (jnp.abs(c_lin) > 0.0) & (d > _EPS) \
+        & (jd.active > 0)
+
+    cr_a = rax * ny - ray * nx
+    cr_b = rbx * ny - rby * nx
+    w_a = jd.im_o + jd.ii_o * cr_a * cr_a
+    w_b = jd.im_p + jd.ii_p * cr_b * cr_b
+    alpha_t = jd.compliance / (h * h)
+    den = w_a + w_b + alpha_t
+    dlam = jnp.where(lin_active & (den > _EPS),
+                     -c_lin / jnp.maximum(den, _EPS), 0.0)
+    p_x = dlam * nx
+    p_y = dlam * ny
+
+    # angular rows (weld locks relative angle; angle_range limits it)
+    phi = _wrap_pi(an_p - an_o - jd.rest)
+    is_weld = jt == JOINT_WELD
+    is_rng = jt == JOINT_ANGLE_RANGE
+    c_ang = jnp.where(
+        is_weld, phi,
+        jnp.where(phi > jd.hi, phi - jd.hi,
+                  jnp.where(phi < jd.lo, phi - jd.lo, 0.0)))
+    ang_active = (is_weld | is_rng) & (jnp.abs(c_ang) > 0.0) & (jd.active > 0)
+    den_a = jd.ii_o + jd.ii_p + alpha_t
+    dlam_ang = jnp.where(ang_active & (den_a > _EPS),
+                         -c_ang / jnp.maximum(den_a, _EPS), 0.0)
+
+    n_active = lin_active.astype(jnp.float32) + ang_active.astype(jnp.float32)
+    return jnp.stack([
+        -p_x * jd.im_o,
+        -p_y * jd.im_o,
+        -jd.ii_o * (rax * p_y - ray * p_x) - dlam_ang * jd.ii_o,
+        n_active,
+    ])
+
+
+def velocity_joints_b(pose: "PairPose", pvel: "PairVel", jd, h: float):
+    """Joint velocity rows, slot-form: angular motors + joint damping.
+    Returns own-side vals [4, S]. Mirrors solver.velocity_joints."""
+    from .state import JOINT_ANGULAR_MOTOR
+
+    is_motor = (jd.jtype == JOINT_ANGULAR_MOTOR) & (jd.active > 0)
+    err = jd.motor_speed - (pvel.ob - pvel.oa)
+    w_ang = jd.ii_o + jd.ii_p
+    lam_m = jnp.where(w_ang > _EPS, err / jnp.maximum(w_ang, _EPS), 0.0)
+    lam_m = jnp.clip(lam_m, -jd.motor_max * h, jd.motor_max * h)
+    lam_m = jnp.where(is_motor, lam_m, 0.0)
+
+    damped = (jd.active > 0) & (jd.damping > 0.0)
+    wax = pose.pax + pose.ca * jd.oax - pose.sa * jd.oay
+    way = pose.pay + pose.sa * jd.oax + pose.ca * jd.oay
+    wbx = pose.pbx + pose.cb * jd.pax - pose.sb * jd.pay
+    wby = pose.pby + pose.sb * jd.pax + pose.cb * jd.pay
+    rax = wax - pose.pax
+    ray = way - pose.pay
+    rbx = wbx - pose.pbx
+    rby = wby - pose.pby
+    relx = (pvel.vbx - pvel.ob * rby) - (pvel.vax - pvel.oa * ray)
+    rely = (pvel.vby + pvel.ob * rbx) - (pvel.vay + pvel.oa * rax)
+    w_lin = jd.im_o + jd.im_p
+    damp_f = jnp.minimum(jd.damping * h, 1.0)
+    scale = jnp.where(w_lin > _EPS, damp_f / jnp.maximum(w_lin, _EPS), 0.0)
+    p_dx = jnp.where(damped, -relx * scale, 0.0)
+    p_dy = jnp.where(damped, -rely * scale, 0.0)
+
+    j_act = (is_motor | damped).astype(jnp.float32)
+    return jnp.stack([
+        -p_dx * jd.im_o,
+        -p_dy * jd.im_o,
+        -lam_m * jd.ii_o - jd.ii_o * (rax * p_dy - ray * p_dx),
+        j_act,
+    ])
+
+
 def accumulate_onehot(vals_a, vals_b, onehot_a, onehot_b):
     """[4, P] @ [P, N] one-hot contraction -> (dpos[N,2], dang[N], count[N])."""
     hp = jax.lax.Precision.HIGHEST  # DEFAULT would bf16-round the values

@@ -27,14 +27,17 @@ manifold math for conflict-free, gather/scatter-free accumulation. Static
 and kinematic colliders own no rows (their corrections are zero), so a
 ground slab touching hundreds of bodies costs nothing.
 
+**Joints** ride the same design: each body owns JC joint slots (slots.py
+``build_joint_slots``), canonicalized so the own body is endpoint A
+(kernels.solve_joints_b). Joint corrections solve as averaged Jacobi fused
+with the contact accumulation — the kernel's joint tier maps to the XLA
+path's ``joint_solver='jacobi'`` mode (graph-colored Gauss-Seidel stays on
+the XLA path; batched jointed worlds opt into the kernel via that config).
+
 Batch-uniformity: the collider->body reduction uses world 0's topology for
 the whole block (worlds built by ``replicate_world``/same-shape builders
 satisfy this; ``SolverConfig.batch_uniform_topology=False`` forces the vmap
 path for heterogeneous batches).
-
-Joint handling lives in the same kernel via per-body joint slot tables
-(static topology) — see ``joint_slot_tables`` in state.py and the
-``j*``-prefixed inputs; worlds without joints compile the joint passes away.
 """
 
 from __future__ import annotations
@@ -53,17 +56,15 @@ from ..kernels import (
     PairVel,
     manifold_batch,
     solve_contacts_b,
+    solve_joints_b,
     velocity_contacts_b,
+    velocity_joints_b,
 )
+from ..state import JOINT_ANGLE_RANGE
 from .lanegather import lane_gather
 
 f32 = jnp.float32
 i32 = jnp.int32
-
-
-def _mkpose(px, py, aa, qx, qy, ab) -> PairPose:
-    return PairPose(px, py, jnp.cos(aa), jnp.sin(aa),
-                    qx, qy, jnp.cos(ab), jnp.sin(ab))
 
 
 def _frame2_kernel(
@@ -72,16 +73,25 @@ def _frame2_kernel(
     invm_r, invi_r, dyn_r, kin_r,
     # collider-level [Wb, M] (verts [Wb, V, M])
     cbody_r, vlx_r, vly_r, nverts_r, radius_r, fric_r, rest_r, sensor_r,
-    # slot tables [Wb, C, M]
+    # contact slot tables [Wb, C, M]
     partner_r, slot_act_r,
-    # per-world gravity [Wb, 2]
-    grav_r,
-    # outputs
-    oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r, otouched_r,
-    *, C: int, substeps: int, iterations: int, h: float, dt: float,
-    margin: float, compliance: float, relaxation: float, max_dpos: float,
-    rest_threshold: float, lin_damp: float, ang_damp: float,
+    # joint params [Wb, Jp] + joint slots [Wb, JC, N] (when has_joints),
+    # then gravity [Wb, 2] and the output refs
+    *rest,
+    C: int, JC: int, has_joints: bool, substeps: int, iterations: int,
+    h: float, dt: float, margin: float, compliance: float, relaxation: float,
+    max_dpos: float, rest_threshold: float, lin_damp: float, ang_damp: float,
 ):
+    if has_joints:
+        (jtype_r, jba_r, jbb_r, jaax_r, jaay_r, jabx_r, jaby_r, jrest_r,
+         jlo_r, jhi_r, jcomp_r, jdamp_r, jms_r, jmm_r,
+         jslot_r, jside_r, jact_r, grav_r,
+         oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r, otouched_r,
+         ) = rest
+    else:
+        (grav_r, oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r,
+         otouched_r) = rest
+
     px, py, an = posx_r[:], posy_r[:], ang_r[:]
     vx, vy, om = velx_r[:], vely_r[:], angvel_r[:]
     invm, invi = invm_r[:], invi_r[:]
@@ -92,8 +102,9 @@ def _frame2_kernel(
     Wb, N = px.shape
     M = cbody.shape[1]
     V = vlx_r.shape[1]
-    gx = grav_r[:, 0:1]  # [Wb, 1] — per-world gravity (round 1 used world 0's)
-    gy = grav_r[:, 1:2]
+    grav = grav_r[:]
+    gx = grav[:, 0:1]  # [Wb, 1] — per-world gravity (round 1 used world 0's)
+    gy = grav[:, 1:2]
 
     # ---- frame constants ----------------------------------------------------
     # collider->body reduction matrix from world 0's topology (identity when
@@ -114,7 +125,6 @@ def _frame2_kernel(
     o_sa = lane_gather(sa_b, cbody)
     o_invm = lane_gather(invm, cbody)
     o_invi = lane_gather(invi, cbody)
-    o_dyn = lane_gather(dyn, cbody)
     # conservative per-collider speed bound for the speculative margin
     ext = None
     for v in range(V):
@@ -184,14 +194,70 @@ def _frame2_kernel(
             inv_inertia_a=o_invi,
             inv_inertia_b=lane_gather(invi, pb),
         )
-        p_dyn = lane_gather(dyn, pb)
-        slices.append(SimpleNamespace(pb=pb, cb=cb_, pd=pd_, p_dyn=p_dyn))
+        slices.append(SimpleNamespace(pb=pb, cb=cb_, pd=pd_))
+
+    # ---- joint slot slices (frame-constant canonicalized params) -----------
+    jslices = []
+    if has_joints:
+        jtype = jtype_r[:]
+        jba = jba_r[:]
+        jbb = jbb_r[:]
+        for jc in range(JC):
+            js = jslot_r[:, jc, :]  # [Wb, N] joint row per body
+            side = jside_r[:, jc, :]  # 1 when own body is endpoint A
+            jact = jact_r[:, jc, :]
+            side_b = side > 0
+
+            def jg(src_ref):
+                return lane_gather(src_ref[:], js)
+
+            ty = lane_gather(jtype, js)
+            ba = lane_gather(jba, js)
+            bb = lane_gather(jbb, js)
+            pb = jnp.where(side_b, bb, ba)
+            aax = jg(jaax_r)
+            aay = jg(jaay_r)
+            abx = jg(jabx_r)
+            aby = jg(jaby_r)
+            rest_j = jg(jrest_r)
+            lo_j = jg(jlo_r)
+            hi_j = jg(jhi_r)
+            ms = jg(jms_r)
+            # swap canonicalization: distance length bounds are symmetric;
+            # angular quantities (weld rest, angle-range bounds, motor speed)
+            # negate when the own body is endpoint B
+            keep_rng = side_b | (ty != JOINT_ANGLE_RANGE)
+            jd = SimpleNamespace(
+                jtype=ty,
+                oax=jnp.where(side_b, aax, abx),
+                oay=jnp.where(side_b, aay, aby),
+                pax=jnp.where(side_b, abx, aax),
+                pay=jnp.where(side_b, aby, aay),
+                rest=jnp.where(side_b, rest_j, -rest_j),
+                lo=jnp.where(keep_rng, lo_j, -hi_j),
+                hi=jnp.where(keep_rng, hi_j, -lo_j),
+                compliance=jg(jcomp_r),
+                damping=jg(jdamp_r),
+                motor_speed=jnp.where(side_b, ms, -ms),
+                motor_max=jg(jmm_r),
+                im_o=invm, im_p=lane_gather(invm, pb),
+                ii_o=invi, ii_p=lane_gather(invi, pb),
+                active=jact,
+            )
+            jslices.append(SimpleNamespace(pb=pb, jd=jd))
 
     touch0 = tuple(
-        jnp.max(jnp.maximum((s.cb.sep < TOUCH_SLOP).astype(f32) * s.cb.pmask,
-                            0.0), axis=0)
+        jnp.max((s.cb.sep < TOUCH_SLOP).astype(f32) * s.cb.pmask, axis=0)
         for s in slices
     )
+
+    def joint_pose(s, cab, sab, px, py, an):
+        """Own pose is the body lane itself; only the partner is gathered."""
+        return PairPose(
+            px, py, cab, sab,
+            lane_gather(px, s.pb), lane_gather(py, s.pb),
+            lane_gather(cab, s.pb), lane_gather(sab, s.pb),
+        ), lane_gather(an, s.pb)
 
     # ---- substep loop --------------------------------------------------------
     def substep(_, carry):
@@ -235,6 +301,9 @@ def _frame2_kernel(
                 lam_ns[k] = lam_ns[k] + lam_i
                 acc = vals_a if acc is None else acc + vals_a
             ab = to_bodies(acc)  # [4, Wb, N]
+            for s in jslices:  # joints: averaged Jacobi fused with contacts
+                pose, an_p = joint_pose(s, cab, sab, px, py, an)
+                ab = ab + solve_joints_b(pose, an, an_p, s.jd, h)
             cnt = jnp.maximum(ab[3], 1.0)
             ddx = jnp.clip(ab[0] * relaxation / cnt, -max_dpos, max_dpos)
             ddy = jnp.clip(ab[1] * relaxation / cnt, -max_dpos, max_dpos)
@@ -252,7 +321,7 @@ def _frame2_kernel(
         vy = kin * vy + nk * (vty + dxy / h)
         om = kin * om + nk * (vtom + dth / h)
 
-        # velocity pass: restitution + dynamic friction
+        # velocity pass: restitution + dynamic friction + motors/damping
         cab, sab = jnp.cos(an), jnp.sin(an)
         accv = None
         new_touched = []
@@ -281,6 +350,11 @@ def _frame2_kernel(
             tk = jnp.max((lam_ns[k] > 0.0).astype(f32) * s.cb.pmask, axis=0)
             new_touched.append(jnp.maximum(touched[k], tk))
         abv = to_bodies(accv)
+        for s in jslices:
+            pose, _ = joint_pose(s, cab, sab, px, py, an)
+            pvel = PairVel(vx, vy, om, lane_gather(vx, s.pb),
+                           lane_gather(vy, s.pb), lane_gather(om, s.pb))
+            abv = abv + velocity_joints_b(pose, pvel, s.jd, h)
         cntv = jnp.maximum(abv[3], 1.0)
         vx = vx + abv[0] / cntv
         vy = vy + abv[1] / cntv
@@ -317,7 +391,7 @@ def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "C", "substeps", "iterations", "h", "dt", "margin", "compliance",
+        "C", "JC", "substeps", "iterations", "h", "dt", "margin", "compliance",
         "relaxation", "max_dpos", "rest_threshold", "lin_damp", "ang_damp",
         "worlds_per_program", "interpret",
     ),
@@ -326,8 +400,9 @@ def run_frame2(
     posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin,  # [W, N]
     cbody, vlx, vly, nverts, radius, fric, rest, sensor,  # [W, M] / [W, V, M]
     partner, slot_act,  # [W, C, M]
-    gravity,  # [W, 2]
-    *, C, substeps, iterations, h, dt, margin, compliance, relaxation,
+    joints=None,  # dict of [W, Jp] param arrays + [W, JC, N] slot tables
+    gravity=None,  # [W, 2]
+    *, C, JC=0, substeps, iterations, h, dt, margin, compliance, relaxation,
     max_dpos, rest_threshold, lin_damp, ang_damp,
     worlds_per_program: int = 0, interpret: bool = False,
 ):
@@ -336,13 +411,14 @@ def run_frame2(
     W, N = posx.shape
     M = cbody.shape[1]
     V = vlx.shape[1]
+    has_joints = joints is not None
     Wb = worlds_per_program or pick_frame_worlds(W, M, C)
 
     kernel = functools.partial(
-        _frame2_kernel, C=C, substeps=substeps, iterations=iterations, h=h,
-        dt=dt, margin=margin, compliance=compliance, relaxation=relaxation,
-        max_dpos=max_dpos, rest_threshold=rest_threshold, lin_damp=lin_damp,
-        ang_damp=ang_damp,
+        _frame2_kernel, C=C, JC=JC, has_joints=has_joints, substeps=substeps,
+        iterations=iterations, h=h, dt=dt, margin=margin, compliance=compliance,
+        relaxation=relaxation, max_dpos=max_dpos, rest_threshold=rest_threshold,
+        lin_damp=lin_damp, ang_damp=ang_damp,
     )
 
     def nspec():
@@ -359,23 +435,46 @@ def run_frame2(
 
     gspec = pl.BlockSpec((Wb, 2), lambda w: (w, 0), memory_space=pltpu.VMEM)
 
+    in_specs = (
+        [nspec()] * 10
+        + [mspec(), vspec(), vspec()] + [mspec()] * 5
+        + [cspec(), cspec()]
+    )
+    args = [
+        posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin,
+        cbody, vlx, vly, nverts, radius, fric, rest, sensor,
+        partner, slot_act,
+    ]
+    if has_joints:
+        Jp = joints["jtype"].shape[1]
+
+        def jpspec():
+            return pl.BlockSpec((Wb, Jp), lambda w: (w, 0),
+                                memory_space=pltpu.VMEM)
+
+        def jcspec():
+            return pl.BlockSpec((Wb, JC, N), lambda w: (w, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        keys = ["jtype", "jba", "jbb", "jaax", "jaay", "jabx", "jaby",
+                "jrest", "jlo", "jhi", "jcomp", "jdamp", "jms", "jmm"]
+        in_specs += [jpspec() for _ in keys] + [jcspec()] * 3
+        args += [joints[k] for k in keys]
+        args += [joints["jslot"], joints["jside"], joints["jact"]]
+    in_specs += [gspec]
+    args += [gravity]
+
     outs = pl.pallas_call(
         kernel,
         grid=(W // Wb,),
-        in_specs=(
-            [nspec()] * 10
-            + [mspec(), vspec(), vspec()] + [mspec()] * 5
-            + [cspec(), cspec(), gspec]
-        ),
+        in_specs=in_specs,
         out_specs=tuple([nspec()] * 6 + [cspec()]),
         out_shape=tuple(
             [jax.ShapeDtypeStruct((W, N), f32)] * 6
             + [jax.ShapeDtypeStruct((W, C, M), f32)]
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(
-        posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin,
-        cbody, vlx, vly, nverts, radius, fric, rest, sensor,
-        partner, slot_act, gravity,
-    )
+    )(*args)
     return outs

@@ -140,10 +140,105 @@ def _slot_kernel(
     count_o[:] = jnp.sum(mask, axis=1).astype(i32)
 
 
-def pick_worlds_per_program(n_worlds: int, m: int, budget_bytes=6 * 1024 * 1024):
-    """Worlds per program: the [Wb, M, M] mask+rank pair is the VMEM driver."""
+def _joint_slot_kernel(jba_r, jbb_r, jactive_r, partner_o, side_o, act_o,
+                       count_o, *, JC: int):
+    """Per-body joint slot tables: body n's jc-th joint row + which side of
+    it n is on. Same rank-select machinery as the contact slots, over the
+    (padded) joint axis on sublanes."""
+    jba = jba_r[:]  # [Wb, Jp] i32
+    jbb = jbb_r[:]
+    jact = jactive_r[:]  # [Wb, Jp] f32 0/1
+    Wb, Jp = jba.shape
+    N = partner_o.shape[2]
+
+    n_iota = jax.lax.broadcasted_iota(i32, (Wb, 1, N), 2)
+    is_a = (jba[:, :, None] == n_iota) & (jact[:, :, None] > 0)  # [Wb, Jp, N]
+    is_b = (jbb[:, :, None] == n_iota) & (jact[:, :, None] > 0)
+    mask = (is_a | is_b).astype(f32)
+
+    jj = jax.lax.broadcasted_iota(i32, (Jp, Jp), 0)
+    kk = jax.lax.broadcasted_iota(i32, (Jp, Jp), 1)
+    lt = (kk < jj).astype(f32)
+    rank = jnp.stack([
+        jax.lax.dot_general(lt, mask[w], (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)
+        for w in range(Wb)
+    ])
+    j_iota = jax.lax.broadcasted_iota(i32, (Wb, Jp, N), 1).astype(f32)
+    is_a_f = is_a.astype(f32)
+    parts, sides, acts = [], [], []
+    for c in range(JC):
+        oh = jnp.where(rank == float(c), mask, 0.0)
+        parts.append(jnp.sum(oh * j_iota, axis=1, keepdims=True))
+        sides.append(jnp.sum(oh * is_a_f, axis=1, keepdims=True))
+        acts.append(jnp.sum(oh, axis=1, keepdims=True))
+    partner_o[:] = jnp.concatenate(parts, axis=1).astype(i32)
+    side_o[:] = jnp.concatenate(sides, axis=1)
+    act_o[:] = jnp.concatenate(acts, axis=1)
+    count_o[:] = jnp.sum(mask, axis=1).astype(i32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bodies", "JC", "worlds_per_program", "interpret"),
+)
+def build_joint_slots(jba, jbb, jactive, n_bodies: int, *, JC: int,
+                      worlds_per_program: int = 0, interpret: bool = False):
+    """Per-body joint slot tables for a world batch.
+
+    jba/jbb: [W, Jp] joint endpoint bodies (Jp padded to a 128-multiple);
+    jactive: [W, Jp] f32. Returns (jslot [W, JC, N] i32 — joint row index,
+    jside [W, JC, N] f32 — 1 when the body is endpoint A, jact [W, JC, N],
+    count [W, N] i32)."""
+    W, Jp = jba.shape
+    N = n_bodies
+    Wb = worlds_per_program or max(
+        1, min(32, (2 * 1024 * 1024) // max(Jp * N * 4, 1)))
+    while W % Wb:
+        Wb -= 1
+
+    kernel = functools.partial(_joint_slot_kernel, JC=JC)
+
+    def jspec():
+        return pl.BlockSpec((Wb, Jp), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def cspec():
+        return pl.BlockSpec((Wb, JC, N), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
+
+    def nspec():
+        return pl.BlockSpec((Wb, N), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(W // Wb,),
+        in_specs=[jspec()] * 3,
+        out_specs=(cspec(), cspec(), cspec(), nspec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, JC, N), i32),
+            jax.ShapeDtypeStruct((W, JC, N), f32),
+            jax.ShapeDtypeStruct((W, JC, N), f32),
+            jax.ShapeDtypeStruct((W, N), i32),
+        ),
+        compiler_params=None if interpret else _params(),
+        interpret=interpret,
+    )(jba, jbb, jactive)
+
+
+# Mosaic's default scoped-VMEM limit is 16 MB; the v5e core has far more, and
+# the rank-select keeps ~16-20 [Wb, M, M] buffers live, so kernels here ask
+# for a higher cap and the block picker budgets ~20 live mask-sized buffers.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
+def pick_worlds_per_program(n_worlds: int, m: int, budget_bytes=32 * 1024 * 1024):
+    """Worlds per program: the [Wb, M, M] mask/rank working set is the VMEM
+    driver (~20 live buffers through the rank-select)."""
     wb = 32
-    while wb > 1 and (wb * m * m * 4 * 3 > budget_bytes or n_worlds % wb != 0):
+    while wb > 1 and (wb * m * m * 4 * 20 > budget_bytes or n_worlds % wb != 0):
         wb //= 2
     return max(wb, 1)
 
@@ -193,6 +288,7 @@ def build_slot_tables(
             jax.ShapeDtypeStruct((W, C, M), f32),
             jax.ShapeDtypeStruct((W, M), i32),
         ),
+        compiler_params=None if interpret else _params(),
         interpret=interpret,
     )(
         posx, posy, ang, velx, vely, responds, moves,

@@ -48,13 +48,18 @@ def use_pallas_frame2(worlds: World, cfg: SolverConfig) -> bool:
     """
     if cfg.use_pallas is False or not cfg.batch_uniform_topology:
         return False
-    if worlds.joints.j != 0:
+    # jointed batches ride the kernel's fused-Jacobi joint tier; graph-colored
+    # Gauss-Seidel joints (the default, stiffer for long chains) stay on the
+    # XLA path — opt batched jointed worlds in with joint_solver='jacobi'
+    if worlds.joints.j != 0 and cfg.joint_solver != "jacobi":
         return False
     n, m = worlds.bodies.n, worlds.colliders.m
     w = worlds.bodies.pos.shape[0]
     # lane gathers need 128-multiples; the dense [M, M] slot mask needs to
     # stay VMEM-resident (big single worlds take the XLA grid path instead)
     if n % 128 != 0 or m % 128 != 0 or m > 1024 or w % 8 != 0:
+        return False
+    if worlds.joints.j > 1024:
         return False
     try:
         dev = jax.devices()[0]
@@ -100,7 +105,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False):
     import dataclasses
 
     from .pallas.frame2 import run_frame2
-    from .pallas.slots import build_slot_tables
+    from .pallas.slots import build_joint_slots, build_slot_tables
 
     body, col = _frame2_arrays(worlds, cfg)
     C = cfg.slot_capacity
@@ -111,6 +116,35 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False):
         col["layer"], col["lmask"], col["active"], col["sensor"],
         C=C, margin=cfg.contact_margin, dt=cfg.dt, interpret=interpret,
     )
+
+    joints = None
+    JC = 0
+    if worlds.joints.j > 0:
+        from .state import JOINT_OFF
+
+        j = worlds.joints
+        JC = cfg.joint_slot_capacity
+        Jp = -(-j.j // 128) * 128  # pad the joint axis to a lane multiple
+
+        def padj(x, fill=0):
+            return jnp.pad(x, ((0, 0), (0, Jp - j.j)), constant_values=fill)
+
+        jactive = padj((j.jtype != JOINT_OFF).astype(jnp.float32))
+        jslot, jside, jact, jcount = build_joint_slots(
+            padj(j.body_a), padj(j.body_b), jactive,
+            n_bodies=worlds.bodies.n, JC=JC, interpret=interpret,
+        )
+        joints = dict(
+            jtype=padj(j.jtype), jba=padj(j.body_a), jbb=padj(j.body_b),
+            jaax=padj(j.anchor_a[..., 0]), jaay=padj(j.anchor_a[..., 1]),
+            jabx=padj(j.anchor_b[..., 0]), jaby=padj(j.anchor_b[..., 1]),
+            jrest=padj(j.rest), jlo=padj(j.lo), jhi=padj(j.hi),
+            jcomp=padj(j.compliance), jdamp=padj(j.damping),
+            jms=padj(j.motor_speed),
+            jmm=padj(jnp.nan_to_num(j.motor_max, posinf=3.4e38)),
+            jslot=jslot, jside=jside, jact=jact,
+        )
+
     gravity = jnp.broadcast_to(worlds.gravity, (body["posx"].shape[0], 2))
     posx, posy, ang, velx, vely, angvel, touched = run_frame2(
         body["posx"], body["posy"], body["ang"],
@@ -118,8 +152,8 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False):
         body["invm"], body["invi"], body["dyn"], body["kin"],
         col["cbody"], col["vlx"], col["vly"], col["nverts"], col["radius"],
         col["fric"], col["rest"], col["sensor"],
-        partner, slot_act, gravity,
-        C=C, substeps=cfg.substeps, iterations=cfg.iterations,
+        partner, slot_act, joints, gravity,
+        C=C, JC=JC, substeps=cfg.substeps, iterations=cfg.iterations,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
         max_dpos=cfg.max_dpos, rest_threshold=cfg.restitution_threshold,

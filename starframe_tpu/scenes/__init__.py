@@ -9,6 +9,6 @@ from .box_stack import box_stack
 from .pile import pile
 from .rope_bridge import rope_bridge
 from .mechanism import mechanism
-from .batched import batched_worlds
+from .batched import batched_worlds, batchify
 
-__all__ = ["Scene", "box_stack", "pile", "rope_bridge", "mechanism", "batched_worlds"]
+__all__ = ["Scene", "box_stack", "pile", "rope_bridge", "mechanism", "batched_worlds", "batchify"]

@@ -54,6 +54,55 @@ def _single_world(n_bodies: int, substeps: int):
     return world, cap, cfg
 
 
+def batchify(
+    scene: Scene,
+    n_worlds: int,
+    seed: int = 0,
+    use_kernel: bool = True,
+    noise: float = 0.05,
+) -> Scene:
+    """Turn any single-world scene into an ``n_worlds`` batch eligible for
+    the whole-frame slot kernel: pads body/collider capacities to the
+    128-lane multiples the kernel's gathers need, replicates the world, and
+    adds per-world deterministic velocity perturbations so worlds diverge.
+
+    With ``use_kernel`` (default) jointed scenes are switched to the
+    ``joint_solver='jacobi'`` tier the kernel implements (the XLA path keeps
+    graph-colored Gauss-Seidel when False).
+    """
+    from ..state import expand_capacity
+
+    world = scene.world
+    pad_n = (-world.bodies.n) % 128
+    pad_m = (-world.colliders.m) % 128
+    world = expand_capacity(world, extra_bodies=pad_n, extra_colliders=pad_m)
+    batched = replicate_world(world, n_worlds)
+
+    key = jax.random.PRNGKey(seed)
+    dyn = (batched.bodies.inv_mass > 0)[..., None]
+    vel = jnp.where(
+        dyn,
+        batched.bodies.vel + noise * jax.random.normal(
+            key, batched.bodies.vel.shape, jnp.float32),
+        batched.bodies.vel,
+    )
+    batched = dataclasses.replace(
+        batched, bodies=dataclasses.replace(batched.bodies, vel=vel)
+    )
+    cfg = scene.config
+    has_joints = world.joints.j > 0
+    if use_kernel and has_joints:
+        cfg = dataclasses.replace(cfg, joint_solver="jacobi")
+    if not use_kernel:
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+    cap = dataclasses.replace(
+        scene.capacity,
+        max_bodies=world.bodies.n,
+        max_colliders=world.colliders.m,
+    )
+    return Scene(f"batched_{scene.name}", batched, cap, cfg)
+
+
 def batched_worlds(
     n_worlds: int = 4096,
     n_bodies: int = 256,

@@ -33,6 +33,7 @@ from .shapes import Shape
 # Body flags
 BODY_ACTIVE = 1
 BODY_KINEMATIC = 2
+BODY_DYNAMIC = 4  # declared dynamic (may transiently be massless at spawn)
 
 # Collider flags
 COL_ACTIVE = 1
@@ -461,10 +462,11 @@ class WorldBuilder:
 
     # -- build ---------------------------------------------------------------
 
-    def _auto_capacity(self, cap: Optional[Capacity]) -> Capacity:
-        nb = len(self._bodies)
-        nc = len(self._colliders)
-        nj = len(self._joints)
+    def _auto_capacity(self, cap: Optional[Capacity],
+                       reserve=(0, 0, 0)) -> Capacity:
+        nb = len(self._bodies) + reserve[0]
+        nc = len(self._colliders) + reserve[1]
+        nj = len(self._joints) + reserve[2]
         nv = max([2] + [len(c["verts"]) for c in self._colliders])
         if cap is not None:
             if (cap.max_bodies < nb or cap.max_colliders < nc
@@ -480,8 +482,15 @@ class WorldBuilder:
             max_verts=nv,
         )
 
-    def build(self, capacity: Optional[Capacity] = None) -> tuple[World, Capacity]:
-        cap = self._auto_capacity(capacity)
+    def build(self, capacity: Optional[Capacity] = None, reserve_bodies: int = 0,
+              reserve_colliders: int = 0, reserve_joints: int = 0,
+              ) -> tuple[World, Capacity]:
+        """Materialize the scene. ``reserve_*`` pre-allocate spare inactive
+        rows for runtime :func:`spawn_body`/:func:`spawn_collider`/
+        :func:`spawn_joint` (capacities are compile-time static, so spare
+        rows are how a game spawns mid-run without recompiling)."""
+        cap = self._auto_capacity(
+            capacity, (reserve_bodies, reserve_colliders, reserve_joints))
         world = empty_world(cap, self.gravity)
 
         nb, nc, nj = len(self._bodies), len(self._colliders), len(self._joints)
@@ -510,7 +519,8 @@ class WorldBuilder:
             b_angle[i] = b["angle"]
             b_vel[i] = b["vel"]
             b_angvel[i] = b["ang_vel"]
-            b_flags[i] = BODY_ACTIVE | (BODY_KINEMATIC if b["body_type"] == "kinematic" else 0)
+            b_flags[i] = BODY_ACTIVE | (BODY_KINEMATIC if b["body_type"] == "kinematic" else 0) \
+                | (BODY_DYNAMIC if b["body_type"] == "dynamic" else 0)
             if b["body_type"] == "dynamic":
                 m = b["mass"] if b["mass"] is not None else mass[i]
                 inr = b["inertia"] if b["inertia"] is not None else inertia[i]
@@ -604,6 +614,248 @@ class WorldBuilder:
             step_count=jnp.zeros((), jnp.int32),
         )
         return world, cap
+
+
+# -- runtime spawn/despawn (between frames; SURVEY.md §7.2) -----------------
+#
+# Starframe's spawn APIs work mid-game (SURVEY.md §2 row 2). The TPU-native
+# equivalent: capacities are compile-time static, so WorldBuilder.build()
+# pre-allocates spare inactive rows (``reserve_*``) and these helpers
+# activate/deactivate rows by VALUE only — array shapes never change, so the
+# jitted step is NOT recompiled (asserted by tests/test_spawn.py via the jit
+# cache size).
+
+
+def _free_body_slot(world: World) -> int:
+    flags = np.asarray(jax.device_get(world.bodies.flags))
+    free = np.nonzero((flags & BODY_ACTIVE) == 0)[0]
+    if len(free) == 0:
+        raise ValueError("no free body slots (build with reserve_bodies=...)")
+    return int(free[0])
+
+
+def _free_collider_slot(world: World) -> int:
+    flags = np.asarray(jax.device_get(world.colliders.flags))
+    free = np.nonzero((flags & COL_ACTIVE) == 0)[0]
+    if len(free) == 0:
+        raise ValueError("no free collider slots (build with reserve_colliders=...)")
+    return int(free[0])
+
+
+def _free_joint_slot(world: World) -> int:
+    jt = np.asarray(jax.device_get(world.joints.jtype))
+    free = np.nonzero(jt == JOINT_OFF)[0]
+    if len(free) == 0:
+        raise ValueError("no free joint slots (build with reserve_joints=...)")
+    return int(free[0])
+
+
+def spawn_body(
+    world: World,
+    pos=(0.0, 0.0),
+    angle: float = 0.0,
+    vel=(0.0, 0.0),
+    ang_vel: float = 0.0,
+    body_type: str = "dynamic",
+    mass: Optional[float] = None,
+    inertia: Optional[float] = None,
+) -> tuple[World, BodyKey]:
+    """Activate a new body in a free slot at runtime (host-side, O(capacity),
+    no recompile). Dynamic bodies start massless until a collider is spawned
+    on them (or pass ``mass``/``inertia`` explicitly)."""
+    if body_type not in ("dynamic", "static", "kinematic"):
+        raise ValueError(f"unknown body_type {body_type!r}")
+    i = _free_body_slot(world)
+    b = world.bodies
+    f32 = jnp.float32
+    inv_m = inv_i = 0.0
+    if body_type == "dynamic":
+        if mass is not None and mass > 0:
+            inv_m = 1.0 / mass
+        if inertia is not None and inertia > 0 and not np.isinf(inertia):
+            inv_i = 1.0 / inertia
+    flags = BODY_ACTIVE | (BODY_KINEMATIC if body_type == "kinematic" else 0) \
+        | (BODY_DYNAMIC if body_type == "dynamic" else 0)
+    pos = jnp.asarray(pos, f32)
+    bodies = dataclasses.replace(
+        b,
+        pos=b.pos.at[i].set(pos),
+        angle=b.angle.at[i].set(angle),
+        vel=b.vel.at[i].set(jnp.asarray(vel, f32)),
+        ang_vel=b.ang_vel.at[i].set(ang_vel),
+        inv_mass=b.inv_mass.at[i].set(inv_m),
+        inv_inertia=b.inv_inertia.at[i].set(inv_i),
+        flags=b.flags.at[i].set(flags),
+        prev_pos=b.prev_pos.at[i].set(pos),
+        prev_angle=b.prev_angle.at[i].set(angle),
+        sleep_count=b.sleep_count.at[i].set(0),
+    )
+    return dataclasses.replace(world, bodies=bodies), BodyKey(i)
+
+
+def spawn_collider(
+    world: World,
+    body: int,
+    shape: Shape,
+    friction: float = 0.5,
+    restitution: float = 0.0,
+    density: float = 1.0,
+    layer: int = 0,
+    mask: int = -1,
+    sensor: bool = False,
+    offset=(0.0, 0.0),
+    offset_angle: float = 0.0,
+    update_mass: bool = True,
+) -> tuple[World, ColliderKey]:
+    """Attach a collider to ``body`` at runtime. With ``update_mass`` (and a
+    dynamic, non-sensor combination) the body's mass/inertia accumulate the
+    shape's density-weighted properties, as in the builder flow."""
+    k = _free_collider_slot(world)
+    off = np.asarray(offset, np.float32)
+    c_, s_ = np.cos(offset_angle), np.sin(offset_angle)
+    rot = np.array([[c_, -s_], [s_, c_]], np.float32)
+    verts = (shape.verts @ rot.T + off).astype(np.float32)
+    nv = len(verts)
+    cap_v = world.colliders.max_verts
+    if nv > cap_v:
+        raise ValueError(f"shape has {nv} verts, capacity is {cap_v}")
+    padded = np.tile(verts[0], (cap_v, 1))
+    padded[:nv] = verts
+
+    c = world.colliders
+    colliders = dataclasses.replace(
+        c,
+        body_idx=c.body_idx.at[k].set(body),
+        verts=c.verts.at[k].set(jnp.asarray(padded)),
+        nverts=c.nverts.at[k].set(nv),
+        radius=c.radius.at[k].set(float(shape.radius)),
+        friction=c.friction.at[k].set(friction),
+        restitution=c.restitution.at[k].set(restitution),
+        layer=c.layer.at[k].set(layer),
+        mask=c.mask.at[k].set(mask),
+        flags=c.flags.at[k].set(COL_ACTIVE | (COL_SENSOR if sensor else 0)),
+    )
+    world = dataclasses.replace(world, colliders=colliders)
+
+    b = world.bodies
+    is_dyn = bool(int(np.asarray(jax.device_get(b.flags[body]))) & BODY_DYNAMIC)
+    if update_mass and not sensor and is_dyn:
+        sh = Shape(verts=verts, radius=float(shape.radius))
+        m_add, i_add = sh.mass_properties(density)
+        inv_m = float(np.asarray(jax.device_get(b.inv_mass[body])))
+        inv_i = float(np.asarray(jax.device_get(b.inv_inertia[body])))
+        m_new = ((1.0 / inv_m) if inv_m > 0 else 0.0) + m_add
+        i_new = ((1.0 / inv_i) if inv_i > 0 else 0.0) + i_add
+        bodies = dataclasses.replace(
+            b,
+            inv_mass=b.inv_mass.at[body].set(1.0 / m_new if m_new > 0 else 0.0),
+            inv_inertia=b.inv_inertia.at[body].set(
+                1.0 / i_new if i_new > 0 else 0.0),
+        )
+        world = dataclasses.replace(world, bodies=bodies)
+    return world, ColliderKey(k)
+
+
+def spawn_joint(world: World, jtype: int, body_a: int, body_b: int,
+                anchor_a=(0.0, 0.0), anchor_b=(0.0, 0.0), rest: float = 0.0,
+                lo: float = 0.0, hi: float = 0.0, compliance: float = 0.0,
+                damping: float = 0.0, motor_speed: float = 0.0,
+                motor_max: float = np.inf) -> tuple[World, JointKey]:
+    """Activate a joint row at runtime and recolor the joint graph (host-side
+    greedy coloring, same as the build-time flow)."""
+    i = _free_joint_slot(world)
+    j = world.joints
+    f32 = jnp.float32
+    joints = dataclasses.replace(
+        j,
+        jtype=j.jtype.at[i].set(jtype),
+        body_a=j.body_a.at[i].set(body_a),
+        body_b=j.body_b.at[i].set(body_b),
+        anchor_a=j.anchor_a.at[i].set(jnp.asarray(anchor_a, f32)),
+        anchor_b=j.anchor_b.at[i].set(jnp.asarray(anchor_b, f32)),
+        rest=j.rest.at[i].set(rest),
+        lo=j.lo.at[i].set(lo),
+        hi=j.hi.at[i].set(hi),
+        compliance=j.compliance.at[i].set(compliance),
+        damping=j.damping.at[i].set(damping),
+        motor_speed=j.motor_speed.at[i].set(motor_speed),
+        motor_max=j.motor_max.at[i].set(motor_max),
+    )
+    world = dataclasses.replace(world, joints=joints)
+    return _recolor_joints(world), JointKey(i)
+
+
+def despawn_joint(world: World, joint: int) -> World:
+    j = world.joints
+    joints = dataclasses.replace(j, jtype=j.jtype.at[joint].set(JOINT_OFF))
+    return dataclasses.replace(world, joints=joints)
+
+
+def _recolor_joints(world: World) -> World:
+    from . import native
+
+    j = world.joints
+    jt = np.asarray(jax.device_get(j.jtype))
+    if (jt != JOINT_OFF).sum() == 0:
+        return world
+    b = world.bodies
+    inv_m = np.asarray(jax.device_get(b.inv_mass))
+    inv_i = np.asarray(jax.device_get(b.inv_inertia))
+    flags = np.asarray(jax.device_get(b.flags))
+    body_static = (inv_m == 0.0) & (inv_i == 0.0) & ((flags & BODY_KINEMATIC) == 0)
+    color, _ = native.greedy_color(
+        np.asarray(jax.device_get(j.body_a)),
+        np.asarray(jax.device_get(j.body_b)),
+        active=(jt != JOINT_OFF),
+        body_is_static=body_static,
+        n_bodies=b.n,
+    )
+    joints = dataclasses.replace(j, color=jnp.asarray(color, jnp.int32))
+    return dataclasses.replace(world, joints=joints)
+
+
+def set_body_pose(world: World, body: int, pos=None, angle=None,
+                  vel=None, ang_vel=None) -> World:
+    """Host-side pose/velocity override (kinematic drivers, cursor bodies)."""
+    b = world.bodies
+    f32 = jnp.float32
+    kw = {}
+    if pos is not None:
+        kw["pos"] = b.pos.at[body].set(jnp.asarray(pos, f32))
+    if angle is not None:
+        kw["angle"] = b.angle.at[body].set(angle)
+    if vel is not None:
+        kw["vel"] = b.vel.at[body].set(jnp.asarray(vel, f32))
+    if ang_vel is not None:
+        kw["ang_vel"] = b.ang_vel.at[body].set(ang_vel)
+    return dataclasses.replace(world, bodies=dataclasses.replace(b, **kw))
+
+
+def expand_capacity(world: World, extra_bodies: int = 0, extra_colliders: int = 0,
+                    extra_joints: int = 0) -> World:
+    """Grow a world's fixed capacities by appending inactive rows (host-side;
+    the jitted step recompiles ONCE for the new shapes, after which runtime
+    spawns into the spare rows are recompile-free)."""
+    cap = Capacity(
+        max_bodies=world.bodies.n + extra_bodies,
+        max_colliders=world.colliders.m + extra_colliders,
+        max_pairs=1,
+        max_joints=world.joints.j + extra_joints,
+        max_verts=world.colliders.max_verts,
+    )
+    blank = empty_world(cap)
+
+    def pad(old, new):
+        if old.shape == new.shape:
+            return old
+        n_extra = new.shape[0] - old.shape[0]
+        return jnp.concatenate([old, new[new.shape[0] - n_extra:]], axis=0)
+
+    bodies = jax.tree.map(pad, world.bodies, blank.bodies)
+    colliders = jax.tree.map(pad, world.colliders, blank.colliders)
+    joints = jax.tree.map(pad, world.joints, blank.joints)
+    return dataclasses.replace(world, bodies=bodies, colliders=colliders,
+                               joints=joints)
 
 
 # -- host-side despawn/mutation helpers (between frames; SURVEY.md §7.2) ----

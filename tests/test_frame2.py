@@ -216,3 +216,97 @@ def test_frame2_compiled_matches_xla_on_tpu():
     w_ker, w_xla, *_ = _run_parity(interpret=False)
     np.testing.assert_allclose(
         np.asarray(w_ker.bodies.pos), np.asarray(w_xla.bodies.pos), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# joints in the kernel (fused-Jacobi tier) vs XLA jacobi path
+# ---------------------------------------------------------------------------
+
+
+def _jointed_scene(n=128, seed=11):
+    """Ground + mixed bodies, plus joints covering every type: a rope chain
+    (distance), a pendulum (pin), a weld pair, an angle-limited pair, and a
+    motorized pair."""
+    rng = np.random.default_rng(seed)
+    b = WorldBuilder(gravity=(0.0, -9.81))
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(60.0, 0.5), friction=0.5)
+    anchor = b.add_static(pos=(0.0, 14.0))
+    b.add_collider(anchor, Shape.circle(0.1), mask=0)
+
+    # rope chain of particles hanging from the anchor
+    chain = []
+    for k in range(6):
+        p = b.add_body(pos=(0.3 * k, 13.0 - 0.6 * k), mass=0.5, inertia=np.inf)
+        b.add_collider(p, Shape.circle(0.1), mask=0)
+        chain.append(p)
+    b.distance_joint(anchor, chain[0], rest=1.0)
+    for a_, b_ in zip(chain, chain[1:]):
+        b.distance_joint(a_, b_, rest=0.7)
+
+    # pendulum (pin), weld pair, angle-range pair, motor pair
+    pl_ = b.add_body(pos=(6.0, 12.0))
+    b.add_collider(pl_, Shape.box(0.8, 0.2))
+    b.pin_joint(anchor, pl_, world_point=(6.0, 13.0))
+    w1 = b.add_body(pos=(-6.0, 5.0))
+    b.add_collider(w1, Shape.box(0.5, 0.5))
+    w2 = b.add_body(pos=(-6.0, 6.1))
+    b.add_collider(w2, Shape.box(0.5, 0.5))
+    b.weld_joint(w1, w2, world_point=(-6.0, 5.55))
+    r1 = b.add_body(pos=(9.0, 8.0))
+    b.add_collider(r1, Shape.box(0.6, 0.2))
+    r2 = b.add_body(pos=(10.3, 8.0))
+    b.add_collider(r2, Shape.box(0.6, 0.2))
+    b.pin_joint(r1, r2, world_point=(9.65, 8.0))
+    b.angle_limit(r1, r2, -0.4, 0.4)
+    m1 = b.add_body(pos=(-10.0, 4.0))
+    b.add_collider(m1, Shape.circle(0.5))
+    m2 = b.add_body(pos=(-10.0, 4.0))
+    b.add_collider(m2, Shape.box(1.2, 0.1), mask=0)
+    b.pin_joint(m1, m2, world_point=(-10.0, 4.0))
+    b.angular_motor(m1, m2, speed=2.0, max_torque=50.0)
+
+    # filler dynamic bodies so N hits the 128 alignment
+    i = 0
+    while len(b._bodies) < n:
+        body = b.add_body(pos=(14.0 + (i % 8) * 1.1, 0.7 + (i // 8) * 1.1))
+        b.add_collider(body, Shape.circle(0.45), friction=0.5)
+        i += 1
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
+                   max_joints=len(b._joints), max_verts=4)
+    return b.build(cap)
+
+
+@pytest.mark.parametrize("interpret", [True])
+def test_frame2_joints_match_xla_jacobi(interpret):
+    from starframe_tpu.step import step
+
+    world, cap = _jointed_scene()
+    cfg = SolverConfig(substeps=4, slot_capacity=8, joint_solver="jacobi",
+                       manifold_refresh="frame")
+    worlds = replicate_world(world, 2)
+
+    w_ker = worlds
+    for _ in range(3):
+        w_ker, touched, partner, count = frame2_step(w_ker, cfg,
+                                                     interpret=interpret)
+
+    w_xla = worlds
+    step_v = jax.jit(jax.vmap(lambda w: step(w, cfg, cap.max_pairs)[0]))
+    for _ in range(3):
+        w_xla = step_v(w_xla)
+
+    np.testing.assert_allclose(
+        np.asarray(w_ker.bodies.pos), np.asarray(w_xla.bodies.pos), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(w_ker.bodies.angle), np.asarray(w_xla.bodies.angle),
+        atol=1e-3)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu"
+    and "TPU" not in getattr(jax.devices()[0], "device_kind", ""),
+    reason="compiled Mosaic path needs a TPU",
+)
+def test_frame2_joints_compiled_on_tpu():
+    test_frame2_joints_match_xla_jacobi(interpret=False)

@@ -89,13 +89,30 @@ def _pair_eligible(world: World, i, j):
 
 
 def _compact(mask_flat, idx_a_flat, idx_b_flat, max_pairs: int):
+    """Compact masked candidates into the fixed pair buffer.
+
+    Lowering note: ``jnp.nonzero(size=)`` + gathers dominated the 10k-pile
+    broadphase (~150 ms/frame measured r2). A single key sort that carries
+    the packed (a, b) payload is ~40x cheaper on TPU: sort keys are 0 for
+    hits and 1 for misses (stable sort keeps hit order), then the first
+    ``max_pairs`` slots are the compacted pairs."""
     count = jnp.sum(mask_flat, dtype=jnp.int32)
-    (slots,) = jnp.nonzero(mask_flat, size=max_pairs, fill_value=0)
+    key = jnp.where(mask_flat, jnp.int32(0), jnp.int32(1))
+    _, pa_s, pb_s = jax.lax.sort(
+        (key, idx_a_flat.astype(jnp.int32), idx_b_flat.astype(jnp.int32)),
+        num_keys=1, is_stable=True,
+    )
+    if pa_s.shape[0] < max_pairs:  # fewer candidates than capacity: pad
+        pad = max_pairs - pa_s.shape[0]
+        pa_s = jnp.pad(pa_s, (0, pad))
+        pb_s = jnp.pad(pb_s, (0, pad))
+    pair_a = pa_s[:max_pairs]
+    pair_b = pb_s[:max_pairs]
     valid = jnp.arange(max_pairs, dtype=jnp.int32) < jnp.minimum(count, max_pairs)
-    pair_a = jnp.where(valid, idx_a_flat[slots], 0)
-    pair_b = jnp.where(valid, idx_b_flat[slots], 0)
+    pair_a = jnp.where(valid, pair_a, 0)
+    pair_b = jnp.where(valid, pair_b, 0)
     overflow = jnp.maximum(count - max_pairs, 0)
-    return pair_a.astype(jnp.int32), pair_b.astype(jnp.int32), valid, count, overflow
+    return pair_a, pair_b, valid, count, overflow
 
 
 @jax.named_scope("broadphase_dense")

@@ -156,3 +156,118 @@ def render_png(world: World, path: str, view: Optional[tuple] = None, contacts=N
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+# ---------------------------------------------------------------------------
+# interactive viewers (SURVEY.md §7.7 "optional interactive viewer"):
+# a dependency-free HTML canvas player fed by recorded snapshots, and a
+# matplotlib live window for attended sessions.
+# ---------------------------------------------------------------------------
+
+
+def export_html(path: str, frames, fps: int = 60, title: str = "starframe-tpu"):
+    """Write a standalone HTML canvas player for a recorded trajectory.
+
+    ``frames`` is a sequence of :class:`~starframe_tpu.state.World` snapshots
+    (or anything accepted by ``_world_outlines``). Outlines are embedded as
+    JSON; the page plays at ``fps`` with play/pause/scrub — the snapshot-fed
+    interactive viewer stand-in for starframe's windowed renderer.
+    """
+    import json
+
+    frame_data = []
+    lo = np.array([np.inf, np.inf])
+    hi = np.array([-np.inf, -np.inf])
+    for w in frames:
+        outlines = _world_outlines(w)
+        polys = [np.round(o, 4).tolist() for o in outlines]
+        frame_data.append(polys)
+        for o in outlines:
+            lo = np.minimum(lo, o.min(0))
+            hi = np.maximum(hi, o.max(0))
+    if not np.all(np.isfinite(lo)):
+        lo, hi = np.array([-1.0, -1.0]), np.array([1.0, 1.0])
+    pad = 0.05 * max(float((hi - lo).max()), 1e-6)
+    view = dict(lo=(lo - pad).tolist(), hi=(hi + pad).tolist())
+
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{background:#111;color:#ddd;font-family:monospace;margin:0}}
+#bar{{padding:6px}}</style></head><body>
+<div id="bar"><button id="play">pause</button>
+<input id="scrub" type="range" min="0" value="0" style="width:60%%">
+<span id="info"></span></div>
+<canvas id="cv" width="1280" height="720"></canvas>
+<script>
+const FRAMES = {json.dumps(frame_data)};
+const VIEW = {json.dumps(view)};
+const FPS = {fps};
+const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
+const scrub = document.getElementById('scrub'); scrub.max = FRAMES.length-1;
+let f = 0, playing = true;
+function world2px(p) {{
+  const sx = cv.width/(VIEW.hi[0]-VIEW.lo[0]);
+  const sy = cv.height/(VIEW.hi[1]-VIEW.lo[1]);
+  const s = Math.min(sx, sy);
+  return [(p[0]-VIEW.lo[0])*s, cv.height-(p[1]-VIEW.lo[1])*s];
+}}
+function draw() {{
+  ctx.fillStyle = '#111'; ctx.fillRect(0,0,cv.width,cv.height);
+  ctx.strokeStyle = '#6cf'; ctx.lineWidth = 1.2;
+  for (const poly of FRAMES[f]) {{
+    ctx.beginPath();
+    poly.forEach((p,i) => {{ const q = world2px(p);
+      if (i===0) ctx.moveTo(q[0],q[1]); else ctx.lineTo(q[0],q[1]); }});
+    ctx.stroke();
+  }}
+  document.getElementById('info').textContent =
+    ` frame ${{f}}/${{FRAMES.length-1}}`;
+  scrub.value = f;
+}}
+setInterval(() => {{ if (playing) {{ f = (f+1)%FRAMES.length; draw(); }} }},
+            1000/FPS);
+document.getElementById('play').onclick = e => {{
+  playing = !playing; e.target.textContent = playing ? 'pause' : 'play'; }};
+scrub.oninput = e => {{ playing = false; f = +e.target.value; draw(); }};
+draw();
+</script></body></html>"""
+    with open(path, "w") as fh:
+        fh.write(html)
+    return path
+
+
+def live(world, step_fn, n_frames: int = 600, interval_ms: int = 16,
+         show: bool = True, save_path: Optional[str] = None):
+    """Matplotlib live viewer: steps the world and redraws collider outlines
+    each animation tick (attended debugging; use :func:`export_html` for
+    headless sessions). Returns the final world."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.animation as manim
+    import matplotlib.pyplot as plt
+
+    state = {"world": world}
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.set_aspect("equal")
+
+    def update(_):
+        state["world"] = step_fn(state["world"])
+        ax.clear()
+        ax.set_aspect("equal")
+        for o in _world_outlines(state["world"]):
+            ax.plot(o[:, 0], o[:, 1], lw=0.8, color="tab:blue")
+        return []
+
+    anim = manim.FuncAnimation(fig, update, frames=n_frames,
+                               interval=interval_ms, blit=False, repeat=False)
+    if save_path:
+        anim.save(save_path, writer="pillow", fps=max(1, 1000 // interval_ms))
+    elif show:
+        plt.show()
+    else:
+        for _ in range(n_frames):
+            update(None)
+    plt.close(fig)
+    return state["world"]

@@ -1,0 +1,756 @@
+"""Sorted-sweep tile engine: the whole-frame solver for BIG single worlds
+(the 10k-body pile — the driver's primary metric, BASELINE.json:2).
+
+The batched kernel (frame2.py) needs lane gathers from body arrays, which
+cost O(source_width/128) per output register — fine at 256 bodies/world,
+hopeless at 10k. This engine restores locality first: bodies are sorted by
+x every frame (one small argsort + permute), cut into tiles of T=256, and
+every contact partner is then either
+
+- in the own tile's 3-tile sort window (a pair can only span more than
+  ~one tile if a vertical slab of 256+ bodies separates the two — detected
+  and counted as ``window_overflow``), or
+- in the ``large set``: the L static colliders (ground slab, walls), which
+  touch arbitrarily many bodies and are broadcast to every tile.
+
+Three kernels over a ``(n_tiles,)`` grid, composed per frame under one jit:
+
+1. ``setup``   (once/frame): swept AABBs, dense [3T+L, T] candidate mask,
+   rank-select of C partner slots per body, manifolds at frame-start poses
+   (velocity-expanded speculative margin), anchors stored body-local —
+   the tiled twin of slots.py + frame2.py's frame constants.
+2. ``project`` (per substep): integrate (derived), XPBD contact projection
+   per slot, own-row Jacobi sums -> per-body corrections + lambda.
+3. ``apply``   (per substep): apply count-normalized corrections, velocity
+   reconstruction, restitution/friction velocity pass (partner post-apply
+   state derived from the correction windows), write the new tile state.
+
+The project/apply split makes every substep a synchronous Jacobi step: all
+tiles read pre-substep state, so the math matches the XLA path's substep
+(solver.substep with manifold_refresh='frame') up to summation order — the
+parity test in tests/test_tiles.py holds to ~1e-4 over several frames.
+
+Windows are expressed as three (1, T)-block input specs with clamped index
+maps (no manual DMA); all cross-tile communication rides HBM between the
+per-substep pallas_calls, which a ``lax.scan`` sequences inside one jit.
+
+Requirements (gated statically in step.use_pallas_tiled): single world,
+``colliders == bodies`` (one collider per body, ``body_idx == iota``; the
+pile satisfies this), no joints, ``iterations == 1``, contact events not
+consumed (the XLA path serves ``with_contacts=True``).
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..kernels import (
+    TOUCH_SLOP,
+    PairPose,
+    PairVel,
+    manifold_batch,
+    solve_contacts_b,
+    velocity_contacts_b,
+)
+from .lanegather import lane_gather
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+T = 256  # bodies per tile (lane axis)
+WIN = 3  # window tiles
+L = 128  # large-set (static collider) capacity
+
+
+def _win_start(t, n_tiles):
+    return jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
+
+
+def _window_specs(n):
+    """Three (1, T) input specs covering rows (t-1, t, t+1), clamped."""
+
+    def mk(off):
+        def imap(t):
+            # NOTE: jnp.clip is jit-wrapped and Mosaic rejects nested jits in
+            # index maps — use bare maximum/minimum
+            return (jnp.maximum(jnp.minimum(t - 1, n - WIN), 0) + off, 0, 0)
+
+        return pl.BlockSpec((1, 1, T), imap, memory_space=pltpu.VMEM)
+
+    return [mk(0), mk(1), mk(2)]
+
+
+def _own_spec():
+    # [Nt, 1, T] arrays: the middle singleton satisfies Mosaic's block rule
+    # (2nd-to-last block dim must equal the array dim)
+    return pl.BlockSpec((1, 1, T), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _own3(k):
+    return pl.BlockSpec((1, k, T), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _bcast(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda t: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _concat_window(rows, large=None):
+    """3 x [1, T] window rows (+ optional [1, L] large row) -> [1, 3T(+L)]."""
+    parts = [r for r in rows]
+    if large is not None:
+        parts.append(large)
+    return jnp.concatenate(parts, axis=-1)
+
+
+
+def _lg(src, idx):
+    """lane_gather for [1, S] rows: Mosaic's in-vreg gather lowering rejects
+    single-sublane operands, so broadcast to a full 8-sublane tile (same
+    silicon cost — thin rows pad to 8 sublanes regardless) and keep row 0."""
+    out = lane_gather(jnp.broadcast_to(src, (8, src.shape[-1])),
+                      jnp.broadcast_to(idx, (8, idx.shape[-1])))
+    return out[:1]
+
+
+def _own_lane_slice(x, w):
+    """Select the own tile's T lanes out of a [1, WIN*T(+L)] row by the
+    scalar window offset w in {0, 1, 2} — static slices + scalar selects
+    (Mosaic has no dynamic_slice lowering for arrays)."""
+    s0 = x[:, :T]
+    s1 = x[:, T:2 * T]
+    s2 = x[:, 2 * T:3 * T]
+    return jnp.where(w == 0, s0, jnp.where(w == 1, s1, s2))
+
+
+# ===========================================================================
+# kernel 1: frame setup (slot tables + manifolds + anchors)
+# ===========================================================================
+
+
+def _setup_kernel(
+    # window state [1, T] x3 each
+    px0, px1, px2, py0, py1, py2, an0, an1, an2,
+    vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
+    # window collider consts
+    vlx_w0, vlx_w1, vlx_w2, vly_w0, vly_w1, vly_w2,  # [1, V, T] x3
+    rad0, rad1, rad2, nv0, nv1, nv2, fric0, fric1, fric2,
+    rst0, rst1, rst2, sen0, sen1, sen2, act0, act1, act2,
+    mov0, mov1, mov2, invm0, invm1, invm2, invi0, invi1, invi2,
+    lay0, lay1, lay2, msk0, msk1, msk2,
+    # own row extras
+    o_responds, o_sensor,
+    # large set (broadcast): pose frozen for the frame
+    l_px, l_py, l_an, l_vlx, l_vly, l_rad, l_nv, l_fric, l_rst, l_sen,
+    l_act, l_lay, l_msk,
+    # scalars
+    edge_lo, edge_hi,  # [n_tiles, 1] window x-bounds rows (own spec)
+    # outputs
+    pidx_o, cc_o, c2_o, count_o, winover_o,
+    *, C: int, V: int, margin: float, dt: float, n_tiles: int,
+):
+    t = pl.program_id(0)
+    start = _win_start(t, n_tiles)
+
+    def win(a, b, c):
+        return _concat_window([a[0], b[0], c[0]])
+
+    # ---- candidate row: window (3T) + large (L) on the lane axis ----------
+    def wl(w3, lg):  # [1, 3T] + [1, L] -> [1, 3T+L]
+        return jnp.concatenate([w3, lg[:]], axis=-1)
+
+    c_px = wl(win(px0, px1, px2), l_px)
+    c_py = wl(win(py0, py1, py2), l_py)
+    c_an = wl(win(an0, an1, an2), l_an)
+    c_vx = wl(win(vx0, vx1, vx2), jnp.zeros_like(l_px[:]))
+    c_vy = wl(win(vy0, vy1, vy2), jnp.zeros_like(l_px[:]))
+    c_om = wl(win(om0, om1, om2), jnp.zeros_like(l_px[:]))
+    c_rad = wl(win(rad0, rad1, rad2), l_rad)
+    c_nv = wl(win(nv0, nv1, nv2), l_nv)
+    c_fric = wl(win(fric0, fric1, fric2), l_fric)
+    c_rst = wl(win(rst0, rst1, rst2), l_rst)
+    c_sen = wl(win(sen0, sen1, sen2), l_sen)
+    c_act = wl(win(act0, act1, act2), l_act)
+    # window candidates must MOVE (statics ride the large channel only —
+    # that is what prevents double-counting them)
+    c_part = wl(win(mov0, mov1, mov2), l_act)
+    c_invm = wl(win(invm0, invm1, invm2), jnp.zeros_like(l_px[:]))
+    c_invi = wl(win(invi0, invi1, invi2), jnp.zeros_like(l_px[:]))
+    c_lay = wl(win(lay0, lay1, lay2), l_lay)
+    c_msk = wl(win(msk0, msk1, msk2), l_msk)
+    def winv(a, b, c):  # verts are pre-sliced [1, T] arrays, not refs
+        return jnp.concatenate([a, b, c], axis=-1)
+
+    c_vlx = [wl(winv(vlx_w0[:, v], vlx_w1[:, v], vlx_w2[:, v]), l_vlx[:, v])
+             for v in range(V)]
+    c_vly = [wl(winv(vly_w0[:, v], vly_w1[:, v], vly_w2[:, v]), l_vly[:, v])
+             for v in range(V)]
+
+    S = WIN * T + L
+    c_ca = jnp.cos(c_an)
+    c_sa = jnp.sin(c_an)
+
+    # candidate swept AABBs + speed bound (lane form [1, S])
+    lox = hix = loy = hiy = ext = None
+    for v in range(V):
+        wx = c_px + c_ca * c_vlx[v] - c_sa * c_vly[v]
+        wy = c_py + c_sa * c_vlx[v] + c_ca * c_vly[v]
+        lox = wx if lox is None else jnp.minimum(lox, wx)
+        hix = wx if hix is None else jnp.maximum(hix, wx)
+        loy = wy if loy is None else jnp.minimum(loy, wy)
+        hiy = wy if hiy is None else jnp.maximum(hiy, wy)
+        d = jnp.sqrt(c_vlx[v] ** 2 + c_vly[v] ** 2)
+        ext = d if ext is None else jnp.maximum(ext, d)
+    ext = ext + c_rad
+    pad = c_rad + 0.5 * margin
+    swx = jnp.abs(c_vx) * dt
+    swy = jnp.abs(c_vy) * dt
+    lox = lox - pad - swx
+    hix = hix + pad + swx
+    loy = loy - pad - swy
+    hiy = hiy + pad + swy
+    c_spd = jnp.sqrt(c_vx**2 + c_vy**2) + jnp.abs(c_om) * ext
+
+    own_slice = lambda x: _own_lane_slice(x, t - start)
+    o_lox = own_slice(lox)
+    o_hix = own_slice(hix)
+    o_loy = own_slice(loy)
+    o_hiy = own_slice(hiy)
+    o_lay = own_slice(c_lay)
+    o_msk = own_slice(c_msk)
+
+    # ---- dense candidate mask [S, T]: candidate j (sublanes) x own i ------
+    def as_j(x):  # [1, S] -> [S, 1]
+        return jnp.swapaxes(x, 0, 1)
+
+    ov = (
+        (as_j(lox) <= o_hix) & (o_lox <= as_j(hix))
+        & (as_j(loy) <= o_hiy) & (o_loy <= as_j(hiy))
+    )
+    # global ids: same body <-> same id (iota worlds: collider == body)
+    own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
+    win_gid = start * T + jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
+    # large ids offset past every tile so they never collide with window ids
+    lrg_gid = n_tiles * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
+    c_gid = jnp.concatenate([win_gid, lrg_gid], axis=-1)
+    diff = as_j(c_gid) != own_gid
+    layer_ok = (
+        ((o_msk >> as_j(c_lay)) & 1) & ((as_j(c_msk) >> o_lay) & 1)
+    ) != 0
+    # rows: responding colliders, plus MOVING sensors (a static sensor's
+    # touches are recorded from its dynamic partners' rows instead)
+    o_moves = own_slice(c_part)
+    row_ok = (o_responds[0] > 0) | ((o_sensor[0] > 0) & (o_moves > 0))
+    elig = (as_j(c_part) > 0) & (as_j(c_act) > 0) & row_ok
+    mask = (ov & diff & layer_ok & elig).astype(f32)
+
+    # window-miss detection: an own AABB reaching past the window's x-range
+    # may have partners we cannot see — count it (SURVEY.md §4.6)
+    winover = ((o_lox < edge_lo[0]) | (o_hix > edge_hi[0])).astype(i32)
+    winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
+
+    # ---- rank-select C partners per own body ------------------------------
+    jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
+    kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
+    lt = (kk < jj).astype(f32)
+    rank = jax.lax.dot_general(lt, mask, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32)  # [S, T]
+    j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
+    pidx, acts = [], []
+    for c in range(C):
+        oh = jnp.where(rank == float(c), mask, 0.0)
+        pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
+        acts.append(jnp.sum(oh, axis=0, keepdims=True))
+    count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)
+
+    # ---- per-slot manifolds at frame-start poses --------------------------
+    o_px = own_slice(c_px)
+    o_py = own_slice(c_py)
+    o_ca = own_slice(c_ca)
+    o_sa = own_slice(c_sa)
+    o_spd = own_slice(c_spd)
+    o_rad = own_slice(c_rad)
+    o_nv = own_slice(c_nv)
+    o_fric = own_slice(c_fric)
+    o_rst = own_slice(c_rst)
+    o_sen2 = o_sensor[0]
+    o_vlx = [own_slice(v) for v in c_vlx]
+    o_vly = [own_slice(v) for v in c_vly]
+    own_wx = [o_px + o_ca * o_vlx[v] - o_sa * o_vly[v] for v in range(V)]
+    own_wy = [o_py + o_sa * o_vlx[v] + o_ca * o_vly[v] for v in range(V)]
+    wvax = jnp.stack(own_wx)  # [V, 1, T]
+    wvay = jnp.stack(own_wy)
+
+    cc_rows = []  # C-stacked per-slot constants  -> [1, KC*C, T]
+    c2_rows = []  # 2C-stacked (two contact points) -> [1, K2*2C, T]
+    for c in range(C):
+        pc = pidx[c].astype(i32)  # [1, T] candidate-local index
+        act = acts[c]
+
+        def g(src):
+            return _lg(src, pc)
+
+        p_px = g(c_px)
+        p_py = g(c_py)
+        p_ca = g(c_ca)
+        p_sa = g(c_sa)
+        pvx = [g(v) for v in c_vlx]
+        pvy = [g(v) for v in c_vly]
+        wvbx = jnp.stack([p_px + p_ca * pvx[v] - p_sa * pvy[v]
+                          for v in range(V)])
+        wvby = jnp.stack([p_py + p_sa * pvx[v] + p_ca * pvy[v]
+                          for v in range(V)])
+        margin_eff = margin + dt * (o_spd + g(c_spd))
+        m = manifold_batch(wvax, wvay, o_nv, o_rad,
+                           wvbx, wvby, g(c_nv), g(c_rad), margin_eff)
+        dxa = m.wa_x - o_px
+        dya = m.wa_y - o_py
+        a_ax = o_ca * dxa + o_sa * dya
+        a_ay = -o_sa * dxa + o_ca * dya
+        dxb = m.wb_x - p_px
+        dyb = m.wb_y - p_py
+        b_ax = p_ca * dxb + p_sa * dyb
+        b_ay = -p_sa * dxb + p_ca * dyb
+        n_ax = o_ca * m.n_x + o_sa * m.n_y
+        n_ay = -o_sa * m.n_x + o_ca * m.n_y
+        pmask = m.pmask * act
+        solvable = act * (1.0 - jnp.maximum(o_sen2, g(c_sen)))
+        p_invm = g(c_invm)
+        cc_rows += [
+            pc.astype(f32), act, n_ax, n_ay,
+            jnp.sqrt(o_fric * g(c_fric)), jnp.maximum(o_rst, g(c_rst)),
+            p_invm, g(c_invi), (p_invm > 0).astype(f32),  # p_dyn
+        ]
+        c2_rows += [a_ax[0], a_ax[1], a_ay[0], a_ay[1],
+                    b_ax[0], b_ax[1], b_ay[0], b_ay[1],
+                    pmask[0] * solvable, pmask[1] * solvable,
+                    pmask[0], pmask[1], m.sep[0], m.sep[1]]
+    pidx_o[:] = jnp.concatenate(pidx, axis=0)[None].astype(i32)  # [1, C, T]
+    cc_o[:] = jnp.stack(cc_rows)[None].reshape(1, C * KC, T)
+    c2_o[:] = jnp.stack(c2_rows)[None].reshape(1, C * K2, T)
+
+
+KC = 9  # per-slot scalar constants (see cc_rows above)
+K2 = 14  # per-slot two-point constants (see c2_rows above)
+
+
+def _unpack_slot(cc, c2, c, C):
+    """Rebuild the per-slot namespaces kernel 2/3 consume. cc: [1, C*KC, T];
+    c2: [1, C*K2, T]."""
+    base = c * KC
+    row = lambda k: cc[:, base + k]
+    b2 = c * K2
+    r2 = lambda k: c2[:, b2 + k]
+    pd = SimpleNamespace(
+        friction=row(4), restitution=row(5),
+        inv_mass_a=None, inv_mass_b=row(6),
+        inv_inertia_a=None, inv_inertia_b=row(7),
+    )
+    cb = SimpleNamespace(
+        n_ax=row(2), n_ay=row(3),
+        a_ax=jnp.stack([r2(0), r2(1)]), a_ay=jnp.stack([r2(2), r2(3)]),
+        b_ax=jnp.stack([r2(4), r2(5)]), b_ay=jnp.stack([r2(6), r2(7)]),
+        solve_mask=jnp.stack([r2(8), r2(9)]),
+        pmask=jnp.stack([r2(10), r2(11)]),
+        sep=jnp.stack([r2(12), r2(13)]),
+    )
+    return SimpleNamespace(pc=row(0).astype(i32), act=row(1), p_dyn=row(8),
+                           pd=pd, cb=cb)
+
+
+# ===========================================================================
+# kernel 2: project (one substep's integrate + XPBD position projection)
+# ===========================================================================
+
+
+def _project_kernel(
+    px0, px1, px2, py0, py1, py2, an0, an1, an2,
+    vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
+    o_invm, o_invi, o_dynb,
+    l_px, l_py, l_an,
+    pidx_r, cc_r, c2_r, grav_r, touch_r,
+    dxx_o, dxy_o, dth_o, cnt_o, lam_o, touch_o,
+    *, C: int, h: float, compliance: float, n_tiles: int,
+):
+    t = pl.program_id(0)
+    start = _win_start(t, n_tiles)
+    own = t - start
+
+    def wl(a, b, c, lg):
+        return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
+
+    zl = jnp.zeros_like(l_px[:])
+    c_px = wl(px0, px1, px2, l_px[:])
+    c_py = wl(py0, py1, py2, l_py[:])
+    c_an = wl(an0, an1, an2, l_an[:])
+    c_vx = wl(vx0, vx1, vx2, zl)
+    c_vy = wl(vy0, vy1, vy2, zl)
+    c_om = wl(om0, om1, om2, zl)
+    gx = grav_r[0, 0]
+    gy = grav_r[0, 1]
+
+    c_ca = jnp.cos(c_an)
+    c_sa = jnp.sin(c_an)
+    own_slice = lambda x: _own_lane_slice(x, own)
+    o_px = own_slice(c_px)
+    o_py = own_slice(c_py)
+    o_an = own_slice(c_an)
+    o_ca = own_slice(c_ca)
+    o_sa = own_slice(c_sa)
+    o_vx = own_slice(c_vx)
+    o_vy = own_slice(c_vy)
+    o_om = own_slice(c_om)
+    dyn = o_dynb[0]
+
+    cc = cc_r[:]
+    c2 = c2_r[:]
+    pidx = pidx_r[:]
+
+    # integrated own state (v_tilde + pose), derived algebraically
+    ovx_t = o_vx + gx * h * dyn
+    ovy_t = o_vy + gy * h * dyn
+    opx_t = o_px + ovx_t * h
+    opy_t = o_py + ovy_t * h
+    oa_t = o_an + o_om * h
+
+    acc = None
+    lams = []
+    touches = []
+    for c in range(C):
+        s = _unpack_slot(cc, c2, c, C)
+        s.pd.inv_mass_a = o_invm[0]
+        s.pd.inv_inertia_a = o_invi[0]
+        pc = pidx[0, c][None]
+
+        def g(src):
+            return _lg(src, pc)
+
+        p_dyn = s.p_dyn  # partner gravity response (stored at setup)
+        p_px0 = g(c_px)
+        p_py0 = g(c_py)
+        p_an0 = g(c_an)
+        p_vx0 = g(c_vx)
+        p_vy0 = g(c_vy)
+        p_om0 = g(c_om)
+        pose0 = PairPose(o_px, o_py, o_ca, o_sa,
+                         p_px0, p_py0, g(c_ca), g(c_sa))
+        pvx_t = p_vx0 + gx * h * p_dyn
+        pvy_t = p_vy0 + gy * h * p_dyn
+        p_px_t = p_px0 + pvx_t * h
+        p_py_t = p_py0 + pvy_t * h
+        p_an_t = p_an0 + p_om0 * h
+        pose = PairPose(opx_t, opy_t, jnp.cos(oa_t), jnp.sin(oa_t),
+                        p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
+        vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
+                                            compliance)
+        acc = vals_a if acc is None else acc + vals_a
+        lams += [lam_i[0], lam_i[1]]
+        touches.append(jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
+
+    dxx_o[0] = acc[0]
+    dxy_o[0] = acc[1]
+    dth_o[0] = acc[2]
+    cnt_o[0] = acc[3]
+    lam_o[:] = jnp.stack(lams)[None].reshape(1, 2 * C, T)
+    touch_o[:] = jnp.maximum(touch_r[:], jnp.stack(touches).reshape(1, C, T))
+
+
+# ===========================================================================
+# kernel 3: apply + velocity pass
+# ===========================================================================
+
+
+def _apply_kernel(
+    px0, px1, px2, py0, py1, py2, an0, an1, an2,
+    vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
+    dxx0, dxx1, dxx2, dxy0, dxy1, dxy2, dth0, dth1, dth2, cnt0, cnt1, cnt2,
+    o_invm, o_invi, o_dynb, o_kin,
+    l_px, l_py, l_an,
+    pidx_r, cc_r, c2_r, lam_r, grav_r,
+    npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o,
+    *, C: int, h: float, relaxation: float, max_dpos: float,
+    rest_threshold: float, lin_damp: float, ang_damp: float, n_tiles: int,
+):
+    t = pl.program_id(0)
+    start = _win_start(t, n_tiles)
+    own = t - start
+
+    def wl(a, b, c, lg):
+        return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
+
+    zl = jnp.zeros_like(l_px[:])
+    c_px = wl(px0, px1, px2, l_px[:])
+    c_py = wl(py0, py1, py2, l_py[:])
+    c_an = wl(an0, an1, an2, l_an[:])
+    c_vx = wl(vx0, vx1, vx2, zl)
+    c_vy = wl(vy0, vy1, vy2, zl)
+    c_om = wl(om0, om1, om2, zl)
+    c_dxx = wl(dxx0, dxx1, dxx2, zl)
+    c_dxy = wl(dxy0, dxy1, dxy2, zl)
+    c_dth = wl(dth0, dth1, dth2, zl)
+    c_cnt = wl(cnt0, cnt1, cnt2, zl)
+    gx = grav_r[0, 0]
+    gy = grav_r[0, 1]
+
+    # applied (count-normalized) deltas for EVERY candidate, derived the same
+    # way the own tile applies them — this is how partner post-apply state is
+    # known without cross-program communication
+    c_scale = relaxation / jnp.maximum(c_cnt, 1.0)
+    c_ddx = jnp.clip(c_dxx * c_scale, -max_dpos, max_dpos)
+    c_ddy = jnp.clip(c_dxy * c_scale, -max_dpos, max_dpos)
+    c_dda = jnp.clip(c_dth * c_scale, -max_dpos, max_dpos)
+
+    own_slice = lambda x: _own_lane_slice(x, own)
+    dyn = o_dynb[0]
+    kin = o_kin[0]
+
+    # integrate own (same derivation as project)
+    o_vx = own_slice(c_vx)
+    o_vy = own_slice(c_vy)
+    o_om = own_slice(c_om)
+    ovx_t = o_vx + gx * h * dyn
+    ovy_t = o_vy + gy * h * dyn
+    opx_t = own_slice(c_px) + ovx_t * h
+    opy_t = own_slice(c_py) + ovy_t * h
+    oa_t = own_slice(c_an) + o_om * h
+    o_ddx = own_slice(c_ddx)
+    o_ddy = own_slice(c_ddy)
+    o_dda = own_slice(c_dda)
+    npx = opx_t + o_ddx
+    npy = opy_t + o_ddy
+    nan = oa_t + o_dda
+
+    # velocity reconstruction
+    nk = 1.0 - kin
+    nvx = kin * ovx_t + nk * (ovx_t + o_ddx / h)
+    nvy = kin * ovy_t + nk * (ovy_t + o_ddy / h)
+    nom = kin * o_om + nk * (o_om + o_dda / h)
+
+    cc = cc_r[:]
+    c2 = c2_r[:]
+    pidx = pidx_r[:]
+    lam = lam_r[:]
+    o_can = jnp.cos(nan)
+    o_san = jnp.sin(nan)
+
+    accv = None
+    for c in range(C):
+        s = _unpack_slot(cc, c2, c, C)
+        s.pd.inv_mass_a = o_invm[0]
+        s.pd.inv_inertia_a = o_invi[0]
+        pc = pidx[0, c][None]
+
+        def g(src):
+            return _lg(src, pc)
+
+        p_dyn = s.p_dyn
+        p_vx0 = g(c_vx)
+        p_vy0 = g(c_vy)
+        p_om0 = g(c_om)
+        pvx_t = p_vx0 + gx * h * p_dyn
+        pvy_t = p_vy0 + gy * h * p_dyn
+        p_ddx = g(c_ddx)
+        p_ddy = g(c_ddy)
+        p_dda = g(c_dda)
+        p_px_n = g(c_px) + pvx_t * h + p_ddx
+        p_py_n = g(c_py) + pvy_t * h + p_ddy
+        p_an_n = g(c_an) + p_om0 * h + p_dda
+        # partner velocity reconstruction mirrors the partner's own apply —
+        # kinematic partners keep velocity (their ddx is 0 anyway)
+        p_nvx = pvx_t + p_ddx / h
+        p_nvy = pvy_t + p_ddy / h
+        p_nom = p_om0 + p_dda / h
+
+        pose_v = PairPose(npx, npy, o_can, o_san,
+                          p_px_n, p_py_n, jnp.cos(p_an_n), jnp.sin(p_an_n))
+        pvel = PairVel(nvx, nvy, nom, p_nvx, p_nvy, p_nom)
+        pvel0 = PairVel(ovx_t, ovy_t, o_om, pvx_t, pvy_t, p_om0)
+        lam_c = jnp.stack([lam[:, 2 * c], lam[:, 2 * c + 1]])  # [2, 1, T]
+        cv_a, _ = velocity_contacts_b(pose_v, pvel, pvel0, s.pd, s.cb,
+                                      lam_c, h, rest_threshold)
+        accv = cv_a if accv is None else accv + cv_a
+
+    cntv = jnp.maximum(accv[3], 1.0)
+    nvx = nvx + accv[0] / cntv
+    nvy = nvy + accv[1] / cntv
+    nom = nom + accv[2] / cntv
+    if lin_damp > 0.0:
+        sd = 1.0 / (1.0 + h * lin_damp)
+        nvx = nvx * sd
+        nvy = nvy * sd
+    if ang_damp > 0.0:
+        nom = nom * (1.0 / (1.0 + h * ang_damp))
+    npx_o[0] = npx
+    npy_o[0] = npy
+    nan_o[0] = nan
+    nvx_o[0] = nvx
+    nvy_o[0] = nvy
+    nom_o[0] = nom
+
+
+# ===========================================================================
+# wrapper: per-frame composition of the three kernels
+# ===========================================================================
+
+
+def _setup_specs(n_tiles, C, V):
+    w = _window_specs(n_tiles)
+
+    def w3():
+        return list(_window_specs(n_tiles))
+
+    def wv3():
+        def mk(off):
+            def imap(t):
+                return (jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
+                        + off, 0, 0)
+
+            return pl.BlockSpec((1, V, T), imap, memory_space=pltpu.VMEM)
+
+        return [mk(0), mk(1), mk(2)]
+
+    del w
+    in_specs = []
+    for _ in range(6):  # px py an vx vy om
+        in_specs += w3()
+    in_specs += wv3() + wv3()  # vlx, vly
+    for _ in range(11):  # rad nv fric rst sen act mov invm invi lay msk
+        in_specs += w3()
+    in_specs += [_own_spec()] * 2  # o_responds, o_sensor
+    in_specs += [_bcast((1, L))] * 3  # l_px l_py l_an
+    in_specs += [_bcast((1, V, L))] * 2  # l_vlx l_vly
+    in_specs += [_bcast((1, L))] * 8  # l_rad l_nv l_fric l_rst l_sen l_act l_lay l_msk
+    in_specs += [_own_spec()] * 2  # edge_lo, edge_hi
+    return in_specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "V", "substeps", "h", "dt", "margin", "compliance",
+                     "relaxation", "max_dpos", "rest_threshold", "lin_damp",
+                     "ang_damp", "interpret"),
+)
+def run_tiled_frame(
+    state,  # dict of [Nt, T] f32: px py an vx vy om
+    consts,  # dict of [Nt, T]: rad nv fric rst sen act mov invm invi lay msk
+             # responds dynb kin + verts vlx/vly [Nt, V, T] + edge_lo/edge_hi
+    large,  # dict of [1, L] (+ verts [1, V, L]): px py an rad nv fric rst
+            # sen act lay msk
+    gravity,  # [1, 2]
+    *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
+    rest_threshold, lin_damp, ang_damp, interpret=False,
+):
+    """One frame on the sorted-tile layout. Returns (new_state dict,
+    touched [Nt, C, T], count [Nt, T], winover [Nt, T])."""
+    Nt = state["px"].shape[0]
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT_TILES)
+
+    def wrows(x):
+        return [x, x, x]
+
+    win_state = sum([wrows(state[k]) for k in
+                     ("px", "py", "an", "vx", "vy", "om")], [])
+    win_verts = wrows(consts["vlx"]) + wrows(consts["vly"])
+    win_scal = sum([wrows(consts[k]) for k in
+                    ("rad", "nv", "fric", "rst", "sen", "act", "mov",
+                     "invm", "invi", "lay", "msk")], [])
+    large_args = [large["px"], large["py"], large["an"],
+                  large["vlx"], large["vly"],
+                  large["rad"], large["nv"], large["fric"], large["rst"],
+                  large["sen"], large["act"], large["lay"], large["msk"]]
+
+    setup = functools.partial(_setup_kernel, C=C, V=V, margin=margin, dt=dt,
+                              n_tiles=Nt)
+    pidx, cc, c2, count, winover = pl.pallas_call(
+        setup,
+        grid=(Nt,),
+        in_specs=_setup_specs(Nt, C, V),
+        out_specs=(_own3(C), _own3(C * KC), _own3(C * K2), _own_spec(),
+                   _own_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Nt, C, T), i32),
+            jax.ShapeDtypeStruct((Nt, C * KC, T), f32),
+            jax.ShapeDtypeStruct((Nt, C * K2, T), f32),
+            jax.ShapeDtypeStruct((Nt, 1, T), i32),
+            jax.ShapeDtypeStruct((Nt, 1, T), i32),
+        ),
+        compiler_params=params,
+        interpret=interpret,
+    )(*(win_state + win_verts + win_scal
+        + [consts["responds"], consts["sen"]]
+        + large_args + [consts["edge_lo"], consts["edge_hi"]]))
+
+    project = functools.partial(_project_kernel, C=C, h=h,
+                                compliance=compliance, n_tiles=Nt)
+    apply_k = functools.partial(
+        _apply_kernel, C=C, h=h, relaxation=relaxation, max_dpos=max_dpos,
+        rest_threshold=rest_threshold, lin_damp=lin_damp, ang_damp=ang_damp,
+        n_tiles=Nt)
+
+    def w3s():
+        return list(_window_specs(Nt))
+
+    proj_specs = (
+        sum([w3s() for _ in range(6)], [])
+        + [_own_spec()] * 3  # invm invi dynb
+        + [_bcast((1, L))] * 3  # large pose
+        + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)), _own3(C)]
+    )
+    apply_specs = (
+        sum([w3s() for _ in range(10)], [])  # state 6 + corrections 4
+        + [_own_spec()] * 4  # invm invi dynb kin
+        + [_bcast((1, L))] * 3
+        + [_own3(C), _own3(C * KC), _own3(C * K2), _own3(2 * C),
+           _bcast((1, 2))]
+    )
+
+    lpose = [large["px"], large["py"], large["an"]]
+
+    def substep(carry, _):
+        st, touched = carry
+        sw = sum([wrows(st[k]) for k in ("px", "py", "an", "vx", "vy", "om")],
+                 [])
+        dxx, dxy, dth, cnt, lam, touched = pl.pallas_call(
+            project,
+            grid=(Nt,),
+            in_specs=proj_specs,
+            out_specs=([_own_spec()] * 4 + [_own3(2 * C), _own3(C)]),
+            out_shape=(
+                [jax.ShapeDtypeStruct((Nt, 1, T), f32)] * 4
+                + [jax.ShapeDtypeStruct((Nt, 2 * C, T), f32),
+                   jax.ShapeDtypeStruct((Nt, C, T), f32)]
+            ),
+            compiler_params=params,
+            interpret=interpret,
+        )(*(sw + [consts["invm"], consts["invi"], consts["dynb"]]
+            + lpose + [pidx, cc, c2, gravity, touched]))
+
+        corr = wrows(dxx) + wrows(dxy) + wrows(dth) + wrows(cnt)
+        npx, npy, nan_, nvx, nvy, nom = pl.pallas_call(
+            apply_k,
+            grid=(Nt,),
+            in_specs=apply_specs,
+            out_specs=tuple([_own_spec()] * 6),
+            out_shape=tuple([jax.ShapeDtypeStruct((Nt, 1, T), f32)] * 6),
+            compiler_params=params,
+            interpret=interpret,
+        )(*(sw + corr
+            + [consts["invm"], consts["invi"], consts["dynb"], consts["kin"]]
+            + lpose + [pidx, cc, c2, lam, gravity]))
+        st2 = dict(px=npx, py=npy, an=nan_, vx=nvx, vy=nvy, om=nom)
+        return (st2, touched), ()
+
+    touched0 = jnp.zeros((Nt, C, T), f32)
+    (state, touched), _ = jax.lax.scan(
+        substep, (state, touched0), None, length=substeps)
+    return state, touched, count, winover
+
+
+_VMEM_LIMIT_TILES = 100 * 1024 * 1024

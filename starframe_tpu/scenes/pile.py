@@ -56,14 +56,9 @@ def pile(
                 b.add_collider(body, Shape.hexagon(body_half), friction=friction)
             count += 1
 
-    cap = Capacity(
-        max_bodies=n_bodies + 3,
-        max_colliders=n_bodies + 3,
-        max_pairs=max(12 * n_bodies, 1024),
-        max_joints=0,
-        max_verts=6,
-    )
-    world, cap = b.build(cap)
+    # capacities + grid fan-out come from the builder's scene-stat estimators
+    # (SURVEY.md §7.8.1) — no hand-tuned numbers; overflow counters backstop
+    world, cap = b.build()
     cfg = SolverConfig(dt=1 / 60, substeps=substeps, broadphase="grid",
-                       grid_cell_capacity=12)
+                       grid_cell_capacity=b.suggest_grid_cell_capacity())
     return Scene("pile", world, cap, cfg)

@@ -462,6 +462,21 @@ class WorldBuilder:
 
     # -- build ---------------------------------------------------------------
 
+    def _collider_extents(self, margin: float = 0.05):
+        """Host-side per-collider AABB extents at build poses (numpy)."""
+        exts = []
+        centers = []
+        for c in self._colliders:
+            b = self._bodies[c["body"]]
+            co, si = np.cos(b["angle"]), np.sin(b["angle"])
+            rot = np.array([[co, -si], [si, co]], np.float32)
+            wv = c["verts"] @ rot.T + b["pos"]
+            lo = wv.min(0) - c["radius"] - margin
+            hi = wv.max(0) + c["radius"] + margin
+            exts.append(hi - lo)
+            centers.append((lo + hi) / 2)
+        return np.asarray(exts, np.float32), np.asarray(centers, np.float32)
+
     def _auto_capacity(self, cap: Optional[Capacity],
                        reserve=(0, 0, 0)) -> Capacity:
         nb = len(self._bodies) + reserve[0]
@@ -473,14 +488,37 @@ class WorldBuilder:
                     or cap.max_joints < nj or cap.max_verts < nv):
                 raise ValueError("capacity too small for scene")
             return cap
-        # heuristic pair capacity: grid-local contacts average < 8/collider
+        # Pair capacity from scene stats (SURVEY.md §7.8.1 "capacity
+        # auto-sizing"): a settled 2D packing of convex bodies touches <=~8
+        # similar-size neighbors, i.e. <=4 pairs/collider counting each pair
+        # once; the speculative margin + impact transients push candidates
+        # higher, so budget 4/collider with the runtime overflow counters
+        # (diagnostics) as the backstop — a 10k pile measured 1.85 live
+        # pairs/collider settled under this margin (r2 profile).
+        max_pairs = -(-max(4 * nc, 64) // 512) * 512
         return Capacity(
             max_bodies=max(nb, 1),
             max_colliders=max(nc, 1),
-            max_pairs=max(16 * nc, 64),
+            max_pairs=max_pairs,
             max_joints=nj,
             max_verts=nv,
         )
+
+    def suggest_grid_cell_capacity(self, margin: float = 0.05) -> int:
+        """Grid-broadphase per-cell fan-out from the scene's size
+        distribution: how many of the smallest colliders can crowd one
+        broadphase cell when packed (SURVEY.md §7.8.1). Scenes pass this to
+        ``SolverConfig(grid_cell_capacity=...)`` instead of hand-tuning."""
+        if not self._colliders:
+            return 8
+        exts, _ = self._collider_extents(margin)
+        max_ext = exts.max(-1)
+        cell = 1.5 * float(np.mean(max_ext))
+        small = float(np.percentile(max_ext, 10))
+        # worst case: the smallest colliders tile a (cell + ext)^2 window
+        # whose centers hash to one cell; 1.2x safety over the packing bound
+        packed = (cell / max(small, 1e-3) + 1.0) ** 2
+        return int(max(8, np.ceil(1.2 * packed)))
 
     def build(self, capacity: Optional[Capacity] = None, reserve_bodies: int = 0,
               reserve_colliders: int = 0, reserve_joints: int = 0,

@@ -66,11 +66,53 @@ def speculative_margin(pd, bodies, cfg: SolverConfig):
     return cfg.contact_margin + cfg.dt * (spd_a + spd_b)
 
 
+def _empty_contacts(max_pairs: int) -> Contacts:
+    z = jnp.zeros((max_pairs,), jnp.float32)
+    zi = jnp.zeros((max_pairs,), jnp.int32)
+    zb = jnp.zeros((max_pairs,), bool)
+    z2 = jnp.zeros((max_pairs, 2), jnp.float32)
+    z22 = jnp.zeros((max_pairs, 2, 2), jnp.float32)
+    zb2 = jnp.zeros((max_pairs, 2), bool)
+    return Contacts(body_a=zi, body_b=zi, collider_a=zi, collider_b=zi,
+                    normal_a=z2, anchor_a=z22, anchor_b=z22, point_mask=zb2,
+                    solve_mask=zb2, friction=z, restitution=z, touching=zb,
+                    separation=z2)
+
+
+def _tiled_frame_step(world: World, cfg: SolverConfig, max_pairs: int,
+                      gravity) -> tuple[World, Contacts, Diagnostics]:
+    """Big-single-world fast path (the 10k pile) via the sorted-sweep tile
+    engine. Contact *events* are not produced on this path (the empty
+    Contacts below) — build the step with ``with_contacts=True`` to force
+    the XLA path when events are consumed."""
+    from .tiled import tiled_step
+
+    new_world, tdiag = tiled_step(world, cfg, gravity)
+    b = new_world.bodies
+    mass = jnp.where(b.inv_mass > 0, 1.0 / jnp.maximum(b.inv_mass, 1e-12), 0.0)
+    inertia = jnp.where(b.inv_inertia > 0,
+                        1.0 / jnp.maximum(b.inv_inertia, 1e-12), 0.0)
+    ke = 0.5 * jnp.sum(mass * jnp.sum(b.vel**2, axis=-1)) + 0.5 * jnp.sum(
+        inertia * b.ang_vel**2)
+    diag = Diagnostics(
+        pair_count=jnp.sum(tdiag["slot_count"], dtype=jnp.int32),  # directed
+        pair_overflow=(tdiag["slot_overflow"] + tdiag["window_overflow"]
+                       + tdiag["large_overflow"]).astype(jnp.int32),
+        cell_overflow=jnp.zeros((), jnp.int32),
+        contact_count=jnp.sum(tdiag["touched"] > 0, dtype=jnp.int32),
+        touching_count=jnp.sum(tdiag["touched"] > 0, dtype=jnp.int32),
+        max_penetration=jnp.zeros((), jnp.float32),
+        kinetic_energy=ke,
+    )
+    return new_world, _empty_contacts(max_pairs), diag
+
+
 def step(
     world: World,
     cfg: SolverConfig,
     max_pairs: int,
     gravity: Optional[jax.Array] = None,
+    allow_tiled: bool = True,
 ) -> tuple[World, Contacts, Diagnostics]:
     """Advance one frame of ``cfg.dt`` seconds. Pure function of the world.
 
@@ -78,6 +120,11 @@ def step(
     per-tick forcefield argument — SURVEY.md §3.1).
     """
     g = world.gravity if gravity is None else gravity
+    if allow_tiled:
+        from .tiled import use_tiled
+
+        if use_tiled(world, cfg):
+            return _tiled_frame_step(world, cfg, max_pairs, g)
     pairs, pd = frame_prep(world, cfg, max_pairs)
 
     # 3-5: XPBD substep loop
@@ -152,7 +199,8 @@ def make_step(
     steady state (SURVEY.md §7.8.5)."""
 
     def _full(world: World):
-        return step(world, cfg, max_pairs)
+        # events/contacts consumed: the tiled path cannot produce them
+        return step(world, cfg, max_pairs, allow_tiled=False)
 
     def _plain(world: World):
         return step(world, cfg, max_pairs)[0]

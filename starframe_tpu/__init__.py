@@ -66,6 +66,9 @@ from .parallel import batch_worlds, make_batched_step, make_sharded_step
 from .game import Game, GameState, FixedTimestep
 from .ropes import Rope, attach_rope
 from . import observer
+from . import mesh
+from . import lighting
+from .mesh import Mesh, Skeleton, Skin, AnimationClip, Animator, load_gltf
 
 __version__ = "0.1.0"
 
@@ -114,4 +117,12 @@ __all__ = [
     "Rope",
     "attach_rope",
     "observer",
+    "mesh",
+    "lighting",
+    "Mesh",
+    "Skeleton",
+    "Skin",
+    "AnimationClip",
+    "Animator",
+    "load_gltf",
 ]

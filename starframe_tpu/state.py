@@ -854,10 +854,11 @@ def _recolor_joints(world: World) -> World:
 
 def set_body_pose(world: World, body: int, pos=None, angle=None,
                   vel=None, ang_vel=None) -> World:
-    """Host-side pose/velocity override (kinematic drivers, cursor bodies)."""
+    """Host-side pose/velocity override (kinematic drivers, cursor bodies).
+    Also wakes the body (resets its sleep counter)."""
     b = world.bodies
     f32 = jnp.float32
-    kw = {}
+    kw = {"sleep_count": b.sleep_count.at[body].set(0)}
     if pos is not None:
         kw["pos"] = b.pos.at[body].set(jnp.asarray(pos, f32))
     if angle is not None:
@@ -867,6 +868,15 @@ def set_body_pose(world: World, body: int, pos=None, angle=None,
     if ang_vel is not None:
         kw["ang_vel"] = b.ang_vel.at[body].set(ang_vel)
     return dataclasses.replace(world, bodies=dataclasses.replace(b, **kw))
+
+
+def wake_body(world: World, body: int) -> World:
+    """Reset a body's sleep counter (host-side)."""
+    b = world.bodies
+    return dataclasses.replace(
+        world,
+        bodies=dataclasses.replace(b, sleep_count=b.sleep_count.at[body].set(0)),
+    )
 
 
 def expand_capacity(world: World, extra_bodies: int = 0, extra_colliders: int = 0,

@@ -118,8 +118,89 @@ def step(
 
     ``gravity`` overrides ``world.gravity`` for this frame (starframe's
     per-tick forcefield argument — SURVEY.md §3.1).
+
+    With ``cfg.sleep_velocity > 0`` the sleep system is active (starframe's
+    island sleeping, SURVEY.md §2 row 11, realized TPU-natively):
+    bodies that stay slow for ``sleep_frames`` frames freeze exactly (their
+    inverse masses are zeroed for the frame, so awake neighbors solve
+    against them as static — no drift), a touching awake body wakes them
+    the next frame (sleep propagation replaces explicit island extraction),
+    and once EVERY dynamic body sleeps the entire pipeline is skipped via
+    ``lax.cond`` — a settled scene costs ~nothing per frame.
     """
     g = world.gravity if gravity is None else gravity
+    if cfg.sleep_velocity <= 0.0:
+        return _live_step(world, cfg, max_pairs, g, allow_tiled)
+
+    b = world.bodies
+    dynamic = b.inv_mass > 0
+    asleep = (b.sleep_count >= cfg.sleep_frames) & dynamic
+    any_awake = jnp.any(dynamic & jnp.logical_not(asleep))
+
+    from .tiled import use_tiled
+
+    tiled = allow_tiled and use_tiled(world, cfg)
+
+    def live(world):
+        if tiled:
+            # the tiled path keeps true masses (sleepers would otherwise be
+            # misclassified into the static large-set); sleeping there is
+            # velocity-zeroing + the all-asleep skip below
+            return _live_step(world, cfg, max_pairs, g, allow_tiled)
+        bw = world.bodies
+        awake_f = 1.0 - asleep.astype(jnp.float32)
+        eff = dataclasses.replace(
+            world,
+            bodies=dataclasses.replace(
+                bw, inv_mass=bw.inv_mass * awake_f,
+                inv_inertia=bw.inv_inertia * awake_f),
+        )
+        nw, contacts, diag = _live_step(eff, cfg, max_pairs, g, False)
+        # restore true masses; reset the sleep counter of any body touching
+        # a FAST partner (the island rule: a body cannot sleep — and a
+        # sleeper wakes — while something moving is in contact with it;
+        # mutually-resting bodies all run their counters out together)
+        nb0 = nw.bodies
+        spd2 = jnp.sum(nb0.vel**2, axis=-1) + nb0.ang_vel**2
+        fast = dynamic & (spd2 >= cfg.sleep_velocity**2)
+        wa = contacts.touching & fast[contacts.body_b]
+        wb = contacts.touching & fast[contacts.body_a]
+        n = bw.inv_mass.shape[0]
+        wake = (
+            jnp.zeros((n,), bool)
+            .at[contacts.body_a].max(wa)
+            .at[contacts.body_b].max(wb)
+        ) & dynamic
+        nb = dataclasses.replace(
+            nb0,
+            inv_mass=bw.inv_mass,
+            inv_inertia=bw.inv_inertia,
+            sleep_count=jnp.where(wake, 0, nb0.sleep_count),
+        )
+        return dataclasses.replace(nw, bodies=nb), contacts, diag
+
+    def skip(world):
+        bw = world.bodies
+        nb = dataclasses.replace(bw, prev_pos=bw.pos, prev_angle=bw.angle)
+        nw = dataclasses.replace(world, bodies=nb,
+                                 step_count=world.step_count + 1)
+        zi = jnp.zeros((), jnp.int32)
+        zf = jnp.zeros((), jnp.float32)
+        diag = Diagnostics(pair_count=zi, pair_overflow=zi, cell_overflow=zi,
+                           contact_count=zi, touching_count=zi,
+                           max_penetration=zf, kinetic_energy=zf)
+        return nw, _empty_contacts(max_pairs), diag
+
+    return jax.lax.cond(any_awake, live, skip, world)
+
+
+def _live_step(
+    world: World,
+    cfg: SolverConfig,
+    max_pairs: int,
+    g,
+    allow_tiled: bool = True,
+) -> tuple[World, Contacts, Diagnostics]:
     if allow_tiled:
         from .tiled import use_tiled
 

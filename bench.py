@@ -82,9 +82,11 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
     pcts = {}
     if latency_reps:
         # p50/p99 single-frame step latency (the metric definition,
-        # BASELINE.json:2). Each sample is one 1-frame chunk; note the
-        # axon relay adds a ~0.5 ms fixed dispatch floor per execution,
-        # so these are conservative upper bounds on on-device latency.
+        # BASELINE.json:2). Each sample is one 1-frame dispatch INCLUDING
+        # the full host->relay->TPU round trip, which on this tunneled
+        # environment is ~30 ms regardless of kernel content — so these
+        # percentiles bound end-to-end interactive latency here, while the
+        # scan-chunk number above is the on-device per-frame cost.
         run1 = _chunk_runner(scene, 1, batched)
         w1, cs = run1(w)
         float(np.asarray(cs))  # compile + warm
@@ -99,9 +101,9 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
             "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 4),
             "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 4),
         }
-        log(f"[bench] single-frame latency over {latency_reps} reps: "
-            f"p50 {pcts['p50_ms']:.3f} ms  p99 {pcts['p99_ms']:.3f} ms "
-            f"(incl. ~0.5 ms relay dispatch floor)")
+        log(f"[bench] single-frame dispatch latency over {latency_reps} "
+            f"reps: p50 {pcts['p50_ms']:.3f} ms  p99 {pcts['p99_ms']:.3f} ms "
+            f"(dominated by the relay round trip on this environment)")
 
     if profile_dir:
         log(f"[bench] writing jax.profiler trace to {profile_dir}")

@@ -382,10 +382,13 @@ def _frame2_kernel(
 def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):
     """Worlds per program: slice storage (~26 [Wb, M] arrays per slot slice)
     is the VMEM driver."""
+    if n_worlds <= 8:
+        return n_worlds  # block == array dim: always legal
+    # Mosaic needs the sublane block dim divisible by 8: floor at 8
     wb = 16
-    while wb > 1 and (26 * c * wb * m * 4 > budget or n_worlds % wb != 0):
+    while wb > 8 and (26 * c * wb * m * 4 > budget or n_worlds % wb != 0):
         wb //= 2
-    return max(wb, 1)
+    return wb
 
 
 @functools.partial(

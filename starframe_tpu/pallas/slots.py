@@ -192,10 +192,14 @@ def build_joint_slots(jba, jbb, jactive, n_bodies: int, *, JC: int,
     count [W, N] i32)."""
     W, Jp = jba.shape
     N = n_bodies
-    Wb = worlds_per_program or max(
-        1, min(32, (2 * 1024 * 1024) // max(Jp * N * 4, 1)))
-    while W % Wb:
-        Wb -= 1
+    Wb = worlds_per_program
+    if not Wb:
+        if W <= 8:
+            Wb = W  # block == array dim: always legal
+        else:
+            Wb = 32
+            while Wb > 8 and (Jp * N * 4 * Wb > 8 * 1024 * 1024 or W % Wb):
+                Wb //= 2
 
     kernel = functools.partial(_joint_slot_kernel, JC=JC)
 
@@ -236,11 +240,15 @@ def _params():
 
 def pick_worlds_per_program(n_worlds: int, m: int, budget_bytes=32 * 1024 * 1024):
     """Worlds per program: the [Wb, M, M] mask/rank working set is the VMEM
-    driver (~20 live buffers through the rank-select)."""
+    driver (~20 live buffers through the rank-select). Mosaic requires the
+    sublane block dim be divisible by 8, so Wb never drops below 8 (the
+    raised vmem_limit_bytes absorbs the difference)."""
+    if n_worlds <= 8:
+        return n_worlds  # block == array dim: always legal
     wb = 32
-    while wb > 1 and (wb * m * m * 4 * 20 > budget_bytes or n_worlds % wb != 0):
+    while wb > 8 and (wb * m * m * 4 * 20 > budget_bytes or n_worlds % wb != 0):
         wb //= 2
-    return max(wb, 1)
+    return wb
 
 
 @functools.partial(

@@ -76,10 +76,16 @@ def _slot_kernel(
     sweep_x = jnp.abs(vx) * dt
     sweep_y = jnp.abs(vy) * dt
     pad = radius + 0.5 * margin
-    lox = lox - pad - sweep_x
-    hix = hix + pad + sweep_x
-    loy = loy - pad - sweep_y
-    hiy = hiy + pad + sweep_y
+    # close boxes: no velocity sweep — candidates overlapping these are
+    # touching/penetrating NOW and must win slots over speculative ones
+    clox = lox - pad
+    chix = hix + pad
+    cloy = loy - pad
+    chiy = hiy + pad
+    lox = clox - sweep_x
+    hix = chix + sweep_x
+    loy = cloy - sweep_y
+    hiy = chiy + sweep_y
 
     # ---- dense eligibility+overlap mask [Wb, M(partner j), M(own i)] ----
     def as_i(x):  # own/row axis: lanes
@@ -110,21 +116,34 @@ def _slot_kernel(
     # partner's row instead. Kinematic/static own rows would apply nothing.
     row_ok = (as_i(responds) > 0) | ((as_i(sensor) > 0) & (as_i(moves) > 0))
     pair_moves = (as_i(moves) > 0) | (as_j(moves) > 0)
-    mask = (ov & diff_body & layer_ok & both_active & row_ok
-            & (pair_moves | sensorish)).astype(f32)
+    elig = diff_body & layer_ok & both_active & row_ok & (pair_moves | sensorish)
+    mask = (ov & elig).astype(f32)
+    # close subset: overlapping without the velocity sweep — these are
+    # touching/penetrating and take slots FIRST, so an overflowed row drops
+    # only speculative (swept-margin) candidates, not live contacts
+    ov_close = (
+        (as_j(clox) <= as_i(chix)) & (as_i(clox) <= as_j(chix))
+        & (as_j(cloy) <= as_i(chiy)) & (as_i(cloy) <= as_j(chiy))
+    )
+    mask_close = (ov_close & elig).astype(f32) * mask
+    mask_far = mask - mask_close
 
-    # ---- rank partners within each row: one MXU dot per world ----
+    # ---- rank partners within each row (close first, then speculative) ----
     # rank[w, j, i] = #{j' < j : mask[w, j', i]} = (LT @ mask_w)[j, i]
     jj = jax.lax.broadcasted_iota(i32, (M, M), 0)
     kk = jax.lax.broadcasted_iota(i32, (M, M), 1)
     lt = (kk < jj).astype(f32)  # strictly lower triangular
-    rank = jnp.stack([
-        jax.lax.dot_general(
-            lt, mask[w], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        for w in range(Wb)
-    ])  # [Wb, M, M]
+
+    def ranks(m):
+        return jnp.stack([
+            jax.lax.dot_general(lt, m[w], (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+            for w in range(Wb)
+        ])  # [Wb, M, M]
+
+    rank_c = ranks(mask_close)
+    rank_f = ranks(mask_far)
+    cnt_c = jnp.sum(mask_close, axis=1, keepdims=True)  # [Wb, 1, M]
 
     # ---- rank-select the first C partners per row ----
     # (iota must be integer-typed for Mosaic; convert after)
@@ -132,7 +151,8 @@ def _slot_kernel(
     parts = []
     acts = []
     for c in range(C):
-        oh = jnp.where(rank == float(c), mask, 0.0)  # [Wb, M, M]
+        oh = (jnp.where(rank_c == float(c), mask_close, 0.0)
+              + jnp.where(cnt_c + rank_f == float(c), mask_far, 0.0))
         parts.append(jnp.sum(oh * j_iota, axis=1, keepdims=True))  # [Wb, 1, M]
         acts.append(jnp.sum(oh, axis=1, keepdims=True))
     partner_o[:] = jnp.concatenate(parts, axis=1).astype(i32)

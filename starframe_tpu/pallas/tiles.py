@@ -211,10 +211,16 @@ def _setup_kernel(
     pad = c_rad + 0.5 * margin
     swx = jnp.abs(c_vx) * dt
     swy = jnp.abs(c_vy) * dt
-    lox = lox - pad - swx
-    hix = hix + pad + swx
-    loy = loy - pad - swy
-    hiy = hiy + pad + swy
+    # close boxes (no velocity sweep): touching/penetrating candidates take
+    # slots before speculative swept-margin ones (graceful overflow)
+    clox = lox - pad
+    chix = hix + pad
+    cloy = loy - pad
+    chiy = hiy + pad
+    lox = clox - swx
+    hix = chix + swx
+    loy = cloy - swy
+    hiy = chiy + swy
     c_spd = jnp.sqrt(c_vx**2 + c_vy**2) + jnp.abs(c_om) * ext
 
     own_slice = lambda x: _own_lane_slice(x, t - start)
@@ -222,6 +228,10 @@ def _setup_kernel(
     o_hix = own_slice(hix)
     o_loy = own_slice(loy)
     o_hiy = own_slice(hiy)
+    o_clox = own_slice(clox)
+    o_chix = own_slice(chix)
+    o_cloy = own_slice(cloy)
+    o_chiy = own_slice(chiy)
     o_lay = own_slice(c_lay)
     o_msk = own_slice(c_msk)
 
@@ -232,6 +242,10 @@ def _setup_kernel(
     ov = (
         (as_j(lox) <= o_hix) & (o_lox <= as_j(hix))
         & (as_j(loy) <= o_hiy) & (o_loy <= as_j(hiy))
+    )
+    ov_close = (
+        (as_j(clox) <= o_chix) & (o_clox <= as_j(chix))
+        & (as_j(cloy) <= o_chiy) & (o_cloy <= as_j(chiy))
     )
     # global ids: same body <-> same id (iota worlds: collider == body)
     own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
@@ -255,16 +269,25 @@ def _setup_kernel(
     winover = ((o_lox < edge_lo[0]) | (o_hix > edge_hi[0])).astype(i32)
     winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
 
-    # ---- rank-select C partners per own body ------------------------------
+    # ---- rank-select C partners per own body (close first) ----------------
+    mask_close = ov_close.astype(f32) * mask
+    mask_far = mask - mask_close
     jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
     kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
     lt = (kk < jj).astype(f32)
-    rank = jax.lax.dot_general(lt, mask, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32)  # [S, T]
+
+    def rank_of(m):
+        return jax.lax.dot_general(lt, m, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # [S, T]
+
+    rank_c = rank_of(mask_close)
+    rank_f = rank_of(mask_far)
+    cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
     j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
     pidx, acts = [], []
     for c in range(C):
-        oh = jnp.where(rank == float(c), mask, 0.0)
+        oh = (jnp.where(rank_c == float(c), mask_close, 0.0)
+              + jnp.where(cnt_c + rank_f == float(c), mask_far, 0.0))
         pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
         acts.append(jnp.sum(oh, axis=0, keepdims=True))
     count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)

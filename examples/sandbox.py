@@ -42,6 +42,14 @@ def main():
     ap.add_argument("--render", default=None, help="directory for SVG frames")
     ap.add_argument("--render-every", type=int, default=30)
     ap.add_argument("--grab", default=None, help="x,y world point to grab/drag")
+    ap.add_argument("--cast", default=None,
+                    help="x,y dir_x,dir_y: sweep a unit circle and report "
+                         "the first hit (shape_cast demo)")
+    ap.add_argument("--lit", default=None,
+                    help="PNG path: render the final frame with the "
+                         "radiance-cascades GI pass")
+    ap.add_argument("--html", default=None,
+                    help="HTML path: write the snapshot-player viewer")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()
 
@@ -78,10 +86,28 @@ def main():
 
     from starframe_tpu.step import make_step
 
+    if args.cast:
+        # swept-shape query demo (SURVEY.md §2 row 12): a unit circle flying
+        # through the scene — e.g. a projectile trajectory probe
+        origin, direction = args.cast.split(" ") if " " in args.cast \
+            else args.cast.split(";") if ";" in args.cast else (args.cast, "1,0")
+        ox, oy = (float(v) for v in origin.split(","))
+        dx, dy = (float(v) for v in direction.split(","))
+        sh = sf.Shape.circle(0.5)
+        hit = sf.queries.shape_cast(world, sh.verts, len(sh.verts), sh.radius,
+                                    0.0, (ox, oy), (dx * 30, dy * 30))
+        if bool(hit.hit):
+            print(f"shape_cast from ({ox},{oy}): hit collider "
+                  f"{int(hit.collider)} (body {int(hit.body)}) at t="
+                  f"{float(hit.t):.3f}, point {np.asarray(hit.point)}")
+        else:
+            print(f"shape_cast from ({ox},{oy}): no hit within 30 units")
+
     step = make_step(scene.config, scene.capacity.max_pairs,
                      with_contacts=True, donate=False)
     n_frames = int(args.seconds * 60)
     events = sf.ContactEvents()
+    snapshots = []
 
     t0 = time.perf_counter()
     for f in range(n_frames):
@@ -101,6 +127,22 @@ def main():
             os.makedirs(args.render, exist_ok=True)
             sf.observer.render_svg(world, os.path.join(args.render, f"f{f:05d}.svg"),
                                    contacts=contacts)
+        if args.html and f % args.render_every == 0:
+            snapshots.append(world)
+    if args.html and snapshots:
+        sf.observer.export_html(args.html, snapshots)
+        print(f"wrote viewer: {args.html} ({len(snapshots)} frames)")
+    if args.lit:
+        # radiance-cascades GI over the final frame with a light above
+        pos = np.asarray(world.bodies.pos)
+        lo = pos.min(0) - 4.0
+        hi = pos.max(0) + 4.0
+        light = sf.lighting.Light(pos=((lo[0] + hi[0]) / 2, hi[1] - 1.0),
+                                  intensity=3.0, radius=0.8)
+        img = sf.lighting.illuminate(world, [light], lo, hi, res=256)
+        sf.lighting.save_png(args.lit, img)
+        print(f"wrote lit frame: {args.lit}")
+
     diag.assert_no_overflow()
     dt = time.perf_counter() - t0
     ke = float(np.asarray(diag.kinetic_energy))

@@ -43,9 +43,14 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
     cfg, cap = scene.config, scene.capacity
 
     def chunk(w):
+        if batched:
+            # the rollout path is the deployment shape (SURVEY.md §3.5) and
+            # enables cfg.frames_per_broadphase slot-table amortization
+            w, _ = sf.parallel.batched_rollout(w, cfg, cap.max_pairs,
+                                               n_frames, record=lambda _: ())
+            return w, jnp.sum(w.bodies.pos)
+
         def body(w, _):
-            if batched:
-                return sf.parallel.batched_step(w, cfg, cap.max_pairs), ()
             return step_fn(w, cfg, cap.max_pairs)[0], ()
 
         w, _ = jax.lax.scan(body, w, None, length=n_frames)

@@ -108,6 +108,11 @@ class SolverConfig:
     # collider->body topology (true for replicate_world / same-built scenes);
     # set False for heterogeneous batches to force the vmap path.
     batch_uniform_topology: bool = True
+    # Rollouts rebuild the slot-table broadphase every K-th frame (sweeps are
+    # inflated to stay a valid candidate superset for K frames — solved
+    # contacts are unchanged, only speculative slot pressure rises). 1 =
+    # every frame. Applies to batched_rollout on the slot-kernel path.
+    frames_per_broadphase: int = 1
 
     @property
     def h(self) -> float:

@@ -144,6 +144,9 @@ def _slot_kernel(
     rank_c = ranks(mask_close)
     rank_f = ranks(mask_far)
     cnt_c = jnp.sum(mask_close, axis=1, keepdims=True)  # [Wb, 1, M]
+    # one combined priority rank: close candidates keep their close rank,
+    # speculative ones queue after all close ones (disjoint by construction)
+    crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
 
     # ---- rank-select the first C partners per row ----
     # (iota must be integer-typed for Mosaic; convert after)
@@ -151,8 +154,7 @@ def _slot_kernel(
     parts = []
     acts = []
     for c in range(C):
-        oh = (jnp.where(rank_c == float(c), mask_close, 0.0)
-              + jnp.where(cnt_c + rank_f == float(c), mask_far, 0.0))
+        oh = jnp.where(crank == float(c), mask, 0.0)
         parts.append(jnp.sum(oh * j_iota, axis=1, keepdims=True))  # [Wb, 1, M]
         acts.append(jnp.sum(oh, axis=1, keepdims=True))
     partner_o[:] = jnp.concatenate(parts, axis=1).astype(i32)

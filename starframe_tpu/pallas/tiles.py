@@ -283,11 +283,11 @@ def _setup_kernel(
     rank_c = rank_of(mask_close)
     rank_f = rank_of(mask_far)
     cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
+    crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
     j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
     pidx, acts = [], []
     for c in range(C):
-        oh = (jnp.where(rank_c == float(c), mask_close, 0.0)
-              + jnp.where(cnt_c + rank_f == float(c), mask_far, 0.0))
+        oh = jnp.where(crank == float(c), mask, 0.0)
         pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
         acts.append(jnp.sum(oh, axis=0, keepdims=True))
     count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)

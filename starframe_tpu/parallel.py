@@ -97,25 +97,52 @@ def _frame2_arrays(worlds: World, cfg: SolverConfig):
     return body, col
 
 
-def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False):
-    """One batched frame through the slot kernels. Returns
-    ``(new_worlds, touched [W, C, M], partner [W, C, M], count [W, M])`` —
-    the slot tables back the batched contact-event API and the overflow
-    diagnostic (sum(max(count - C, 0)) must be 0 for trustworthy physics)."""
-    import dataclasses
-
-    from .pallas.frame2 import run_frame2
-    from .pallas.slots import build_joint_slots, build_slot_tables
-
+def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
+                  interpret: bool = False):
+    """Slot-table broadphase for a world batch. With ``frames > 1`` the
+    swept AABBs are inflated to stay a valid candidate superset for that
+    many frames (per-body velocity sweep over ``frames * dt`` plus the
+    velocity gravity can add over the window), so rollouts can amortize
+    this kernel across frames (FUTURE.md broadphase-reuse lever). Returns
+    (partner, slot_act, count)."""
     body, col = _frame2_arrays(worlds, cfg)
-    C = cfg.slot_capacity
-    partner, slot_act, count = build_slot_tables(
-        body["posx"], body["posy"], body["ang"], body["velx"], body["vely"],
+    vx, vy = body["velx"], body["vely"]
+    if frames > 1:
+        # conservative speed bound over the window: |v| + |g| * K * dt
+        g = jnp.abs(worlds.gravity)
+        dv = frames * cfg.dt
+        vx = jnp.abs(vx) + g[..., 0:1] * dv * body["dyn"]
+        vy = jnp.abs(vy) + g[..., 1:2] * dv * body["dyn"]
+    from .pallas.slots import build_slot_tables
+
+    return build_slot_tables(
+        body["posx"], body["posy"], body["ang"], vx, vy,
         body["responds"], body["moves"],
         col["cbody"], col["vlx"], col["vly"], col["radius"],
         col["layer"], col["lmask"], col["active"], col["sensor"],
-        C=C, margin=cfg.contact_margin, dt=cfg.dt, interpret=interpret,
+        C=cfg.slot_capacity, margin=cfg.contact_margin,
+        dt=cfg.dt * frames, interpret=interpret,
     )
+
+
+def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
+                tables=None):
+    """One batched frame through the slot kernels. Returns
+    ``(new_worlds, touched [W, C, M], partner [W, C, M], count [W, M])`` —
+    the slot tables back the batched contact-event API and the overflow
+    diagnostic (sum(max(count - C, 0)) must be 0 for trustworthy physics).
+    Pass ``tables`` (from :func:`frame2_tables`) to reuse a broadphase
+    across frames."""
+    import dataclasses
+
+    from .pallas.frame2 import run_frame2
+    from .pallas.slots import build_joint_slots
+
+    body, col = _frame2_arrays(worlds, cfg)
+    C = cfg.slot_capacity
+    if tables is None:
+        tables = frame2_tables(worlds, cfg, interpret=interpret)
+    partner, slot_act, count = tables
 
     joints = None
     JC = 0
@@ -204,9 +231,34 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     """On-device N-frame rollout of a world batch via ``lax.scan`` — the
     RL-workload shape (BASELINE.json:11): one host round trip for the whole
     trajectory. ``record(worlds) -> pytree`` picks what to stack per frame
-    (default: poses)."""
+    (default: poses).
+
+    On the slot-kernel path with ``cfg.frames_per_broadphase = K > 1``, the
+    slot tables are rebuilt every K-th frame with K-frame-inflated sweeps
+    (a candidate SUPERSET, so solved contacts — which require actual
+    proximity — are unchanged; only slot pressure rises) and carried through
+    the scan — amortizing the broadphase kernel K-fold.
+    """
     if record is None:
         record = lambda w: (w.bodies.pos, w.bodies.angle)
+
+    K = cfg.frames_per_broadphase
+    if K > 1 and use_pallas_frame2(worlds, cfg):
+        def body(carry, _):
+            w, tables, age = carry
+            tables = jax.lax.cond(
+                age == 0,
+                lambda op: frame2_tables(op[0], cfg, frames=K),
+                lambda op: op[1],
+                (w, tables),
+            )
+            w2, *_ = frame2_step(w, cfg, tables=tables)
+            return (w2, tables, (age + 1) % K), record(w2)
+
+        tables0 = frame2_tables(worlds, cfg, frames=K)
+        (final, _, _), traj = jax.lax.scan(
+            body, (worlds, tables0, jnp.int32(1)), None, length=n_frames)
+        return final, traj
 
     def body(w, _):
         w2 = batched_step(w, cfg, max_pairs)

@@ -50,7 +50,9 @@ def _single_world(n_bodies: int, substeps: int):
         max_verts=4,
     )
     world, cap = b.build(cap)
-    cfg = SolverConfig(dt=1 / 60, substeps=substeps)
+    # rollouts amortize the slot-table broadphase over 4 frames (sweeps are
+    # inflated to stay a candidate superset — parity-tested vs K=1)
+    cfg = SolverConfig(dt=1 / 60, substeps=substeps, frames_per_broadphase=4)
     return world, cap, cfg
 
 

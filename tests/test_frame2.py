@@ -310,3 +310,28 @@ def test_frame2_joints_match_xla_jacobi(interpret):
 )
 def test_frame2_joints_compiled_on_tpu():
     test_frame2_joints_match_xla_jacobi(interpret=False)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu"
+    and "TPU" not in getattr(jax.devices()[0], "device_kind", ""),
+    reason="compiled Mosaic path needs a TPU",
+)
+def test_broadphase_reuse_matches_per_frame_tables():
+    """cfg.frames_per_broadphase=K rebuilds slot tables every K-th frame
+    with K-inflated sweeps — a candidate SUPERSET, so trajectories must
+    match the every-frame-tables rollout (only fp summation order differs
+    via slot ordering)."""
+    import starframe_tpu.parallel as par
+
+    world, cap = _scene(n=128, seed=9)
+    worlds = replicate_world(world, 8)
+    cfg1 = SolverConfig(substeps=4, slot_capacity=10, frames_per_broadphase=1)
+    cfg4 = SolverConfig(substeps=4, slot_capacity=10, frames_per_broadphase=4)
+
+    r1 = jax.jit(lambda w: par.batched_rollout(w, cfg1, cap.max_pairs, 30)[0])
+    r4 = jax.jit(lambda w: par.batched_rollout(w, cfg4, cap.max_pairs, 30)[0])
+    w1 = r1(worlds)
+    w4 = r4(worlds)
+    np.testing.assert_allclose(
+        np.asarray(w4.bodies.pos), np.asarray(w1.bodies.pos), atol=2e-3)

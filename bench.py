@@ -46,15 +46,20 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
         if batched:
             # the rollout path is the deployment shape (SURVEY.md §3.5) and
             # enables cfg.frames_per_broadphase slot-table amortization
-            w, _ = sf.parallel.batched_rollout(w, cfg, cap.max_pairs,
-                                               n_frames, record=lambda _: ())
-            return w, jnp.sum(w.bodies.pos)
+            w, _, diag = sf.parallel.batched_rollout(w, cfg, cap.max_pairs,
+                                                     n_frames,
+                                                     record=lambda _: ())
+            ovf = jnp.maximum(diag["slot_overflow"], diag["joint_overflow"])
+            return w, jnp.sum(w.bodies.pos), ovf
 
-        def body(w, _):
-            return step_fn(w, cfg, cap.max_pairs)[0], ()
+        def body(carry, _):
+            w, ovf = carry
+            w2, _, d = step_fn(w, cfg, cap.max_pairs)
+            ovf = jnp.maximum(ovf, jnp.maximum(d.pair_overflow, d.cell_overflow))
+            return (w2, ovf), ()
 
-        w, _ = jax.lax.scan(body, w, None, length=n_frames)
-        return w, jnp.sum(w.bodies.pos)
+        (w, ovf), _ = jax.lax.scan(body, (w, jnp.int32(0)), None, length=n_frames)
+        return w, jnp.sum(w.bodies.pos), ovf
 
     return jax.jit(chunk)
 
@@ -68,21 +73,26 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
 
     run = _chunk_runner(scene, frames, batched)
     t0 = time.perf_counter()
-    w, cs = run(scene.world)
+    w, cs, ovf = run(scene.world)
     cs_v = float(np.asarray(cs))
     log(f"[bench] compile+first {frames}-frame chunk: "
         f"{time.perf_counter() - t0:.1f}s (checksum {cs_v:.3f})")
 
     times = []
+    overflow = int(np.asarray(ovf))
     for _ in range(reps):
         t0 = time.perf_counter()
-        w, cs = run(w)
+        w, cs, ovf = run(w)
         float(np.asarray(cs))  # force completion
         times.append(time.perf_counter() - t0)
+        overflow = max(overflow, int(np.asarray(ovf)))
     per_frame = min(times) / frames
     bps = n_body_per_frame / per_frame
     log(f"[bench] best of {reps}: {per_frame * 1e3:.3f} ms/frame | "
-        f"{bps:.3e} body-steps/s")
+        f"{bps:.3e} body-steps/s | slot_overflow={overflow}")
+    if overflow > 0:
+        log("[bench] WARNING: capacity overflow detected — physics truncated "
+            "candidates; raise slot/pair capacity (SURVEY.md §4.6)")
 
     pcts = {}
     if latency_reps:
@@ -93,12 +103,12 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         # percentiles bound end-to-end interactive latency here, while the
         # scan-chunk number above is the on-device per-frame cost.
         run1 = _chunk_runner(scene, 1, batched)
-        w1, cs = run1(w)
+        w1, cs, _ = run1(w)
         float(np.asarray(cs))  # compile + warm
         lat = []
         for _ in range(latency_reps):
             t0 = time.perf_counter()
-            w1, cs = run1(w1)
+            w1, cs, _ = run1(w1)
             float(np.asarray(cs))
             lat.append(time.perf_counter() - t0)
         lat = np.sort(np.asarray(lat))
@@ -113,8 +123,9 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
     if profile_dir:
         log(f"[bench] writing jax.profiler trace to {profile_dir}")
         with jax.profiler.trace(profile_dir):
-            w, cs = run(w)
+            w, cs, _ = run(w)
             float(np.asarray(cs))
+    pcts = dict(pcts, slot_overflow=overflow)
     return bps, per_frame, pcts
 
 

@@ -112,7 +112,16 @@ class SolverConfig:
     # inflated to stay a valid candidate superset for K frames — solved
     # contacts are unchanged, only speculative slot pressure rises). 1 =
     # every frame. Applies to batched_rollout on the slot-kernel path.
+    # A per-frame velocity guard forces an early rebuild when any body's
+    # SPEED exceeds the bound the tables were built for (impulse transfer
+    # from a faster body — the one way a body can escape its swept AABB).
     frames_per_broadphase: int = 1
+    # Extra speed headroom (m/s) added to every dynamic body's K-frame sweep
+    # bound: tolerates impulse-acquired speed up to this much without a
+    # forced rebuild, at the cost of bigger swept AABBs (more speculative
+    # slot pressure). Useful when settling scenes rebuild too often; 0 keeps
+    # sweeps tight and rebuilds on any super-gravity speed gain.
+    broadphase_speed_slack: float = 0.0
 
     @property
     def h(self) -> float:

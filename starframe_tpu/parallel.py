@@ -19,6 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    # check_vma=False: the kernel path is per-shard pallas_call work with no
+    # collectives; varying-manual-axes inference has nothing to verify and
+    # rejects closed-over constants
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
 from .config import SolverConfig
 from .state import World
 from .step import step
@@ -38,13 +46,15 @@ def world_slice(batched: World, i: int) -> World:
     return jax.tree.map(lambda x: x[i], batched)
 
 
-def use_pallas_frame2(worlds: World, cfg: SolverConfig) -> bool:
-    """Static decision: run the batched slot kernel (pallas/frame2.py)?
+def frame2_shapes_ok(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> bool:
+    """Shape/config half of the slot-kernel eligibility decision (platform-
+    independent; interpret-mode callers use this directly).
 
-    All conditions are shape/config-static so the choice is stable under
-    jit. The kernel's collider->body reduction uses world 0's topology for
-    the whole batch — ``cfg.batch_uniform_topology`` is the user's promise
-    that worlds share it (true for ``replicate_world``/same-built scenes).
+    The kernel's collider->body reduction uses world 0's topology for the
+    whole batch — ``cfg.batch_uniform_topology`` is the user's promise that
+    worlds share it (true for ``replicate_world``/same-built scenes). With
+    ``n_shards > 1`` the check applies to the per-device world count a
+    ``shard_map`` over an ``n_shards``-device mesh would see.
     """
     if cfg.use_pallas is False or not cfg.batch_uniform_topology:
         return False
@@ -55,11 +65,26 @@ def use_pallas_frame2(worlds: World, cfg: SolverConfig) -> bool:
         return False
     n, m = worlds.bodies.n, worlds.colliders.m
     w = worlds.bodies.pos.shape[0]
-    # lane gathers need 128-multiples; the dense [M, M] slot mask needs to
-    # stay VMEM-resident (big single worlds take the XLA grid path instead)
-    if n % 128 != 0 or m % 128 != 0 or m > 1024 or w % 8 != 0:
+    if w % n_shards != 0:
         return False
-    if worlds.joints.j > 1024:
+    w = w // n_shards
+    # lane gathers need 128-multiples; the dense [M, M] slot mask needs to
+    # stay VMEM-resident (big single worlds take the XLA grid path instead).
+    # The sublane (world) block dim must be divisible by 8 OR equal the array
+    # dim (Mosaic rule), so small shards (w <= 8) are fine as one block.
+    if n % 128 != 0 or m % 128 != 0 or m > 1024 or (w % 8 != 0 and w > 8):
+        return False
+    return worlds.joints.j <= 1024
+
+
+def use_pallas_frame2(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> bool:
+    """Static decision: run the batched slot kernel (pallas/frame2.py)?
+
+    All conditions are shape/config-static so the choice is stable under
+    jit: :func:`frame2_shapes_ok` plus a TPU default device (the kernels
+    only lower through Mosaic).
+    """
+    if not frame2_shapes_ok(worlds, cfg, n_shards):
         return False
     try:
         dev = jax.devices()[0]
@@ -97,22 +122,34 @@ def _frame2_arrays(worlds: World, cfg: SolverConfig):
     return body, col
 
 
+def _sweep_bounds(worlds: World, cfg: SolverConfig, K: int) -> jax.Array:
+    """Per-body speed bound ``|v| + |g| * K * dt`` the K-frame slot tables
+    are valid for ``[W, N]``. Magnitude-based (not per-component): contact
+    impulses routinely rotate velocity between components (a falling box
+    landing acquires sideways velocity), which must not invalidate the
+    tables; only a genuine SPEED gain beyond what gravity can add over the
+    window (momentum transfer from a faster body) does."""
+    b = worlds.bodies
+    g = jnp.broadcast_to(worlds.gravity, (b.pos.shape[0], 2))
+    gmag = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))  # [W, 1]
+    dyn = (b.inv_mass > 0).astype(jnp.float32)
+    speed = jnp.sqrt(jnp.sum(b.vel**2, axis=-1))
+    return speed + (gmag * (K * cfg.dt) + cfg.broadphase_speed_slack) * dyn
+
+
 def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
                   interpret: bool = False):
     """Slot-table broadphase for a world batch. With ``frames > 1`` the
     swept AABBs are inflated to stay a valid candidate superset for that
-    many frames (per-body velocity sweep over ``frames * dt`` plus the
-    velocity gravity can add over the window), so rollouts can amortize
-    this kernel across frames (FUTURE.md broadphase-reuse lever). Returns
+    many frames (per-body SPEED sweep over ``frames * dt`` plus the speed
+    gravity can add over the window, applied on both axes so impulse-rotated
+    velocity stays covered), so rollouts can amortize this kernel across
+    frames (FUTURE.md broadphase-reuse lever). Returns
     (partner, slot_act, count)."""
     body, col = _frame2_arrays(worlds, cfg)
     vx, vy = body["velx"], body["vely"]
     if frames > 1:
-        # conservative speed bound over the window: |v| + |g| * K * dt
-        g = jnp.abs(worlds.gravity)
-        dv = frames * cfg.dt
-        vx = jnp.abs(vx) + g[..., 0:1] * dv * body["dyn"]
-        vy = jnp.abs(vy) + g[..., 1:2] * dv * body["dyn"]
+        vx = vy = _sweep_bounds(worlds, cfg, frames)
     from .pallas.slots import build_slot_tables
 
     return build_slot_tables(
@@ -128,11 +165,12 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
 def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
                 tables=None):
     """One batched frame through the slot kernels. Returns
-    ``(new_worlds, touched [W, C, M], partner [W, C, M], count [W, M])`` —
-    the slot tables back the batched contact-event API and the overflow
-    diagnostic (sum(max(count - C, 0)) must be 0 for trustworthy physics).
-    Pass ``tables`` (from :func:`frame2_tables`) to reuse a broadphase
-    across frames."""
+    ``(new_worlds, touched [W, C, M], partner [W, C, M], count [W, M],
+    joint_overflow i32)`` — the slot tables back the batched contact-event
+    API and the overflow diagnostic (``max(count) - C`` must be <= 0 for
+    trustworthy physics; ``joint_overflow`` is the joint-slot analogue,
+    already reduced because joint topology is frame-static). Pass ``tables``
+    (from :func:`frame2_tables`) to reuse a broadphase across frames."""
     import dataclasses
 
     from .pallas.frame2 import run_frame2
@@ -146,6 +184,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
 
     joints = None
     JC = 0
+    joint_overflow = jnp.int32(0)
     if worlds.joints.j > 0:
         from .state import JOINT_OFF
 
@@ -161,6 +200,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
             padj(j.body_a), padj(j.body_b), jactive,
             n_bodies=worlds.bodies.n, JC=JC, interpret=interpret,
         )
+        joint_overflow = jnp.sum(jnp.maximum(jcount - JC, 0))
         joints = dict(
             jtype=padj(j.jtype), jba=padj(j.body_a), jbb=padj(j.body_b),
             jaax=padj(j.anchor_a[..., 0]), jaay=padj(j.anchor_a[..., 1]),
@@ -206,7 +246,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     new_worlds = dataclasses.replace(
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
-    return new_worlds, touched, partner, count
+    return new_worlds, touched, partner, count, joint_overflow
 
 
 def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
@@ -226,46 +266,92 @@ def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+
+
 def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
-                    n_frames: int, record=None):
+                    n_frames: int, record=None, interpret: bool = False):
     """On-device N-frame rollout of a world batch via ``lax.scan`` — the
     RL-workload shape (BASELINE.json:11): one host round trip for the whole
     trajectory. ``record(worlds) -> pytree`` picks what to stack per frame
     (default: poses).
 
+    Returns ``(final, traj, diag)``; ``diag`` carries the rollout's
+    correctness counters (silent truncation is the #1 hazard of the
+    fixed-capacity design, SURVEY.md §4.6):
+
+    - ``slot_overflow``: max over frames of ``max(count) - C`` (<= 0 means
+      no collider row ever truncated candidates);
+    - ``joint_overflow``: joint-slot analogue (0 means none);
+    - ``forced_rebuilds``: broadphase rebuilds forced by the velocity guard.
+
     On the slot-kernel path with ``cfg.frames_per_broadphase = K > 1``, the
     slot tables are rebuilt every K-th frame with K-frame-inflated sweeps
     (a candidate SUPERSET, so solved contacts — which require actual
     proximity — are unchanged; only slot pressure rises) and carried through
-    the scan — amortizing the broadphase kernel K-fold.
+    the scan — amortizing the broadphase kernel K-fold. The superset claim
+    assumes no body exceeds the speed the tables were built for; impulse
+    exchange (a projectile hitting a resting cluster) CAN violate it, so a
+    per-frame guard compares current |v| against the build-time bound and
+    forces an early rebuild when any body escapes (counted in
+    ``forced_rebuilds``).
     """
     if record is None:
         record = lambda w: (w.bodies.pos, w.bodies.angle)
 
-    K = cfg.frames_per_broadphase
-    if K > 1 and use_pallas_frame2(worlds, cfg):
+    kernel_path = (frame2_shapes_ok(worlds, cfg) if interpret
+                   else use_pallas_frame2(worlds, cfg))
+    if kernel_path:
+        K = max(cfg.frames_per_broadphase, 1)
+        C = cfg.slot_capacity
+
+        def build(w):
+            return (frame2_tables(w, cfg, frames=K, interpret=interpret),
+                    _sweep_bounds(w, cfg, K))
+
         def body(carry, _):
-            w, tables, age = carry
-            tables = jax.lax.cond(
-                age == 0,
-                lambda op: frame2_tables(op[0], cfg, frames=K),
-                lambda op: op[1],
-                (w, tables),
-            )
-            w2, *_ = frame2_step(w, cfg, tables=tables)
-            return (w2, tables, (age + 1) % K), record(w2)
+            w, tables, vbound, age, ovf, jovf, rebuilds = carry
+            if K > 1:
+                b = w.bodies
+                sp2 = jnp.sum(b.vel**2, axis=-1)
+                esc = sp2 > (vbound + 1e-5) ** 2
+                viol = jnp.any(esc & (b.inv_mass > 0))
+            else:
+                viol = jnp.bool_(False)
+            do = (age == 0) | viol
+            tables, vbound = jax.lax.cond(
+                do, lambda op: build(op[0]), lambda op: (op[1], op[2]),
+                (w, tables, vbound))
+            w2, _, _, count, j_ovf = frame2_step(w, cfg, interpret=interpret,
+                                                 tables=tables)
+            ovf = jnp.maximum(ovf, jnp.max(count) - C)
+            jovf = jnp.maximum(jovf, j_ovf)
+            rebuilds = rebuilds + (viol & (age != 0)).astype(jnp.int32)
+            age = jnp.where(do, 1, age + 1) % K
+            return (w2, tables, vbound, age, ovf, jovf, rebuilds), record(w2)
 
-        tables0 = frame2_tables(worlds, cfg, frames=K)
-        (final, _, _), traj = jax.lax.scan(
-            body, (worlds, tables0, jnp.int32(1)), None, length=n_frames)
-        return final, traj
+        tables0, vbound0 = build(worlds)
+        zero = jnp.int32(0)
+        carry0 = (worlds, tables0, vbound0, jnp.int32(1 % K),
+                  jnp.int32(-(2**31)), zero, zero)
+        (final, _, _, _, ovf, jovf, rebuilds), traj = jax.lax.scan(
+            body, carry0, None, length=n_frames)
+        diag = dict(slot_overflow=jnp.maximum(ovf, 0),
+                    joint_overflow=jovf, forced_rebuilds=rebuilds)
+        return final, traj, diag
 
-    def body(w, _):
-        w2 = batched_step(w, cfg, max_pairs)
-        return w2, record(w2)
+    def body(carry, _):
+        w, povf, covf = carry
+        w2, _, d = jax.vmap(lambda w1: step(w1, cfg, max_pairs))(w)
+        povf = jnp.maximum(povf, jnp.max(d.pair_overflow))
+        covf = jnp.maximum(covf, jnp.max(d.cell_overflow))
+        return (w2, povf, covf), record(w2)
 
-    final, traj = jax.lax.scan(body, worlds, None, length=n_frames)
-    return final, traj
+    zero = jnp.int32(0)
+    (final, povf, covf), traj = jax.lax.scan(
+        body, (worlds, zero, zero), None, length=n_frames)
+    diag = dict(slot_overflow=povf, joint_overflow=zero,
+                forced_rebuilds=zero, cell_overflow=covf)
+    return final, traj, diag
 
 
 def make_batched_rollout(cfg: SolverConfig, max_pairs: int, n_frames: int,
@@ -289,28 +375,69 @@ def shard_world(batched: World, mesh: Mesh, axis: str = "worlds") -> World:
     return jax.device_put(batched, world_sharding(mesh, batched, axis))
 
 
+def _mesh_on_tpu(mesh: Mesh) -> bool:
+    dev = next(iter(mesh.devices.flat))
+    return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
+
+
+def make_shardmap_kernel_step(
+    cfg: SolverConfig,
+    mesh: Mesh,
+    axis: str = "worlds",
+    interpret: bool = False,
+    donate: bool = True,
+):
+    """The multi-chip Pallas path: ``shard_map`` the whole-frame slot kernels
+    over the world axis, so EACH device runs ``pallas_call`` on its local
+    world shard — no GSPMD partitioning of the kernel is ever needed, and no
+    collective appears on the hot path (worlds are independent;
+    BASELINE.json:11's "per-chip number x linear scaling" argument).
+
+    ``interpret=True`` runs the kernels in Pallas interpret mode, which is
+    how the CPU-mesh tests and the driver's ``dryrun_multichip`` validate
+    this exact code path without 8 real chips.
+    """
+    spec = P(axis)
+
+    def local_step(worlds: World) -> World:
+        return frame2_step(worlds, cfg, interpret=interpret)[0]
+
+    fn = _shard_map(local_step, mesh, in_specs=spec, out_specs=spec)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
 def make_sharded_step(
     cfg: SolverConfig,
     max_pairs: int,
     mesh: Optional[Mesh] = None,
     axis: str = "worlds",
     donate: bool = True,
+    example_worlds: Optional[World] = None,
 ):
     """Jitted step over a world batch sharded across ``mesh`` on ICI.
 
-    Worlds are embarrassingly parallel (BASELINE.json:11), so XLA emits no
-    cross-chip communication inside the step; place the input with
+    Worlds are embarrassingly parallel (BASELINE.json:11), so no cross-chip
+    communication happens inside the step; place the input with
     :func:`shard_world` and the output sharding is preserved.
+
+    On a TPU mesh, batches eligible for the slot kernels (pass
+    ``example_worlds`` so eligibility is known at build time) take the
+    ``shard_map``-wrapped Pallas path (:func:`make_shardmap_kernel_step`) —
+    each chip runs the kernel on its local shard. Everything else runs the
+    XLA path under plain jit + sharding constraints.
     """
     mesh = make_mesh() if mesh is None else mesh
+    on_tpu = _mesh_on_tpu(mesh)
 
     # the whole-frame Pallas kernel only lowers on TPU; a CPU mesh (e.g. the
     # 8-virtual-device test mesh) must take the XLA path
-    mesh_dev = next(iter(mesh.devices.flat))
-    if not (mesh_dev.platform == "tpu" or "TPU" in getattr(mesh_dev, "device_kind", "")):
+    if not on_tpu:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, use_pallas=False)
+    elif example_worlds is not None and use_pallas_frame2(
+            example_worlds, cfg, n_shards=mesh.devices.size):
+        return make_shardmap_kernel_step(cfg, mesh, axis, donate=donate)
 
     def fn(worlds: World) -> World:
         return batched_step(worlds, cfg, max_pairs)
@@ -321,6 +448,36 @@ def make_sharded_step(
         return jax.lax.with_sharding_constraint(out, world_sharding(mesh, out, axis))
 
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_shardmap_kernel_rollout(
+    cfg: SolverConfig,
+    mesh: Mesh,
+    n_frames: int,
+    axis: str = "worlds",
+    interpret: bool = False,
+    record=None,
+):
+    """Multi-chip rollout: ``shard_map`` around :func:`batched_rollout`'s
+    kernel path — each device scans its own world shard for ``n_frames``
+    (one dispatch for the whole trajectory on every chip, zero collectives).
+    Overflow counters come back per-shard (leading axis = number of devices);
+    hosts reduce with ``max``. A custom ``record`` must keep the world axis
+    FIRST in each leaf it returns (trajectory leaves are stacked to
+    ``[n_frames, worlds_local, ...]`` and sharded on axis 1)."""
+    spec = P(axis)
+
+    def local_roll(worlds: World):
+        final, traj, diag = batched_rollout(
+            worlds, cfg, max_pairs=0, n_frames=n_frames, record=record,
+            interpret=interpret)
+        # per-shard counters: keep a leading axis so out_specs can shard it
+        diag = {k: v[None] for k, v in diag.items()}
+        return final, traj, diag
+
+    fn = _shard_map(local_roll, mesh, in_specs=spec,
+                    out_specs=(spec, P(None, axis), spec))
+    return jax.jit(fn)
 
 
 def global_metrics(worlds: World) -> dict:

@@ -71,8 +71,9 @@ def test_touching_keys_unique():
 def test_batched_rollout_and_determinism():
     scene = sf.scenes.batched_worlds(n_worlds=8, n_bodies=16, substeps=4)
     roll = sf.parallel.make_batched_rollout(scene.config, scene.capacity.max_pairs, 20)
-    final1, traj1 = roll(scene.world)
-    final2, traj2 = roll(scene.world)
+    final1, traj1, diag1 = roll(scene.world)
+    final2, traj2, _ = roll(scene.world)
+    assert int(np.asarray(diag1["slot_overflow"])) == 0
     # bit-exact determinism across runs (BASELINE.json:11)
     np.testing.assert_array_equal(np.asarray(final1.bodies.pos), np.asarray(final2.bodies.pos))
     np.testing.assert_array_equal(np.asarray(traj1[0]), np.asarray(traj2[0]))

@@ -148,7 +148,7 @@ def _run_parity(n_frames=3, seed=0, interpret=True):
     w_ker = worlds
     count_max = 0
     for _ in range(n_frames):
-        w_ker, touched, partner, count = frame2_step(w_ker, cfg, interpret=interpret)
+        w_ker, touched, partner, count, _ = frame2_step(w_ker, cfg, interpret=interpret)
         count_max = max(count_max, int(np.asarray(count).max()))
     assert count_max <= cfg.slot_capacity, "slot overflow during parity run"
 
@@ -179,7 +179,7 @@ def test_frame2_touch_events_match_xla_contacts():
     worlds = replicate_world(world, 2)
     w = worlds
     for _ in range(2):
-        w, touched, partner, count = frame2_step(w, cfg, interpret=True)
+        w, touched, partner, count, _ = frame2_step(w, cfg, interpret=True)
 
     # slot touches -> set of unordered collider pairs, world 0
     t = np.asarray(touched[0])  # [C, M]
@@ -288,8 +288,8 @@ def test_frame2_joints_match_xla_jacobi(interpret):
 
     w_ker = worlds
     for _ in range(3):
-        w_ker, touched, partner, count = frame2_step(w_ker, cfg,
-                                                     interpret=interpret)
+        w_ker, touched, partner, count, _ = frame2_step(
+            w_ker, cfg, interpret=interpret)
 
     w_xla = worlds
     step_v = jax.jit(jax.vmap(lambda w: step(w, cfg, cap.max_pairs)[0]))

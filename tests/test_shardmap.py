@@ -1,0 +1,231 @@
+"""Multi-chip Pallas path (VERDICT r2 item 1): the slot kernels wrapped in
+``shard_map`` over the world axis, validated on the 8-virtual-CPU mesh in
+Pallas interpret mode — the exact code path ``make_sharded_step`` takes on a
+real TPU mesh, minus Mosaic lowering (which the single-chip TPU tests pin).
+
+Also covers the K-frame broadphase velocity guard (VERDICT r2 item 4) and
+the batched-path overflow diagnostics (VERDICT r2 item 3).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import starframe_tpu as sf
+import starframe_tpu.parallel as par
+from starframe_tpu.config import Capacity, SolverConfig
+from starframe_tpu.shapes import Shape
+from starframe_tpu.state import WorldBuilder
+
+from test_frame2 import _scene
+
+
+@pytest.fixture(scope="module")
+def kernel_scene():
+    """16 worlds x 128 bodies — kernel-eligible (128-multiples) and evenly
+    shardable over 8 devices (2 worlds/shard, a legal one-block sublane dim)."""
+    return sf.scenes.batched_worlds(n_worlds=16, n_bodies=128, substeps=2)
+
+
+def test_shardmap_kernel_step_matches_unsharded(kernel_scene, cpu_devices):
+    scene = kernel_scene
+    mesh = par.make_mesh(cpu_devices[:8])
+
+    ref = par.frame2_step(
+        jax.device_put(scene.world, cpu_devices[0]), scene.config,
+        interpret=True)[0]
+
+    sstep = par.make_shardmap_kernel_step(
+        scene.config, mesh, interpret=True, donate=False)
+    out = sstep(par.shard_world(scene.world, mesh))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out.bodies.pos)),
+        np.asarray(jax.device_get(ref.bodies.pos)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out.bodies.vel)),
+        np.asarray(jax.device_get(ref.bodies.vel)), atol=1e-4)
+    # output stays distributed over all 8 devices
+    devs = {s.device for s in out.bodies.pos.addressable_shards}
+    assert len(devs) == 8
+
+
+def test_shardmap_kernel_step_has_no_collectives(kernel_scene, cpu_devices):
+    """Worlds are embarrassingly parallel: the compiled sharded step must
+    contain ZERO cross-device communication (the linear-scaling argument,
+    BASELINE.json:5)."""
+    scene = kernel_scene
+    mesh = par.make_mesh(cpu_devices[:8])
+    sstep = par.make_shardmap_kernel_step(
+        scene.config, mesh, interpret=True, donate=False)
+    txt = sstep.lower(par.shard_world(scene.world, mesh)).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all",
+               "reduce-scatter"):
+        assert op not in txt, f"unexpected collective {op} in sharded step"
+
+
+def test_shardmap_kernel_rollout_matches_unsharded(kernel_scene, cpu_devices):
+    scene = kernel_scene
+    mesh = par.make_mesh(cpu_devices[:8])
+
+    roll = par.make_shardmap_kernel_rollout(
+        scene.config, mesh, n_frames=4, interpret=True)
+    fin, traj, diag = roll(par.shard_world(scene.world, mesh))
+
+    ref_fin, ref_traj, ref_diag = jax.jit(
+        lambda w: par.batched_rollout(w, scene.config, 0, 4, interpret=True)
+    )(jax.device_put(scene.world, cpu_devices[0]))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(fin.bodies.pos)),
+        np.asarray(jax.device_get(ref_fin.bodies.pos)), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(traj[0])),
+        np.asarray(jax.device_get(ref_traj[0])), atol=1e-5)
+    # per-shard overflow counters all clean, and agree with the unsharded run
+    assert int(np.asarray(jax.device_get(diag["slot_overflow"])).max()) == 0
+    assert int(np.asarray(jax.device_get(ref_diag["slot_overflow"]))) == 0
+
+
+def test_make_sharded_step_routes_to_shardmap_on_tpu_mesh(kernel_scene):
+    """On a TPU mesh an eligible batch must take the shard_map kernel path
+    (exercised here only as the routing decision; the kernel itself is
+    covered by the interpret tests above and the TPU parity tests)."""
+    scene = kernel_scene
+    assert par.frame2_shapes_ok(scene.world, scene.config, n_shards=8)
+    # ineligible per-shard world counts fall back
+    assert not par.frame2_shapes_ok(scene.world, scene.config, n_shards=5)
+    cfg_off = dataclasses.replace(scene.config, use_pallas=False)
+    assert not par.frame2_shapes_ok(scene.world, cfg_off, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# overflow diagnostics on the batched kernel path (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+
+def _crowded_scene(n=128, cluster=8):
+    """A deliberate slot-crowder: `cluster` dynamic circles stacked in one
+    spot, so every row has cluster-1 true candidates."""
+    b = WorldBuilder(gravity=(0.0, 0.0))
+    for i in range(cluster):
+        body = b.add_body(pos=(0.01 * i, 0.01 * i))
+        b.add_collider(body, Shape.circle(0.5))
+    # spread the rest far apart
+    for i in range(n - cluster):
+        body = b.add_body(pos=(100.0 + 10.0 * i, 0.0))
+        b.add_collider(body, Shape.circle(0.3))
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
+                   max_joints=0, max_verts=4)
+    world, cap = b.build(cap)
+    return world, cap
+
+
+def test_slot_overflow_surfaces_in_rollout_diag():
+    world, cap = _crowded_scene(cluster=8)
+    worlds = par.replicate_world(world, 8)
+
+    cfg_tiny = SolverConfig(substeps=2, slot_capacity=2)
+    _, _, diag = jax.jit(
+        lambda w: par.batched_rollout(w, cfg_tiny, cap.max_pairs, 2,
+                                      interpret=True))(worlds)
+    assert int(np.asarray(diag["slot_overflow"])) > 0, (
+        "deliberately tiny slot_capacity must surface an overflow")
+
+    cfg_ok = SolverConfig(substeps=2, slot_capacity=8)
+    _, _, diag = jax.jit(
+        lambda w: par.batched_rollout(w, cfg_ok, cap.max_pairs, 2,
+                                      interpret=True))(worlds)
+    assert int(np.asarray(diag["slot_overflow"])) == 0
+
+
+def test_joint_overflow_surfaces_in_rollout_diag():
+    """A body attached to more joints than joint_slot_capacity must be
+    counted, not silently truncated."""
+    b = WorldBuilder(gravity=(0.0, 0.0))
+    hub = b.add_body(pos=(0.0, 0.0))
+    b.add_collider(hub, Shape.circle(0.2))
+    n_spokes = 6
+    for i in range(n_spokes):
+        ang = 2 * np.pi * i / n_spokes
+        sat = b.add_body(pos=(2 * np.cos(ang), 2 * np.sin(ang)))
+        b.add_collider(sat, Shape.circle(0.2))
+        b.distance_joint(hub, sat, rest=2.0)
+    n = 128
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=4 * n,
+                   max_joints=n_spokes, max_verts=4)
+    world, cap = b.build(cap)
+    worlds = par.replicate_world(world, 8)
+
+    cfg_tiny = SolverConfig(substeps=2, joint_slot_capacity=2,
+                            joint_solver="jacobi")
+    _, _, diag = jax.jit(
+        lambda w: par.batched_rollout(w, cfg_tiny, cap.max_pairs, 1,
+                                      interpret=True))(worlds)
+    assert int(np.asarray(diag["joint_overflow"])) > 0
+
+    cfg_ok = SolverConfig(substeps=2, joint_slot_capacity=8,
+                          joint_solver="jacobi")
+    _, _, diag = jax.jit(
+        lambda w: par.batched_rollout(w, cfg_ok, cap.max_pairs, 1,
+                                      interpret=True))(worlds)
+    assert int(np.asarray(diag["joint_overflow"])) == 0
+
+
+# ---------------------------------------------------------------------------
+# K-frame broadphase velocity guard (VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _projectile_scene(n=128):
+    """Momentum-transfer adversary: a fast projectile slams into a resting
+    ball which then flies toward a third resting ball several diameters away.
+    At table-build time the middle ball is at rest, so a K-frame sweep bound
+    built from its (zero) velocity can NEVER cover its post-impact flight —
+    without the guard the middle-far candidate pair is missed for the rest
+    of the window."""
+    b = WorldBuilder(gravity=(0.0, 0.0))
+    proj = b.add_body(pos=(-3.0, 0.0), vel=(40.0, 0.0))
+    b.add_collider(proj, Shape.circle(0.45), restitution=1.0)
+    mid = b.add_body(pos=(0.0, 0.0))
+    b.add_collider(mid, Shape.circle(0.45), restitution=1.0)
+    far = b.add_body(pos=(2.4, 0.0))
+    b.add_collider(far, Shape.circle(0.45), restitution=1.0)
+    for i in range(n - 3):
+        body = b.add_body(pos=(200.0 + 10.0 * i, 0.0))
+        b.add_collider(body, Shape.circle(0.3))
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
+                   max_joints=0, max_verts=4)
+    world, cap = b.build(cap)
+    return world, cap
+
+
+def test_kframe_guard_catches_momentum_transfer():
+    world, cap = _projectile_scene()
+    worlds = par.replicate_world(world, 8)
+    n_frames = 12
+
+    cfg1 = SolverConfig(substeps=4, slot_capacity=8, frames_per_broadphase=1)
+    cfgK = SolverConfig(substeps=4, slot_capacity=8, frames_per_broadphase=6)
+
+    ref, _, _ = jax.jit(
+        lambda w: par.batched_rollout(w, cfg1, cap.max_pairs, n_frames,
+                                      interpret=True))(worlds)
+    out, _, diag = jax.jit(
+        lambda w: par.batched_rollout(w, cfgK, cap.max_pairs, n_frames,
+                                      interpret=True))(worlds)
+
+    # the guard must have fired (the mid ball's impulse-acquired speed blows
+    # past its build-time bound) ...
+    assert int(np.asarray(diag["forced_rebuilds"])) > 0
+    # ... and with it, the K-frame rollout reproduces the per-frame-tables
+    # trajectory: the far ball gets hit instead of being tunneled past
+    np.testing.assert_allclose(
+        np.asarray(out.bodies.pos[:, :3]), np.asarray(ref.bodies.pos[:, :3]),
+        atol=1e-3)
+    # physical sanity: the far ball is actually moving at the end
+    far_speed = float(np.linalg.norm(np.asarray(out.bodies.vel[0, 2])))
+    assert far_speed > 1.0, "momentum never reached the far ball"

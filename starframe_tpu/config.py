@@ -61,6 +61,14 @@ class SolverConfig:
     angular_damping: float = 0.0
     # Max angular correction stability clamp (radians per substep-projection).
     max_dpos: float = 1e3
+    # PhysX-style depenetration rate limit (m/s and rad/s): position
+    # corrections are clipped to at most this * h per substep, so XPBD's
+    # velocity reconstruction (v += dx/h) can never convert a deep spawn
+    # overlap into a launch. Deep overlaps resolve over several substeps at
+    # this speed instead. 10 m/s never binds in sane scenes (resting-stack
+    # corrections reconstruct to < 1 m/s) but stops the 100+ m/s explosions
+    # unclamped corrections produce.
+    max_depenetration_velocity: float = 10.0
     # Broadphase: 'dense' (O(n^2) masked; best under ~512 colliders) or
     # 'grid' (sort-and-segment spatial hash; BASELINE.json:5 "sort-and-
     # segment pair generator"). 'auto' picks by collider capacity.
@@ -127,3 +135,11 @@ class SolverConfig:
     def h(self) -> float:
         """Substep length."""
         return self.dt / self.substeps
+
+    @property
+    def max_dpos_eff(self) -> float:
+        """Per-substep position-correction clip: the tighter of ``max_dpos``
+        and the depenetration rate limit (``max_depenetration_velocity * h``).
+        All solver tiers clip with this, which bounds reconstructed velocity
+        at ``max_depenetration_velocity``."""
+        return min(self.max_dpos, self.max_depenetration_velocity * self.h)

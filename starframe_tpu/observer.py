@@ -8,12 +8,75 @@ never call this on the hot path.
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
 from .state import World
+
+
+@dataclasses.dataclass
+class Camera:
+    """2D view transform for every viewer (SURVEY.md §2 row 15: starframe's
+    camera with zoom/pan controls). ``zoom`` is pixels per world unit;
+    ``center`` is the world point at the viewport middle; ``rotation``
+    rotates the world clockwise on screen (radians)."""
+
+    center: tuple = (0.0, 0.0)
+    zoom: float = 40.0
+    rotation: float = 0.0
+
+    def world_to_screen(self, p, size_px):
+        """[..., 2] world points -> pixel coords (y-down)."""
+        p = np.asarray(p, np.float64) - np.asarray(self.center)
+        if self.rotation:
+            c, s = math.cos(-self.rotation), math.sin(-self.rotation)
+            p = p @ np.array([[c, s], [-s, c]])
+        w, h = size_px
+        return np.stack([w / 2 + p[..., 0] * self.zoom,
+                         h / 2 - p[..., 1] * self.zoom], axis=-1)
+
+    def screen_to_world(self, q, size_px):
+        """Inverse of :meth:`world_to_screen` (mouse picking)."""
+        w, h = size_px
+        q = np.asarray(q, np.float64)
+        p = np.stack([(q[..., 0] - w / 2) / self.zoom,
+                      (h / 2 - q[..., 1]) / self.zoom], axis=-1)
+        if self.rotation:
+            c, s = math.cos(self.rotation), math.sin(self.rotation)
+            p = p @ np.array([[c, s], [-s, c]])
+        return p + np.asarray(self.center)
+
+    def view(self, size_px):
+        """Axis-aligned (xmin, ymin, xmax, ymax) covering the viewport
+        (conservative bounding box when rotated)."""
+        w, h = size_px
+        corners = self.screen_to_world(
+            np.array([[0.0, 0.0], [w, 0.0], [0.0, h], [w, h]]), size_px)
+        lo = corners.min(0)
+        hi = corners.max(0)
+        return (lo[0], lo[1], hi[0], hi[1])
+
+    def pan(self, dx_px: float, dy_px: float) -> "Camera":
+        """Camera moved by a screen-space drag (content follows the mouse)."""
+        c, s = math.cos(self.rotation), math.sin(self.rotation)
+        dw = np.array([-dx_px, dy_px]) / self.zoom
+        dw = dw @ np.array([[c, s], [-s, c]])
+        return dataclasses.replace(self, center=tuple(np.asarray(self.center) + dw))
+
+    def zoomed(self, factor: float) -> "Camera":
+        return dataclasses.replace(self, zoom=self.zoom * factor)
+
+    @staticmethod
+    def fit(lo, hi, size_px=(1280, 720), pad: float = 0.05) -> "Camera":
+        """Camera framing the world box [lo, hi]."""
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        span = np.maximum(hi - lo, 1e-6) * (1 + 2 * pad)
+        zoom = min(size_px[0] / span[0], size_px[1] / span[1])
+        return Camera(center=tuple((lo + hi) / 2), zoom=float(zoom))
 
 
 def _world_outlines(world: World, segments_per_arc: int = 8):
@@ -78,16 +141,53 @@ def _world_outlines(world: World, segments_per_arc: int = 8):
     return outlines
 
 
+@dataclasses.dataclass
+class MeshInstance:
+    """A drawable triangle mesh: ``verts`` are body-local when ``body`` is a
+    body index (pose applied at draw time — skinned verts from
+    :class:`~starframe_tpu.mesh.Animator` go here), world-space when None."""
+
+    verts: np.ndarray  # [V, 2]
+    tris: np.ndarray  # [F, 3] i32
+    body: Optional[int] = None
+    color: str = "#e0a458"
+
+
+def _mesh_world_tris(world: World, meshes: Sequence) -> list:
+    """World-space [3, 2] triangles for every mesh instance."""
+    pos = np.asarray(world.bodies.pos)
+    ang = np.asarray(world.bodies.angle)
+    out = []
+    for m in meshes:
+        if not isinstance(m, MeshInstance):
+            m = MeshInstance(*m) if isinstance(m, tuple) else MeshInstance(**m)
+        v = np.asarray(m.verts, np.float64)
+        if m.body is not None:
+            a = float(ang[m.body])
+            rot = np.array([[math.cos(a), -math.sin(a)],
+                            [math.sin(a), math.cos(a)]])
+            v = v @ rot.T + pos[m.body]
+        for f in np.asarray(m.tris):
+            out.append((v[f], m.color))
+    return out
+
+
 def render_svg(
     world: World,
     path: str,
     view: Optional[tuple] = None,
     size: int = 800,
     contacts=None,
+    camera: Optional[Camera] = None,
+    meshes: Optional[Sequence] = None,
 ) -> str:
     """Write the scene as an SVG file; returns the path. ``view`` is
-    (xmin, ymin, xmax, ymax); default = fit all active colliders."""
+    (xmin, ymin, xmax, ymax); a :class:`Camera` overrides it; default =
+    fit all active colliders. ``meshes`` draws :class:`MeshInstance`
+    triangle meshes (e.g. skinned characters) under the collider outlines."""
     outlines = _world_outlines(world)
+    if camera is not None:
+        view = camera.view((size, size))
     if view is None:
         if outlines:
             allpts = np.vstack(outlines)
@@ -109,6 +209,13 @@ def render_svg(
         f'height="{int(h * scale)}" viewBox="0 0 {w * scale:.1f} {h * scale:.1f}">',
         f'<rect width="100%" height="100%" fill="#101018"/>',
     ]
+    if meshes:
+        for tri, color in _mesh_world_tris(world, meshes):
+            pts = " ".join(f"{tx(p)[0]:.2f},{tx(p)[1]:.2f}" for p in tri)
+            lines.append(
+                f'<polygon points="{pts}" fill="{color}" fill-opacity="0.45" '
+                f'stroke="{color}" stroke-width="0.6"/>'
+            )
     for poly in outlines:
         pts = " ".join(f"{tx(p)[0]:.2f},{tx(p)[1]:.2f}" for p in poly)
         lines.append(
@@ -165,54 +272,74 @@ def render_png(world: World, path: str, view: Optional[tuple] = None, contacts=N
 # ---------------------------------------------------------------------------
 
 
-def export_html(path: str, frames, fps: int = 60, title: str = "starframe-tpu"):
+def export_html(path: str, frames, fps: int = 60, title: str = "starframe-tpu",
+                camera: Optional[Camera] = None, meshes_per_frame=None):
     """Write a standalone HTML canvas player for a recorded trajectory.
 
     ``frames`` is a sequence of :class:`~starframe_tpu.state.World` snapshots
     (or anything accepted by ``_world_outlines``). Outlines are embedded as
-    JSON; the page plays at ``fps`` with play/pause/scrub — the snapshot-fed
-    interactive viewer stand-in for starframe's windowed renderer.
+    JSON; the page plays at ``fps`` with play/pause/scrub, wheel-zoom and
+    drag-pan (the :class:`Camera` controls of SURVEY.md §2 row 15; ``camera``
+    sets the initial framing, default = fit). ``meshes_per_frame`` is an
+    optional per-frame sequence of :class:`MeshInstance` lists (e.g. skinned
+    characters) drawn as filled triangles under the outlines.
     """
     import json
 
     frame_data = []
+    mesh_data = []
     lo = np.array([np.inf, np.inf])
     hi = np.array([-np.inf, -np.inf])
-    for w in frames:
+    for fi, w in enumerate(frames):
         outlines = _world_outlines(w)
         polys = [np.round(o, 4).tolist() for o in outlines]
         frame_data.append(polys)
         for o in outlines:
             lo = np.minimum(lo, o.min(0))
             hi = np.maximum(hi, o.max(0))
+        if meshes_per_frame is not None:
+            tris = _mesh_world_tris(w, meshes_per_frame[fi])
+            mesh_data.append([[np.round(t, 4).tolist(), c] for t, c in tris])
     if not np.all(np.isfinite(lo)):
         lo, hi = np.array([-1.0, -1.0]), np.array([1.0, 1.0])
-    pad = 0.05 * max(float((hi - lo).max()), 1e-6)
-    view = dict(lo=(lo - pad).tolist(), hi=(hi + pad).tolist())
+    if camera is None:
+        camera = Camera.fit(lo, hi)
+    cam = dict(cx=float(camera.center[0]), cy=float(camera.center[1]),
+               zoom=float(camera.zoom))
 
     html = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>body{{background:#111;color:#ddd;font-family:monospace;margin:0}}
-#bar{{padding:6px}}</style></head><body>
+#bar{{padding:6px}} #cv{{cursor:grab}}</style></head><body>
 <div id="bar"><button id="play">pause</button>
 <input id="scrub" type="range" min="0" value="0" style="width:60%%">
-<span id="info"></span></div>
+<span id="info"></span>
+<span style="opacity:.6"> wheel: zoom &nbsp; drag: pan</span></div>
 <canvas id="cv" width="1280" height="720"></canvas>
 <script>
 const FRAMES = {json.dumps(frame_data)};
-const VIEW = {json.dumps(view)};
+const MESHES = {json.dumps(mesh_data)};
+const CAM = {json.dumps(cam)};
 const FPS = {fps};
 const cv = document.getElementById('cv'), ctx = cv.getContext('2d');
 const scrub = document.getElementById('scrub'); scrub.max = FRAMES.length-1;
 let f = 0, playing = true;
 function world2px(p) {{
-  const sx = cv.width/(VIEW.hi[0]-VIEW.lo[0]);
-  const sy = cv.height/(VIEW.hi[1]-VIEW.lo[1]);
-  const s = Math.min(sx, sy);
-  return [(p[0]-VIEW.lo[0])*s, cv.height-(p[1]-VIEW.lo[1])*s];
+  return [cv.width/2 + (p[0]-CAM.cx)*CAM.zoom,
+          cv.height/2 - (p[1]-CAM.cy)*CAM.zoom];
 }}
 function draw() {{
   ctx.fillStyle = '#111'; ctx.fillRect(0,0,cv.width,cv.height);
+  if (MESHES.length) {{
+    for (const [tri, color] of MESHES[f]) {{
+      ctx.beginPath();
+      tri.forEach((p,i) => {{ const q = world2px(p);
+        if (i===0) ctx.moveTo(q[0],q[1]); else ctx.lineTo(q[0],q[1]); }});
+      ctx.closePath();
+      ctx.globalAlpha = 0.5; ctx.fillStyle = color; ctx.fill();
+      ctx.globalAlpha = 1.0;
+    }}
+  }}
   ctx.strokeStyle = '#6cf'; ctx.lineWidth = 1.2;
   for (const poly of FRAMES[f]) {{
     ctx.beginPath();
@@ -221,9 +348,34 @@ function draw() {{
     ctx.stroke();
   }}
   document.getElementById('info').textContent =
-    ` frame ${{f}}/${{FRAMES.length-1}}`;
+    ` frame ${{f}}/${{FRAMES.length-1}} zoom ${{CAM.zoom.toFixed(1)}}`;
   scrub.value = f;
 }}
+cv.addEventListener('wheel', e => {{
+  e.preventDefault();
+  const k = Math.exp(-e.deltaY * 0.001);
+  // zoom about the mouse: keep the world point under the cursor fixed
+  const r = cv.getBoundingClientRect();
+  const mx = e.clientX - r.left, my = e.clientY - r.top;
+  const wx = CAM.cx + (mx - cv.width/2)/CAM.zoom;
+  const wy = CAM.cy - (my - cv.height/2)/CAM.zoom;
+  CAM.zoom *= k;
+  CAM.cx = wx - (mx - cv.width/2)/CAM.zoom;
+  CAM.cy = wy + (my - cv.height/2)/CAM.zoom;
+  draw();
+}}, {{passive: false}});
+let dragging = null;
+cv.addEventListener('mousedown', e => {{ dragging = [e.clientX, e.clientY];
+  cv.style.cursor = 'grabbing'; }});
+window.addEventListener('mouseup', () => {{ dragging = null;
+  cv.style.cursor = 'grab'; }});
+window.addEventListener('mousemove', e => {{
+  if (!dragging) return;
+  CAM.cx -= (e.clientX - dragging[0])/CAM.zoom;
+  CAM.cy += (e.clientY - dragging[1])/CAM.zoom;
+  dragging = [e.clientX, e.clientY];
+  draw();
+}});
 setInterval(() => {{ if (playing) {{ f = (f+1)%FRAMES.length; draw(); }} }},
             1000/FPS);
 document.getElementById('play').onclick = e => {{

@@ -119,6 +119,17 @@ def _lg(src, idx):
     return out[:1]
 
 
+SG = 8  # slots per sublane group: the per-slot solver math runs [SG, T]
+
+
+def _lg8(src, idx8):
+    """Slot-group gather: 8 slots' partner indices on sublanes share ONE
+    in-vreg gather from the broadcast [8, S] source — the 8x vector-
+    efficiency lever over the old per-slot [1, T] rows (FUTURE.md item 2:
+    every row op here used 1 of 8 sublanes)."""
+    return lane_gather(jnp.broadcast_to(src, (SG, src.shape[-1])), idx8)
+
+
 def _own_lane_slice(x, w):
     """Select the own tile's T lanes out of a [1, WIN*T(+L)] row by the
     scalar window offset w in {0, 1, 2} — static slices + scalar selects
@@ -310,14 +321,18 @@ def _setup_kernel(
     wvax = jnp.stack(own_wx)  # [V, 1, T]
     wvay = jnp.stack(own_wy)
 
-    cc_rows = []  # C-stacked per-slot constants  -> [1, KC*C, T]
-    c2_rows = []  # 2C-stacked (two contact points) -> [1, K2*2C, T]
-    for c in range(C):
-        pc = pidx[c].astype(i32)  # [1, T] candidate-local index
-        act = acts[c]
+    # per-slot manifolds, vectorized over SG-slot sublane groups: each group
+    # processes 8 slots as [SG, T] (one gather / one manifold batch for all 8)
+    pidx_all = jnp.concatenate(pidx, axis=0)  # [C, T] f32
+    acts_all = jnp.concatenate(acts, axis=0)
+    cc_k = [[] for _ in range(KC)]  # per-quantity group lists -> [C, T]
+    c2_q = [[] for _ in range(K2)]  # (quantity, point)-major
+    for gi in range(C // SG):
+        pc = pidx_all[gi * SG:(gi + 1) * SG].astype(i32)  # [SG, T]
+        act = acts_all[gi * SG:(gi + 1) * SG]
 
         def g(src):
-            return _lg(src, pc)
+            return _lg8(src, pc)
 
         p_px = g(c_px)
         p_py = g(c_py)
@@ -326,50 +341,63 @@ def _setup_kernel(
         pvx = [g(v) for v in c_vlx]
         pvy = [g(v) for v in c_vly]
         wvbx = jnp.stack([p_px + p_ca * pvx[v] - p_sa * pvy[v]
-                          for v in range(V)])
+                          for v in range(V)])  # [V, SG, T]
         wvby = jnp.stack([p_py + p_sa * pvx[v] + p_ca * pvy[v]
                           for v in range(V)])
         margin_eff = margin + dt * (o_spd + g(c_spd))
+        # own side stays [*, 1, T] and broadcasts against the [*, SG, T]
+        # partner group inside the manifold math
         m = manifold_batch(wvax, wvay, o_nv, o_rad,
                            wvbx, wvby, g(c_nv), g(c_rad), margin_eff)
         dxa = m.wa_x - o_px
         dya = m.wa_y - o_py
-        a_ax = o_ca * dxa + o_sa * dya
+        a_ax = o_ca * dxa + o_sa * dya  # [2, SG, T]
         a_ay = -o_sa * dxa + o_ca * dya
         dxb = m.wb_x - p_px
         dyb = m.wb_y - p_py
         b_ax = p_ca * dxb + p_sa * dyb
         b_ay = -p_sa * dxb + p_ca * dyb
-        n_ax = o_ca * m.n_x + o_sa * m.n_y
+        n_ax = o_ca * m.n_x + o_sa * m.n_y  # [SG, T]
         n_ay = -o_sa * m.n_x + o_ca * m.n_y
         pmask = m.pmask * act
         solvable = act * (1.0 - jnp.maximum(o_sen2, g(c_sen)))
         p_invm = g(c_invm)
-        cc_rows += [
+        for k, v in enumerate([
             pc.astype(f32), act, n_ax, n_ay,
-            jnp.sqrt(o_fric * g(c_fric)), jnp.maximum(o_rst, g(c_rst)),
+            jnp.sqrt(o_fric * g(c_fric)),
+            jnp.maximum(o_rst, g(c_rst)),
             p_invm, g(c_invi), (p_invm > 0).astype(f32),  # p_dyn
-        ]
-        c2_rows += [a_ax[0], a_ax[1], a_ay[0], a_ay[1],
-                    b_ax[0], b_ax[1], b_ay[0], b_ay[1],
-                    pmask[0] * solvable, pmask[1] * solvable,
-                    pmask[0], pmask[1], m.sep[0], m.sep[1]]
-    pidx_o[:] = jnp.concatenate(pidx, axis=0)[None].astype(i32)  # [1, C, T]
-    cc_o[:] = jnp.stack(cc_rows)[None].reshape(1, C * KC, T)
-    c2_o[:] = jnp.stack(c2_rows)[None].reshape(1, C * K2, T)
+        ]):
+            cc_k[k].append(v)
+        for q, v2 in enumerate([a_ax, a_ay, b_ax, b_ay,
+                                pmask * solvable, pmask, m.sep]):
+            c2_q[2 * q].append(v2[0])
+            c2_q[2 * q + 1].append(v2[1])
+    pidx_o[:] = pidx_all[None].astype(i32)  # [1, C, T]
+    # k-major layouts: row k*C + slot — group slices stay 8-aligned
+    cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
+                        )[None].reshape(1, KC * C, T)
+    c2_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in c2_q]
+                        )[None].reshape(1, K2 * C, T)
 
 
-KC = 9  # per-slot scalar constants (see cc_rows above)
-K2 = 14  # per-slot two-point constants (see c2_rows above)
+KC = 9  # per-slot scalar constants (see cc_k above)
+K2 = 14  # per-slot two-point constants (7 quantities x 2 points, see c2_q)
 
 
-def _unpack_slot(cc, c2, c, C):
-    """Rebuild the per-slot namespaces kernel 2/3 consume. cc: [1, C*KC, T];
-    c2: [1, C*K2, T]."""
-    base = c * KC
-    row = lambda k: cc[:, base + k]
-    b2 = c * K2
-    r2 = lambda k: c2[:, b2 + k]
+def _unpack_group(cc, c2, gi, C):
+    """Rebuild one SG-slot group's namespaces for kernels 2/3 — every leaf
+    is [SG, T] (or [2, SG, T] for two-point quantities). cc: [1, KC*C, T]
+    k-major; c2: [1, K2*C, T] (quantity, point)-major."""
+    lo = gi * SG
+
+    def row(k):
+        return cc[0, k * C + lo:k * C + lo + SG]  # [SG, T]
+
+    def r2(q):
+        return jnp.stack([c2[0, (2 * q) * C + lo:(2 * q) * C + lo + SG],
+                          c2[0, (2 * q + 1) * C + lo:(2 * q + 1) * C + lo + SG]])
+
     pd = SimpleNamespace(
         friction=row(4), restitution=row(5),
         inv_mass_a=None, inv_mass_b=row(6),
@@ -377,11 +405,8 @@ def _unpack_slot(cc, c2, c, C):
     )
     cb = SimpleNamespace(
         n_ax=row(2), n_ay=row(3),
-        a_ax=jnp.stack([r2(0), r2(1)]), a_ay=jnp.stack([r2(2), r2(3)]),
-        b_ax=jnp.stack([r2(4), r2(5)]), b_ay=jnp.stack([r2(6), r2(7)]),
-        solve_mask=jnp.stack([r2(8), r2(9)]),
-        pmask=jnp.stack([r2(10), r2(11)]),
-        sep=jnp.stack([r2(12), r2(13)]),
+        a_ax=r2(0), a_ay=r2(1), b_ax=r2(2), b_ay=r2(3),
+        solve_mask=r2(4), pmask=r2(5), sep=r2(6),
     )
     return SimpleNamespace(pc=row(0).astype(i32), act=row(1), p_dyn=row(8),
                            pd=pd, cb=cb)
@@ -442,17 +467,21 @@ def _project_kernel(
     opy_t = o_py + ovy_t * h
     oa_t = o_an + o_om * h
 
+    # slot-group loop: 8 slots per iteration as [SG, T] — own-side [1, T]
+    # rows broadcast against the group inside the solver math
+    oca_t = jnp.cos(oa_t)
+    osa_t = jnp.sin(oa_t)
     acc = None
-    lams = []
-    touches = []
-    for c in range(C):
-        s = _unpack_slot(cc, c2, c, C)
+    lam_groups = []  # per group [2, SG, T]
+    touch_groups = []
+    for gi in range(C // SG):
+        s = _unpack_group(cc, c2, gi, C)
         s.pd.inv_mass_a = o_invm[0]
         s.pd.inv_inertia_a = o_invi[0]
-        pc = pidx[0, c][None]
+        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
 
         def g(src):
-            return _lg(src, pc)
+            return _lg8(src, pc)
 
         p_dyn = s.p_dyn  # partner gravity response (stored at setup)
         p_px0 = g(c_px)
@@ -468,20 +497,24 @@ def _project_kernel(
         p_px_t = p_px0 + pvx_t * h
         p_py_t = p_py0 + pvy_t * h
         p_an_t = p_an0 + p_om0 * h
-        pose = PairPose(opx_t, opy_t, jnp.cos(oa_t), jnp.sin(oa_t),
+        pose = PairPose(opx_t, opy_t, oca_t, osa_t,
                         p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
         vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
-                                            compliance)
+                                            compliance)  # [4, SG, T]
         acc = vals_a if acc is None else acc + vals_a
-        lams += [lam_i[0], lam_i[1]]
-        touches.append(jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
+        lam_groups.append(lam_i)
+        touch_groups.append(
+            jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
 
-    dxx_o[0] = acc[0]
-    dxy_o[0] = acc[1]
-    dth_o[0] = acc[2]
-    cnt_o[0] = acc[3]
-    lam_o[:] = jnp.stack(lams)[None].reshape(1, 2 * C, T)
-    touch_o[:] = jnp.maximum(touch_r[:], jnp.stack(touches).reshape(1, C, T))
+    accs = jnp.sum(acc, axis=1, keepdims=True)  # slot-axis reduce -> [4, 1, T]
+    dxx_o[0] = accs[0]
+    dxy_o[0] = accs[1]
+    dth_o[0] = accs[2]
+    cnt_o[0] = accs[3]
+    # lam layout: row pt*C + slot (point-major, group slices 8-aligned)
+    lam_o[:] = jnp.concatenate(lam_groups, axis=1).reshape(2 * C, T)[None]
+    touch_o[:] = jnp.maximum(
+        touch_r[:], jnp.concatenate(touch_groups, axis=0)[None])
 
 
 # ===========================================================================
@@ -563,14 +596,14 @@ def _apply_kernel(
     o_san = jnp.sin(nan)
 
     accv = None
-    for c in range(C):
-        s = _unpack_slot(cc, c2, c, C)
+    for gi in range(C // SG):
+        s = _unpack_group(cc, c2, gi, C)
         s.pd.inv_mass_a = o_invm[0]
         s.pd.inv_inertia_a = o_invi[0]
-        pc = pidx[0, c][None]
+        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
 
         def g(src):
-            return _lg(src, pc)
+            return _lg8(src, pc)
 
         p_dyn = s.p_dyn
         p_vx0 = g(c_vx)
@@ -594,11 +627,14 @@ def _apply_kernel(
                           p_px_n, p_py_n, jnp.cos(p_an_n), jnp.sin(p_an_n))
         pvel = PairVel(nvx, nvy, nom, p_nvx, p_nvy, p_nom)
         pvel0 = PairVel(ovx_t, ovy_t, o_om, pvx_t, pvy_t, p_om0)
-        lam_c = jnp.stack([lam[:, 2 * c], lam[:, 2 * c + 1]])  # [2, 1, T]
+        lo = gi * SG
+        lam_c = jnp.stack([lam[0, lo:lo + SG],
+                           lam[0, C + lo:C + lo + SG]])  # [2, SG, T]
         cv_a, _ = velocity_contacts_b(pose_v, pvel, pvel0, s.pd, s.cb,
                                       lam_c, h, rest_threshold)
         accv = cv_a if accv is None else accv + cv_a
 
+    accv = jnp.sum(accv, axis=1, keepdims=True)  # slot-axis reduce
     cntv = jnp.maximum(accv[3], 1.0)
     nvx = nvx + accv[0] / cntv
     nvy = nvy + accv[1] / cntv
@@ -670,7 +706,10 @@ def run_tiled_frame(
     rest_threshold, lin_damp, ang_damp, interpret=False,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
-    touched [Nt, C, T], count [Nt, T], winover [Nt, T])."""
+    touched [Nt, C, T], count [Nt, T], winover [Nt, T]). ``C`` must be a
+    multiple of SG=8 (slots are processed as sublane groups; tiled.py
+    rounds the configured capacity up)."""
+    assert C % SG == 0, f"tile engine needs slot capacity % {SG} == 0, got {C}"
     Nt = state["px"].shape[0]
     params = None if interpret else pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT_TILES)

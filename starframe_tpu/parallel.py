@@ -223,7 +223,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         C=C, JC=JC, substeps=cfg.substeps, iterations=cfg.iterations,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
-        max_dpos=cfg.max_dpos, rest_threshold=cfg.restitution_threshold,
+        max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
         interpret=interpret,
     )

@@ -19,18 +19,21 @@ from .base import Scene
 
 def _single_world(n_bodies: int, substeps: int):
     b = WorldBuilder(gravity=(0.0, -9.81))
-    half_width = max(8.0, np.sqrt(n_bodies) * 0.8)
+    n_dyn = n_bodies - 3
+    cols = int(np.ceil(np.sqrt(n_dyn * 2)))
+    spacing = 1.1
+    x0 = -(cols - 1) * spacing / 2
+    # wall centers clear the spawn grid: inner face at grid extent + 0.7, so
+    # edge bodies (half-extent 0.45) spawn with a 0.25 gap instead of inside
+    # the wall (a 0.25 spawn overlap used to launch them at the
+    # depenetration-velocity cap)
+    half_width = -x0 + 1.2
     g = b.add_static(pos=(0.0, -0.5))
     b.add_collider(g, Shape.box(half_width + 2.0, 0.5), friction=0.5)
     wl = b.add_static(pos=(-half_width, 10.0))
     b.add_collider(wl, Shape.box(0.5, 20.0), friction=0.5)
     wr = b.add_static(pos=(half_width, 10.0))
     b.add_collider(wr, Shape.box(0.5, 20.0), friction=0.5)
-
-    n_dyn = n_bodies - 3
-    cols = int(np.ceil(np.sqrt(n_dyn * 2)))
-    spacing = 1.1
-    x0 = -(cols - 1) * spacing / 2
     for i in range(n_dyn):
         row, col = divmod(i, cols)
         body = b.add_body(pos=(x0 + col * spacing, 0.6 + row * spacing))

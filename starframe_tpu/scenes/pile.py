@@ -59,6 +59,12 @@ def pile(
     # capacities + grid fan-out come from the builder's scene-stat estimators
     # (SURVEY.md §7.8.1) — no hand-tuned numbers; overflow counters backstop
     world, cap = b.build()
+    # frames_per_broadphase: tiled rollouts re-sort the tile layout every
+    # K frames (the staleness guard forces earlier re-sorts when needed)
+    # slot_capacity 16: a fully settled dense pile peaks at 9-12 true
+    # candidates per collider row (measured via the overflow counter over
+    # 120 frames); 16 = the next sublane-group multiple, zero overflow
     cfg = SolverConfig(dt=1 / 60, substeps=substeps, broadphase="grid",
-                       grid_cell_capacity=b.suggest_grid_cell_capacity())
+                       grid_cell_capacity=b.suggest_grid_cell_capacity(),
+                       frames_per_broadphase=8, slot_capacity=16)
     return Scene("pile", world, cap, cfg)

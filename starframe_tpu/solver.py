@@ -335,7 +335,7 @@ def substep(
         # dynamic bodies, so corrections apply exactly (BASELINE.json:5);
         # falls back to one averaged-Jacobi pass when coloring is disabled
         if cfg.joint_solver == "colored":
-            s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos, dx, dth)
+            s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos_eff, dx, dth)
             for color in joint_iters:
                 # final batch sweeps any colors beyond the static bound;
                 # count-normalization in _apply_accum keeps that tail safe
@@ -343,13 +343,13 @@ def substep(
                 msk = (joints.color >= color) if last else (joints.color == color)
                 j_contrib = solve_joint_positions(s, bodies, joints, h, mask=msk)
                 accj = _accumulate(n_b, use_mm, *j_contrib)
-                s, dx, dth = _apply_accum(s, accj, 1.0, cfg.max_dpos, dx, dth)
+                s, dx, dth = _apply_accum(s, accj, 1.0, cfg.max_dpos_eff, dx, dth)
         else:
             j_contrib = solve_joint_positions(s, bodies, joints, h)
             accj = _accumulate(n_b, use_mm, *j_contrib)
             acc2 = _Accum(acc2.dpos + accj.dpos, acc2.dang + accj.dang,
                           acc2.count + accj.count)
-            s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos, dx, dth)
+            s, dx, dth = _apply_accum(s, acc2, cfg.relaxation, cfg.max_dpos_eff, dx, dth)
 
     # velocity reconstruction: v = ṽ + (applied corrections)/h — identical to
     # the paper's (pos - pos0)/h but free of f32 cancellation at large |pos|

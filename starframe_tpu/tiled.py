@@ -1,16 +1,29 @@
 """XLA-side glue for the sorted-sweep tile engine (pallas/tiles.py): the
-per-frame sort/permute/pad, large-set extraction, kernel invocation, and
-inverse permutation back to canonical body order.
+sort/permute/pad, large-set extraction, kernel invocation, and inverse
+permutation back to canonical body order.
 
 This is the 10k-pile fast path (BASELINE.json:2). Requirements are gated in
 :func:`use_tiled` — notably one collider per body in slot order
 (``body_idx == iota``), which the pile scene satisfies by construction.
+
+Two entry points:
+
+- :func:`tiled_step` — one frame: sort in, run, unsort out (the World-API
+  shape; the sort+permute glue costs ~2.4 ms at 10k bodies, comparable to
+  the whole frame kernel, so rollouts should NOT take this path per frame).
+- :func:`tiled_rollout` — N frames with state KEPT IN TILE LAYOUT: sort
+  once, re-sort only every ``cfg.frames_per_broadphase`` frames or when the
+  staleness guard fires. The window-completeness check is computed from
+  actual per-tile x-extrema (not assumed sortedness), so a stale sort is
+  SAFE: any body whose swept AABB could reach beyond its 3-tile window
+  forces a re-sort before the frame runs (and the in-kernel
+  ``window_overflow`` counter remains as the residual diagnostic for
+  vertical-slab configurations no sort can fix).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +57,22 @@ def use_tiled(world: World, cfg: SolverConfig) -> bool:
     return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
 
 
-def tiled_step(world: World, cfg: SolverConfig, gravity=None,
-               interpret: bool = False):
-    """One frame via the tile engine. Returns (new_world, diag_dict)."""
-    from .pallas.tiles import L, T, run_tiled_frame
+# ---------------------------------------------------------------------------
+# tile-layout entry/exit + re-sort
+# ---------------------------------------------------------------------------
+
+
+def _enter_tiles(world: World, cfg: SolverConfig):
+    """Canonical world -> (state, consts, large, body_id, large_overflow).
+
+    ``state``/``consts`` are [Nt, 1, T]-tiled ([Nt, V, T] for verts) in
+    x-sorted order; ``body_id [Mp]`` maps tile row -> canonical body index
+    (padding rows get ids >= M so an argsort of body_id restores canonical
+    order). The static large set never changes and is extracted once.
+    """
+    from .pallas.tiles import L, T
 
     b, c = world.bodies, world.colliders
-    g = world.gravity if gravity is None else gravity
     M = c.m
     n_tiles = -(-M // T)
     if n_tiles < 3:
@@ -63,13 +85,14 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     col_active = ((c.flags & COL_ACTIVE) != 0).astype(f32)
     sensor = ((c.flags & COL_SENSOR) != 0).astype(f32)
 
-    # ---- sort moving colliders by x; statics/inactive to the tail ---------
+    # sort moving colliders by x; statics/inactive/padding to the tail
     cx = b.pos[:, 0]
     key = jnp.where((col_active > 0) & (moves > 0), cx,
                     jnp.where(col_active > 0, _BIG, 2 * _BIG))
     key = jnp.concatenate([key, jnp.full((Mp - M,), 3 * _BIG, f32)])
     perm = jnp.argsort(key)  # [Mp] (stable)
-    inv_perm = jnp.argsort(perm)
+    body_id = jnp.concatenate([jnp.arange(M, dtype=i32),
+                               jnp.arange(M, Mp, dtype=i32)])[perm]
 
     def srt(x, fill=0.0):
         xp = jnp.concatenate(
@@ -87,6 +110,10 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     vlx = srt(c.verts[..., 0])  # [Mp, V]
     vly = srt(c.verts[..., 1])
     V = vlx.shape[1]
+    # conservative per-collider x-extent for the staleness guard: max vert
+    # norm + dilation radius + the narrowphase margin pad
+    ext = (jnp.max(jnp.sqrt(c.verts[..., 0] ** 2 + c.verts[..., 1] ** 2),
+                   axis=1) + c.radius + 0.5 * cfg.contact_margin)
     consts = dict(
         rad=tile2(srt(c.radius)),
         nv=tile2(srt(c.nverts)),
@@ -102,35 +129,13 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
         responds=tile2(srt(responds)),
         dynb=tile2(srt((b.inv_mass > 0).astype(f32))),
         kin=tile2(srt(kin)),
+        ext=tile2(srt(ext)),
+        sleep=tile2(srt(b.sleep_count)),
         vlx=vlx.reshape(n_tiles, T, V).transpose(0, 2, 1),
         vly=vly.reshape(n_tiles, T, V).transpose(0, 2, 1),
     )
 
-    # ---- window-miss edge bounds (conservative; SURVEY.md §4.6) -----------
-    sorted_key = key[perm]  # [Mp]
-    # the miss bound only covers colliders a window can fail to see: MOVING
-    # ones beyond it (statics ride the broadcast large channel regardless)
-    ext_bound = jnp.max(jnp.where(
-        (col_active > 0) & (moves > 0),
-        jnp.max(jnp.sqrt(c.verts[..., 0] ** 2 + c.verts[..., 1] ** 2), axis=1)
-        + c.radius + 0.5 * cfg.contact_margin
-        + jnp.abs(b.vel).max(-1) * cfg.dt,
-        0.0))
-    t_idx = jnp.arange(n_tiles)
-    start = jnp.clip(t_idx - 1, 0, n_tiles - 3)
-    after = (start + 3) * T  # first sorted index past the window
-    before = start * T - 1
-    key_after = jnp.where(after < Mp, sorted_key[jnp.minimum(after, Mp - 1)],
-                          _BIG)
-    key_before = jnp.where(before >= 0, sorted_key[jnp.maximum(before, 0)],
-                           -_BIG)
-    # beyond-window keys >= _BIG are statics/padding (large channel) — no miss
-    edge_hi = jnp.where(key_after >= _BIG, _BIG, key_after - ext_bound)
-    edge_lo = key_before + ext_bound
-    consts["edge_lo"] = jnp.broadcast_to(edge_lo[:, None, None], (n_tiles, 1, T))
-    consts["edge_hi"] = jnp.broadcast_to(edge_hi[:, None, None], (n_tiles, 1, T))
-
-    # ---- large set: static active colliders, broadcast to every tile ------
+    # large set: static active colliders, broadcast to every tile
     lkey = jnp.where((col_active > 0) & (moves == 0),
                      jnp.arange(M, dtype=i32), jnp.int32(2**30))
     lsort = jnp.sort(lkey)[:L]
@@ -148,46 +153,197 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
         lay=c.layer[lidx][None], msk=c.mask[lidx][None],
     )
     large_overflow = jnp.maximum(n_large - L, 0)
+    return state, consts, large, body_id, large_overflow
 
-    # ---- run the frame ------------------------------------------------------
-    state, touched, count, winover = run_tiled_frame(
-        state, consts, large, jnp.asarray(g, f32)[None],
-        C=cfg.slot_capacity, V=V, substeps=cfg.substeps,
+
+_RESORT_KEYS = ("rad", "nv", "fric", "rst", "sen", "act", "mov", "invm",
+                "invi", "lay", "msk", "responds", "dynb", "kin", "ext",
+                "sleep")
+
+
+def _resort(state: dict, consts: dict, body_id):
+    """Re-sort the tile layout by current x (statics/padding keep the tail)."""
+    Nt, _, T = state["px"].shape
+    Mp = Nt * T
+
+    def flat(x):
+        return x.reshape(Mp, *x.shape[3:])
+
+    act = flat(consts["act"])
+    mov = flat(consts["mov"])
+    px = flat(state["px"])
+    key = jnp.where((act > 0) & (mov > 0), px,
+                    jnp.where(act > 0, _BIG, 2 * _BIG))
+    perm = jnp.argsort(key)
+
+    def tile2(x):
+        return x.reshape(Nt, 1, T)
+
+    state = {k: tile2(flat(v)[perm]) for k, v in state.items()}
+    new_consts = {k: tile2(flat(consts[k])[perm]) for k in _RESORT_KEYS}
+    # verts are [Nt, V, T]: flatten lane-major, permute rows, retile
+    V = consts["vlx"].shape[1]
+    for k in ("vlx", "vly"):
+        v = consts[k].transpose(0, 2, 1).reshape(Mp, V)[perm]
+        new_consts[k] = v.reshape(Nt, T, V).transpose(0, 2, 1)
+    return state, new_consts, body_id[perm]
+
+
+def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
+    """Window-completeness bounds from ACTUAL per-tile x-extrema — valid for
+    any (possibly stale) ordering. Returns (edge_lo, edge_hi) [Nt, 1, T]
+    rows for the setup kernel and the tile-level staleness flag: True when
+    some live body's swept reach escapes its 3-tile window's coverage."""
+    Nt, _, T = state["px"].shape
+    px = state["px"].reshape(Nt, T)
+    vx = state["vx"].reshape(Nt, T)
+    ext = consts["ext"].reshape(Nt, T)
+    live = (consts["act"].reshape(Nt, T) > 0) & (consts["mov"].reshape(Nt, T) > 0)
+    reach = ext + jnp.abs(vx) * cfg.dt
+    hi = jnp.where(live, px + reach, -_BIG)
+    lo = jnp.where(live, px - reach, _BIG)
+    tile_hi = jnp.max(hi, axis=1)  # [Nt]
+    tile_lo = jnp.min(lo, axis=1)
+    premax = jax.lax.cummax(tile_hi)  # prefix max of tile highs
+    sufmin = jax.lax.cummin(tile_lo[::-1])[::-1]  # suffix min of tile lows
+
+    t = jnp.arange(Nt)
+    start = jnp.clip(t - 1, 0, Nt - 3)
+    right = start + 3  # first tile past the window
+    left = start - 1  # last tile before the window
+    edge_hi_t = jnp.where(right <= Nt - 1,
+                          sufmin[jnp.minimum(right, Nt - 1)], _BIG)
+    edge_lo_t = jnp.where(left >= 0, premax[jnp.maximum(left, 0)], -_BIG)
+    stale = jnp.any((tile_hi > edge_hi_t) | (tile_lo < edge_lo_t))
+    edge_lo = jnp.broadcast_to(edge_lo_t[:, None, None], (Nt, 1, T))
+    edge_hi = jnp.broadcast_to(edge_hi_t[:, None, None], (Nt, 1, T))
+    return edge_lo, edge_hi, stale
+
+
+def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
+               interpret: bool = False):
+    """One frame on tile-layout state (edge bounds recomputed, kernels run,
+    sleep applied elementwise). Returns (state', consts', diag_frame)."""
+    from .pallas.tiles import run_tiled_frame
+
+    edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg)
+    consts = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
+    V = consts["vlx"].shape[1]
+    Cs = -(-cfg.slot_capacity // 8) * 8
+    new_state, touched, count, winover = run_tiled_frame(
+        {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
+        consts, large, jnp.asarray(gravity, f32)[None],
+        C=Cs, V=V, substeps=cfg.substeps,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
-        max_dpos=cfg.max_dpos, rest_threshold=cfg.restitution_threshold,
+        max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
         interpret=interpret,
     )
-
-    # ---- back to canonical order -------------------------------------------
-    def unsort(x):
-        return x.reshape(Mp)[inv_perm][:M]
-
-    pos = jnp.stack([unsort(state["px"]), unsort(state["py"])], axis=-1)
-    angle = unsort(state["an"])
-    vel = jnp.stack([unsort(state["vx"]), unsort(state["vy"])], axis=-1)
-    ang_vel = unsort(state["om"])
-
-    sleep_count = b.sleep_count
+    consts2 = {k: v for k, v in consts.items()
+               if k not in ("edge_lo", "edge_hi")}
     if cfg.sleep_velocity > 0.0:
-        slow = (jnp.sum(vel**2, axis=-1) + ang_vel**2) < cfg.sleep_velocity**2
-        sleep_count = jnp.where(slow, sleep_count + 1, 0)
-        asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
-        vel = jnp.where(asleep[:, None], 0.0, vel)
-        ang_vel = jnp.where(asleep, 0.0, ang_vel)
-
-    new_bodies = dataclasses.replace(
-        b, pos=pos, angle=angle, vel=vel, ang_vel=ang_vel,
-        prev_pos=b.pos, prev_angle=b.angle, sleep_count=sleep_count,
-    )
-    new_world = dataclasses.replace(
-        world, bodies=new_bodies, step_count=world.step_count + 1)
+        slow = (new_state["vx"] ** 2 + new_state["vy"] ** 2
+                + new_state["om"] ** 2) < cfg.sleep_velocity ** 2
+        sleep = jnp.where(slow, consts["sleep"] + 1, 0)
+        asleep = (sleep >= cfg.sleep_frames) & (consts["invm"] > 0)
+        new_state = dict(
+            new_state,
+            vx=jnp.where(asleep, 0.0, new_state["vx"]),
+            vy=jnp.where(asleep, 0.0, new_state["vy"]),
+            om=jnp.where(asleep, 0.0, new_state["om"]),
+        )
+        consts2 = dict(consts2, sleep=sleep)
     diag = dict(
         slot_count=count,
-        slot_overflow=jnp.sum(jnp.maximum(count - cfg.slot_capacity, 0)),
+        slot_overflow=jnp.sum(jnp.maximum(count - Cs, 0)),
         window_overflow=jnp.sum(winover),
-        large_overflow=large_overflow,
         touched=touched,
     )
+    return new_state, consts2, diag
+
+
+def _exit_tiles(world: World, state: dict, consts: dict, prev: dict,
+                body_id, n_frames) -> World:
+    """Tile-layout state -> canonical World (inverse of the entry sort)."""
+    b = world.bodies
+    M = b.n
+    Mp = body_id.shape[0]
+    take = jnp.argsort(body_id)  # canonical position -> tile row
+
+    def unsort(x):
+        return x.reshape(Mp)[take][:M]
+
+    pos = jnp.stack([unsort(state["px"]), unsort(state["py"])], axis=-1)
+    vel = jnp.stack([unsort(state["vx"]), unsort(state["vy"])], axis=-1)
+    new_bodies = dataclasses.replace(
+        b, pos=pos, angle=unsort(state["an"]), vel=vel,
+        ang_vel=unsort(state["om"]),
+        prev_pos=jnp.stack([unsort(prev["px"]), unsort(prev["py"])], axis=-1),
+        prev_angle=unsort(prev["an"]),
+        sleep_count=unsort(consts["sleep"]),
+    )
+    return dataclasses.replace(
+        world, bodies=new_bodies, step_count=world.step_count + n_frames)
+
+
+def tiled_step(world: World, cfg: SolverConfig, gravity=None,
+               interpret: bool = False):
+    """One frame via the tile engine. Returns (new_world, diag_dict).
+
+    Sorts in and out every call — rollouts should use :func:`tiled_rollout`,
+    which keeps state tiled and amortizes the sort.
+    """
+    g = world.gravity if gravity is None else gravity
+    state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
+    prev = {k: state[k] for k in ("px", "py", "an")}
+    new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
+                                         interpret=interpret)
+    diag["large_overflow"] = large_ovf
+    new_world = _exit_tiles(world, new_state, consts, prev, body_id, 1)
     return new_world, diag
+
+
+def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
+                  interpret: bool = False):
+    """N frames with state kept in tile layout (one sort in, one unsort out).
+
+    Re-sorts every ``cfg.frames_per_broadphase`` frames, or EARLIER whenever
+    the staleness guard fires (some live body's swept AABB could reach x
+    beyond its 3-tile window — computed from actual per-tile extrema, so it
+    is valid however stale the ordering is). Returns
+    ``(final_world, diag)`` with scalar counters: ``slot_overflow``,
+    ``window_overflow`` (residual in-kernel misses — nonzero only for
+    vertical-slab configurations no x-sort can fix), ``forced_resorts``,
+    ``large_overflow``.
+    """
+    g = world.gravity
+    K = max(cfg.frames_per_broadphase, 1)
+    state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
+    Cs = -(-cfg.slot_capacity // 8) * 8
+
+    def body(carry, _):
+        state, consts, body_id, age, ovf, wovf, resorts = carry
+        _, _, stale = _edge_rows(state, consts, cfg)
+        do = (age == 0) | stale
+        state, consts, body_id = jax.lax.cond(
+            do, lambda op: _resort(*op), lambda op: op,
+            (state, consts, body_id))
+        prev = {k: state[k] for k in ("px", "py", "an")}
+        state, consts, diag = _run_frame(state, consts, large, cfg, g,
+                                         interpret=interpret)
+        ovf = jnp.maximum(ovf, diag["slot_overflow"])
+        wovf = jnp.maximum(wovf, diag["window_overflow"])
+        resorts = resorts + (stale & (age != 0)).astype(i32)
+        age = jnp.where(do, 1, age + 1) % K
+        return (state, consts, body_id, age, ovf, wovf, resorts), prev
+
+    zero = jnp.int32(0)
+    carry0 = (state, consts, body_id, jnp.int32(1 % K), zero, zero, zero)
+    (state, consts, body_id, _, ovf, wovf, resorts), prevs = jax.lax.scan(
+        body, carry0, None, length=n_frames)
+    prev_last = jax.tree.map(lambda x: x[-1], prevs)
+    final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
+    diag = dict(slot_overflow=ovf, window_overflow=wovf,
+                forced_resorts=resorts, large_overflow=large_ovf)
+    return final, diag

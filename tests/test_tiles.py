@@ -90,3 +90,32 @@ def test_tiled_compiled_matches_xla_on_tpu():
     assert int(np.asarray(diag["slot_overflow"])) == 0
     np.testing.assert_allclose(
         np.asarray(w_t.bodies.pos), np.asarray(w_x.bodies.pos), atol=1e-3)
+
+
+def test_tiled_rollout_matches_stepwise():
+    """tiled_rollout keeps state in tile layout and re-sorts every K frames
+    (guard-forced earlier when needed) — trajectories must match the
+    sort-every-frame tiled_step path to float-accumulation tolerance."""
+    from starframe_tpu.tiled import tiled_rollout
+
+    world, cap = _tiled_scene()
+    cfg = SolverConfig(substeps=4, iterations=1, manifold_refresh="frame",
+                       slot_capacity=8, broadphase="grid",
+                       grid_cell_capacity=10, frames_per_broadphase=4)
+
+    w_r, diag = jax.jit(
+        lambda w: tiled_rollout(w, cfg, 3, interpret=True))(world)
+    assert int(np.asarray(diag["slot_overflow"])) == 0
+    assert int(np.asarray(diag["window_overflow"])) == 0
+
+    w_s = world
+    for _ in range(3):
+        w_s, _ = tiled_step(w_s, cfg, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(w_r.bodies.pos), np.asarray(w_s.bodies.pos), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(w_r.bodies.vel), np.asarray(w_s.bodies.vel), atol=3e-2)
+    # prev pose carried for render interpolation, step_count advanced
+    assert int(np.asarray(w_r.step_count)) == 3
+    assert np.isfinite(np.asarray(w_r.bodies.prev_pos)).all()

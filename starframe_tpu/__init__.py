@@ -62,10 +62,17 @@ from . import io
 from . import queries
 from .queries import raycast, query_point, query_aabb, RayHit
 from .diagnostics import Diagnostics
-from .parallel import batch_worlds, make_batched_step, make_sharded_step
+from .parallel import (batch_worlds, batched_step_events,
+                       make_batched_rollout, make_batched_step,
+                       make_sharded_step, make_shardmap_kernel_rollout,
+                       make_shardmap_kernel_step)
+from . import parallel
+from . import tiled
+from .tiled import tiled_rollout
 from .game import Game, GameState, FixedTimestep
 from .ropes import Rope, attach_rope
 from . import observer
+from .observer import Camera, MeshInstance
 from . import mesh
 from . import lighting
 from .mesh import Mesh, Skeleton, Skin, AnimationClip, Animator, load_gltf
@@ -109,8 +116,17 @@ __all__ = [
     "despawn_joint",
     "set_body_pose",
     "batch_worlds",
+    "batched_step_events",
+    "make_batched_rollout",
     "make_batched_step",
     "make_sharded_step",
+    "make_shardmap_kernel_rollout",
+    "make_shardmap_kernel_step",
+    "parallel",
+    "tiled",
+    "tiled_rollout",
+    "Camera",
+    "MeshInstance",
     "Game",
     "GameState",
     "FixedTimestep",

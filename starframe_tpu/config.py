@@ -130,6 +130,11 @@ class SolverConfig:
     # slot pressure). Useful when settling scenes rebuild too often; 0 keeps
     # sweeps tight and rebuilds on any super-gravity speed gain.
     broadphase_speed_slack: float = 0.0
+    # Axis the tile engine sorts/cuts big single worlds along ('x' or 'y').
+    # Pick the axis the scene is WIDE in for window locality; pick the axis
+    # it SETTLES along to let whole slabs sleep (a pile settling bottom-up
+    # under 'y' lets its settled bottom tiles skip all work).
+    tile_sort_axis: str = "x"
 
     @property
     def h(self) -> float:

@@ -90,3 +90,32 @@ class ContactEvents:
     @property
     def touching(self) -> set:
         return self.started | self.persisted
+
+
+def key_event_masks(prev_keys, cur_keys):
+    """Device-side started/ended masks between consecutive frames' canonical
+    key tables (any shape; -1 marks empty slots) — the fast-path analogue of
+    :func:`diff_contacts` for the slot/tile engines (VERDICT r2 item 8).
+
+    ``started[i] = cur_keys[i] >= 0 and cur_keys[i] not in prev_keys`` and
+    symmetrically for ``ended``. Duplicate keys (dynamic-dynamic pairs occur
+    in both owner rows) simply produce the same mask value twice; reduce to
+    sets downstream when uniqueness matters."""
+    p = jnp.sort(prev_keys.reshape(-1))
+    c = jnp.sort(cur_keys.reshape(-1))
+
+    def in_sorted(arr, q):
+        i = jnp.clip(jnp.searchsorted(arr, q), 0, arr.shape[0] - 1)
+        return arr[i] == q
+
+    started = (cur_keys >= 0) & ~in_sorted(p, cur_keys)
+    ended = (prev_keys >= 0) & ~in_sorted(c, prev_keys)
+    return started, ended
+
+
+def keys_to_set(keys, n_colliders: int) -> set:
+    """Host-side set of ``(collider_a, collider_b)`` tuples from a canonical
+    key table (-1 entries skipped)."""
+    k = np.unique(np.asarray(keys).reshape(-1))
+    k = k[k >= 0]
+    return {(int(x) // n_colliders, int(x) % n_colliders) for x in k}

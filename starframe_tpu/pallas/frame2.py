@@ -81,10 +81,12 @@ def _frame2_kernel(
     C: int, JC: int, has_joints: bool, substeps: int, iterations: int,
     h: float, dt: float, margin: float, compliance: float, relaxation: float,
     max_dpos: float, rest_threshold: float, lin_damp: float, ang_damp: float,
+    joint_solver: str = "jacobi", n_colors: int = 1,
+    max_dpos_joint: float = 1e3,
 ):
     if has_joints:
         (jtype_r, jba_r, jbb_r, jaax_r, jaay_r, jabx_r, jaby_r, jrest_r,
-         jlo_r, jhi_r, jcomp_r, jdamp_r, jms_r, jmm_r,
+         jlo_r, jhi_r, jcomp_r, jdamp_r, jms_r, jmm_r, jcolor_r,
          jslot_r, jside_r, jact_r, grav_r,
          oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r, otouched_r,
          ) = rest
@@ -227,6 +229,7 @@ def _frame2_kernel(
             # angular quantities (weld rest, angle-range bounds, motor speed)
             # negate when the own body is endpoint B
             keep_rng = side_b | (ty != JOINT_ANGLE_RANGE)
+            jcol = lane_gather(jcolor_r[:], js)
             jd = SimpleNamespace(
                 jtype=ty,
                 oax=jnp.where(side_b, aax, abx),
@@ -244,7 +247,7 @@ def _frame2_kernel(
                 ii_o=invi, ii_p=lane_gather(invi, pb),
                 active=jact,
             )
-            jslices.append(SimpleNamespace(pb=pb, jd=jd))
+            jslices.append(SimpleNamespace(pb=pb, jd=jd, color=jcol))
 
     touch0 = tuple(
         jnp.max((s.cb.sep < TOUCH_SLOP).astype(f32) * s.cb.pmask, axis=0)
@@ -301,9 +304,10 @@ def _frame2_kernel(
                 lam_ns[k] = lam_ns[k] + lam_i
                 acc = vals_a if acc is None else acc + vals_a
             ab = to_bodies(acc)  # [4, Wb, N]
-            for s in jslices:  # joints: averaged Jacobi fused with contacts
-                pose, an_p = joint_pose(s, cab, sab, px, py, an)
-                ab = ab + solve_joints_b(pose, an, an_p, s.jd, h)
+            if joint_solver == "jacobi":
+                for s in jslices:  # joints: averaged Jacobi fused w/ contacts
+                    pose, an_p = joint_pose(s, cab, sab, px, py, an)
+                    ab = ab + solve_joints_b(pose, an, an_p, s.jd, h)
             cnt = jnp.maximum(ab[3], 1.0)
             ddx = jnp.clip(ab[0] * relaxation / cnt, -max_dpos, max_dpos)
             ddy = jnp.clip(ab[1] * relaxation / cnt, -max_dpos, max_dpos)
@@ -314,6 +318,39 @@ def _frame2_kernel(
             dxx = dxx + ddx
             dxy = dxy + ddy
             dth = dth + dda
+            if jslices and joint_solver == "colored":
+                # graph-colored Gauss-Seidel (BASELINE.json:5): same-color
+                # joints share no dynamic body, so each color batch applies
+                # EXACTLY; poses refresh between colors. Mirrors
+                # solver.substep's colored branch; the final color sweeps
+                # any colors beyond the static bound (count-normalized).
+                for color in range(n_colors):
+                    cab2, sab2 = jnp.cos(an), jnp.sin(an)
+                    last = color == n_colors - 1
+                    abj = None
+                    for s in jslices:
+                        cmask = (s.color >= color) if last else (
+                            s.color == color)
+                        jd = SimpleNamespace(**vars(s.jd))
+                        jd.active = s.jd.active * cmask.astype(f32)
+                        pose, an_p = joint_pose(s, cab2, sab2, px, py, an)
+                        v = solve_joints_b(pose, an, an_p, jd, h)
+                        abj = v if abj is None else abj + v
+                    cntj = jnp.maximum(abj[3], 1.0)
+                    # joints are constraint maintenance, not depenetration:
+                    # clipped by the raw max_dpos, not the rate cap
+                    jdx = jnp.clip(abj[0] / cntj, -max_dpos_joint,
+                                   max_dpos_joint)
+                    jdy = jnp.clip(abj[1] / cntj, -max_dpos_joint,
+                                   max_dpos_joint)
+                    jda = jnp.clip(abj[2] / cntj, -max_dpos_joint,
+                                   max_dpos_joint)
+                    px = px + jdx
+                    py = py + jdy
+                    an = an + jda
+                    dxx = dxx + jdx
+                    dxy = dxy + jdy
+                    dth = dth + jda
 
         # velocity reconstruction (kinematic bodies keep their velocity)
         nk = 1.0 - kin
@@ -396,6 +433,7 @@ def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):
     static_argnames=(
         "C", "JC", "substeps", "iterations", "h", "dt", "margin", "compliance",
         "relaxation", "max_dpos", "rest_threshold", "lin_damp", "ang_damp",
+        "joint_solver", "n_colors", "max_dpos_joint",
         "worlds_per_program", "interpret",
     ),
 )
@@ -407,6 +445,8 @@ def run_frame2(
     gravity=None,  # [W, 2]
     *, C, JC=0, substeps, iterations, h, dt, margin, compliance, relaxation,
     max_dpos, rest_threshold, lin_damp, ang_damp,
+    joint_solver: str = "jacobi", n_colors: int = 1,
+    max_dpos_joint: float = 1e3,
     worlds_per_program: int = 0, interpret: bool = False,
 ):
     """Run one frame's XPBD substeps for a world batch. Returns
@@ -421,7 +461,8 @@ def run_frame2(
         _frame2_kernel, C=C, JC=JC, has_joints=has_joints, substeps=substeps,
         iterations=iterations, h=h, dt=dt, margin=margin, compliance=compliance,
         relaxation=relaxation, max_dpos=max_dpos, rest_threshold=rest_threshold,
-        lin_damp=lin_damp, ang_damp=ang_damp,
+        lin_damp=lin_damp, ang_damp=ang_damp, joint_solver=joint_solver,
+        n_colors=n_colors, max_dpos_joint=max_dpos_joint,
     )
 
     def nspec():
@@ -460,7 +501,8 @@ def run_frame2(
                                 memory_space=pltpu.VMEM)
 
         keys = ["jtype", "jba", "jbb", "jaax", "jaay", "jabx", "jaby",
-                "jrest", "jlo", "jhi", "jcomp", "jdamp", "jms", "jmm"]
+                "jrest", "jlo", "jhi", "jcomp", "jdamp", "jms", "jmm",
+                "jcolor"]
         in_specs += [jpspec() for _ in keys] + [jcspec()] * 3
         args += [joints[k] for k in keys]
         args += [joints["jslot"], joints["jside"], joints["jact"]]

@@ -20,12 +20,21 @@ import jax.numpy as jnp
 
 LANES = 128
 
+# Debug bounds mode (VERDICT r2 item 10): out-of-range indices normally read
+# ``src[..., 0]`` (deterministic, masked by every caller); with DEBUG_OOB on,
+# float gathers return NaN for OOB lanes instead, so an UNMASKED bad call
+# site poisons its outputs loudly (tests run a representative frame under
+# this flag to prove the shipped call sites never leak an OOB read).
+DEBUG_OOB = False
+
 
 def lane_gather(src, idx):
     """``out[..., q] = src[..., idx[..., q]]`` along the last (lane) axis.
 
     src: ``[..., S]`` float/int array; idx: ``[..., Q]`` int32 with values in
-    ``[0, S)`` (out-of-range values read chunk-0 garbage — callers mask).
+    ``[0, S)``. Out-of-range values deterministically read ``src[..., 0]``
+    (all chunk in-range masks are false, so the chunk-0 take at clamped
+    index 0 survives) — callers mask; ``DEBUG_OOB`` makes them NaN instead.
     S and Q must be multiples of 128 and the leading dims must match.
     """
     S = src.shape[-1]
@@ -42,5 +51,7 @@ def lane_gather(src, idx):
             chunk = src[..., LANES * c: LANES * (c + 1)]
             g = jnp.take_along_axis(chunk, jnp.where(inr, ic, 0), axis=-1)
             acc = g if acc is None else jnp.where(inr, g, acc)
+        if DEBUG_OOB and jnp.issubdtype(src.dtype, jnp.floating):
+            acc = jnp.where((ik >= 0) & (ik < S), acc, jnp.nan)
         cols.append(acc)
     return cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=-1)

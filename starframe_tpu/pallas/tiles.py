@@ -161,224 +161,270 @@ def _setup_kernel(
     l_px, l_py, l_an, l_vlx, l_vly, l_rad, l_nv, l_fric, l_rst, l_sen,
     l_act, l_lay, l_msk,
     # scalars
-    edge_lo, edge_hi,  # [n_tiles, 1] window x-bounds rows (own spec)
+    edge_lo, edge_hi,  # [n_tiles, 1] window sort-axis bounds rows (own spec)
+    tile_live,  # [n_tiles, 1, T] 0/1: any awake body in this tile's window
     # outputs
-    pidx_o, cc_o, c2_o, count_o, winover_o,
+    pidx_o, cc_o, c2_o, count_o, winover_o, wake_o, pen_o,
     *, C: int, V: int, margin: float, dt: float, n_tiles: int,
+    sleep_velocity: float, sort_axis: int,
 ):
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
+    live = jnp.max(tile_live[0]) > 0.0
 
-    def win(a, b, c):
-        return _concat_window([a[0], b[0], c[0]])
+    # skipped (all-asleep-window) tiles: zero outputs, no compute — the
+    # island-granular work saving (SURVEY.md §2 row 11); sleeping tiles'
+    # bodies are frozen so their tables would be unused anyway
+    pidx_o[:] = jnp.zeros_like(pidx_o)
+    cc_o[:] = jnp.zeros_like(cc_o)
+    c2_o[:] = jnp.zeros_like(c2_o)
+    count_o[0] = jnp.zeros((1, T), i32)
+    winover_o[0] = jnp.zeros((1, T), i32)
+    wake_o[0] = jnp.zeros((1, T), f32)
+    pen_o[0] = jnp.zeros((1, T), f32)
 
-    # ---- candidate row: window (3T) + large (L) on the lane axis ----------
-    def wl(w3, lg):  # [1, 3T] + [1, L] -> [1, 3T+L]
-        return jnp.concatenate([w3, lg[:]], axis=-1)
+    @pl.when(live)
+    def _setup_body():
+        def win(a, b, c):
+            return _concat_window([a[0], b[0], c[0]])
 
-    c_px = wl(win(px0, px1, px2), l_px)
-    c_py = wl(win(py0, py1, py2), l_py)
-    c_an = wl(win(an0, an1, an2), l_an)
-    c_vx = wl(win(vx0, vx1, vx2), jnp.zeros_like(l_px[:]))
-    c_vy = wl(win(vy0, vy1, vy2), jnp.zeros_like(l_px[:]))
-    c_om = wl(win(om0, om1, om2), jnp.zeros_like(l_px[:]))
-    c_rad = wl(win(rad0, rad1, rad2), l_rad)
-    c_nv = wl(win(nv0, nv1, nv2), l_nv)
-    c_fric = wl(win(fric0, fric1, fric2), l_fric)
-    c_rst = wl(win(rst0, rst1, rst2), l_rst)
-    c_sen = wl(win(sen0, sen1, sen2), l_sen)
-    c_act = wl(win(act0, act1, act2), l_act)
-    # window candidates must MOVE (statics ride the large channel only —
-    # that is what prevents double-counting them)
-    c_part = wl(win(mov0, mov1, mov2), l_act)
-    c_invm = wl(win(invm0, invm1, invm2), jnp.zeros_like(l_px[:]))
-    c_invi = wl(win(invi0, invi1, invi2), jnp.zeros_like(l_px[:]))
-    c_lay = wl(win(lay0, lay1, lay2), l_lay)
-    c_msk = wl(win(msk0, msk1, msk2), l_msk)
-    def winv(a, b, c):  # verts are pre-sliced [1, T] arrays, not refs
-        return jnp.concatenate([a, b, c], axis=-1)
+        # ---- candidate row: window (3T) + large (L) on the lane axis ----------
+        def wl(w3, lg):  # [1, 3T] + [1, L] -> [1, 3T+L]
+            return jnp.concatenate([w3, lg[:]], axis=-1)
 
-    c_vlx = [wl(winv(vlx_w0[:, v], vlx_w1[:, v], vlx_w2[:, v]), l_vlx[:, v])
-             for v in range(V)]
-    c_vly = [wl(winv(vly_w0[:, v], vly_w1[:, v], vly_w2[:, v]), l_vly[:, v])
-             for v in range(V)]
+        c_px = wl(win(px0, px1, px2), l_px)
+        c_py = wl(win(py0, py1, py2), l_py)
+        c_an = wl(win(an0, an1, an2), l_an)
+        c_vx = wl(win(vx0, vx1, vx2), jnp.zeros_like(l_px[:]))
+        c_vy = wl(win(vy0, vy1, vy2), jnp.zeros_like(l_px[:]))
+        c_om = wl(win(om0, om1, om2), jnp.zeros_like(l_px[:]))
+        c_rad = wl(win(rad0, rad1, rad2), l_rad)
+        c_nv = wl(win(nv0, nv1, nv2), l_nv)
+        c_fric = wl(win(fric0, fric1, fric2), l_fric)
+        c_rst = wl(win(rst0, rst1, rst2), l_rst)
+        c_sen = wl(win(sen0, sen1, sen2), l_sen)
+        c_act = wl(win(act0, act1, act2), l_act)
+        # window candidates must MOVE (statics ride the large channel only —
+        # that is what prevents double-counting them)
+        c_part = wl(win(mov0, mov1, mov2), l_act)
+        c_invm = wl(win(invm0, invm1, invm2), jnp.zeros_like(l_px[:]))
+        c_invi = wl(win(invi0, invi1, invi2), jnp.zeros_like(l_px[:]))
+        c_lay = wl(win(lay0, lay1, lay2), l_lay)
+        c_msk = wl(win(msk0, msk1, msk2), l_msk)
+        def winv(a, b, c):  # verts are pre-sliced [1, T] arrays, not refs
+            return jnp.concatenate([a, b, c], axis=-1)
 
-    S = WIN * T + L
-    c_ca = jnp.cos(c_an)
-    c_sa = jnp.sin(c_an)
+        c_vlx = [wl(winv(vlx_w0[:, v], vlx_w1[:, v], vlx_w2[:, v]), l_vlx[:, v])
+                 for v in range(V)]
+        c_vly = [wl(winv(vly_w0[:, v], vly_w1[:, v], vly_w2[:, v]), l_vly[:, v])
+                 for v in range(V)]
 
-    # candidate swept AABBs + speed bound (lane form [1, S])
-    lox = hix = loy = hiy = ext = None
-    for v in range(V):
-        wx = c_px + c_ca * c_vlx[v] - c_sa * c_vly[v]
-        wy = c_py + c_sa * c_vlx[v] + c_ca * c_vly[v]
-        lox = wx if lox is None else jnp.minimum(lox, wx)
-        hix = wx if hix is None else jnp.maximum(hix, wx)
-        loy = wy if loy is None else jnp.minimum(loy, wy)
-        hiy = wy if hiy is None else jnp.maximum(hiy, wy)
-        d = jnp.sqrt(c_vlx[v] ** 2 + c_vly[v] ** 2)
-        ext = d if ext is None else jnp.maximum(ext, d)
-    ext = ext + c_rad
-    pad = c_rad + 0.5 * margin
-    swx = jnp.abs(c_vx) * dt
-    swy = jnp.abs(c_vy) * dt
-    # close boxes (no velocity sweep): touching/penetrating candidates take
-    # slots before speculative swept-margin ones (graceful overflow)
-    clox = lox - pad
-    chix = hix + pad
-    cloy = loy - pad
-    chiy = hiy + pad
-    lox = clox - swx
-    hix = chix + swx
-    loy = cloy - swy
-    hiy = chiy + swy
-    c_spd = jnp.sqrt(c_vx**2 + c_vy**2) + jnp.abs(c_om) * ext
+        S = WIN * T + L
+        c_ca = jnp.cos(c_an)
+        c_sa = jnp.sin(c_an)
 
-    own_slice = lambda x: _own_lane_slice(x, t - start)
-    o_lox = own_slice(lox)
-    o_hix = own_slice(hix)
-    o_loy = own_slice(loy)
-    o_hiy = own_slice(hiy)
-    o_clox = own_slice(clox)
-    o_chix = own_slice(chix)
-    o_cloy = own_slice(cloy)
-    o_chiy = own_slice(chiy)
-    o_lay = own_slice(c_lay)
-    o_msk = own_slice(c_msk)
+        # candidate swept AABBs + speed bound (lane form [1, S])
+        lox = hix = loy = hiy = ext = None
+        for v in range(V):
+            wx = c_px + c_ca * c_vlx[v] - c_sa * c_vly[v]
+            wy = c_py + c_sa * c_vlx[v] + c_ca * c_vly[v]
+            lox = wx if lox is None else jnp.minimum(lox, wx)
+            hix = wx if hix is None else jnp.maximum(hix, wx)
+            loy = wy if loy is None else jnp.minimum(loy, wy)
+            hiy = wy if hiy is None else jnp.maximum(hiy, wy)
+            d = jnp.sqrt(c_vlx[v] ** 2 + c_vly[v] ** 2)
+            ext = d if ext is None else jnp.maximum(ext, d)
+        ext = ext + c_rad
+        pad = c_rad + 0.5 * margin
+        swx = jnp.abs(c_vx) * dt
+        swy = jnp.abs(c_vy) * dt
+        # close boxes (no velocity sweep): touching/penetrating candidates take
+        # slots before speculative swept-margin ones (graceful overflow)
+        clox = lox - pad
+        chix = hix + pad
+        cloy = loy - pad
+        chiy = hiy + pad
+        lox = clox - swx
+        hix = chix + swx
+        loy = cloy - swy
+        hiy = chiy + swy
+        c_spd = jnp.sqrt(c_vx**2 + c_vy**2) + jnp.abs(c_om) * ext
 
-    # ---- dense candidate mask [S, T]: candidate j (sublanes) x own i ------
-    def as_j(x):  # [1, S] -> [S, 1]
-        return jnp.swapaxes(x, 0, 1)
+        own_slice = lambda x: _own_lane_slice(x, t - start)
+        o_lox = own_slice(lox)
+        o_hix = own_slice(hix)
+        o_loy = own_slice(loy)
+        o_hiy = own_slice(hiy)
+        o_clox = own_slice(clox)
+        o_chix = own_slice(chix)
+        o_cloy = own_slice(cloy)
+        o_chiy = own_slice(chiy)
+        o_lay = own_slice(c_lay)
+        o_msk = own_slice(c_msk)
 
-    ov = (
-        (as_j(lox) <= o_hix) & (o_lox <= as_j(hix))
-        & (as_j(loy) <= o_hiy) & (o_loy <= as_j(hiy))
-    )
-    ov_close = (
-        (as_j(clox) <= o_chix) & (o_clox <= as_j(chix))
-        & (as_j(cloy) <= o_chiy) & (o_cloy <= as_j(chiy))
-    )
-    # global ids: same body <-> same id (iota worlds: collider == body)
-    own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
-    win_gid = start * T + jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
-    # large ids offset past every tile so they never collide with window ids
-    lrg_gid = n_tiles * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
-    c_gid = jnp.concatenate([win_gid, lrg_gid], axis=-1)
-    diff = as_j(c_gid) != own_gid
-    layer_ok = (
-        ((o_msk >> as_j(c_lay)) & 1) & ((as_j(c_msk) >> o_lay) & 1)
-    ) != 0
-    # rows: responding colliders, plus MOVING sensors (a static sensor's
-    # touches are recorded from its dynamic partners' rows instead)
-    o_moves = own_slice(c_part)
-    row_ok = (o_responds[0] > 0) | ((o_sensor[0] > 0) & (o_moves > 0))
-    elig = (as_j(c_part) > 0) & (as_j(c_act) > 0) & row_ok
-    mask = (ov & diff & layer_ok & elig).astype(f32)
+        # ---- dense candidate mask [S, T]: candidate j (sublanes) x own i ------
+        def as_j(x):  # [1, S] -> [S, 1]
+            return jnp.swapaxes(x, 0, 1)
 
-    # window-miss detection: an own AABB reaching past the window's x-range
-    # may have partners we cannot see — count it (SURVEY.md §4.6)
-    winover = ((o_lox < edge_lo[0]) | (o_hix > edge_hi[0])).astype(i32)
-    winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
+        ov = (
+            (as_j(lox) <= o_hix) & (o_lox <= as_j(hix))
+            & (as_j(loy) <= o_hiy) & (o_loy <= as_j(hiy))
+        )
+        ov_close = (
+            (as_j(clox) <= o_chix) & (o_clox <= as_j(chix))
+            & (as_j(cloy) <= o_chiy) & (o_cloy <= as_j(chiy))
+        )
+        # global ids: same body <-> same id (iota worlds: collider == body)
+        own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
+        win_gid = start * T + jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
+        # large ids offset past every tile so they never collide with window ids
+        lrg_gid = n_tiles * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
+        c_gid = jnp.concatenate([win_gid, lrg_gid], axis=-1)
+        diff = as_j(c_gid) != own_gid
+        layer_ok = (
+            ((o_msk >> as_j(c_lay)) & 1) & ((as_j(c_msk) >> o_lay) & 1)
+        ) != 0
+        # rows: responding colliders, plus MOVING sensors (a static sensor's
+        # touches are recorded from its dynamic partners' rows instead)
+        o_moves = own_slice(c_part)
+        row_ok = (o_responds[0] > 0) | ((o_sensor[0] > 0) & (o_moves > 0))
+        elig = (as_j(c_part) > 0) & (as_j(c_act) > 0) & row_ok
+        mask = (ov & diff & layer_ok & elig).astype(f32)
 
-    # ---- rank-select C partners per own body (close first) ----------------
-    mask_close = ov_close.astype(f32) * mask
-    mask_far = mask - mask_close
-    jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
-    kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
-    lt = (kk < jj).astype(f32)
+        # window-miss detection: an own AABB reaching past the window's
+        # sort-axis range may have partners we cannot see — count it
+        # (SURVEY.md §4.6). sort_axis: 0 = tiles cut by x, 1 = by y.
+        if sort_axis == 0:
+            ax_lo, ax_hi = o_lox, o_hix
+        else:
+            ax_lo, ax_hi = o_loy, o_hiy
+        winover = ((ax_lo < edge_lo[0]) | (ax_hi > edge_hi[0])).astype(i32)
+        winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
 
-    def rank_of(m):
-        return jax.lax.dot_general(lt, m, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)  # [S, T]
+        # ---- rank-select C partners per own body (close first) ----------------
+        mask_close = ov_close.astype(f32) * mask
+        mask_far = mask - mask_close
+        jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
+        kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
+        lt = (kk < jj).astype(f32)
 
-    rank_c = rank_of(mask_close)
-    rank_f = rank_of(mask_far)
-    cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
-    crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
-    j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
-    pidx, acts = [], []
-    for c in range(C):
-        oh = jnp.where(crank == float(c), mask, 0.0)
-        pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
-        acts.append(jnp.sum(oh, axis=0, keepdims=True))
-    count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)
+        def rank_of(m):
+            return jax.lax.dot_general(lt, m, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f32)  # [S, T]
 
-    # ---- per-slot manifolds at frame-start poses --------------------------
-    o_px = own_slice(c_px)
-    o_py = own_slice(c_py)
-    o_ca = own_slice(c_ca)
-    o_sa = own_slice(c_sa)
-    o_spd = own_slice(c_spd)
-    o_rad = own_slice(c_rad)
-    o_nv = own_slice(c_nv)
-    o_fric = own_slice(c_fric)
-    o_rst = own_slice(c_rst)
-    o_sen2 = o_sensor[0]
-    o_vlx = [own_slice(v) for v in c_vlx]
-    o_vly = [own_slice(v) for v in c_vly]
-    own_wx = [o_px + o_ca * o_vlx[v] - o_sa * o_vly[v] for v in range(V)]
-    own_wy = [o_py + o_sa * o_vlx[v] + o_ca * o_vly[v] for v in range(V)]
-    wvax = jnp.stack(own_wx)  # [V, 1, T]
-    wvay = jnp.stack(own_wy)
+        rank_c = rank_of(mask_close)
+        rank_f = rank_of(mask_far)
+        cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
+        crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
+        j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
+        pidx, acts = [], []
+        for c in range(C):
+            oh = jnp.where(crank == float(c), mask, 0.0)
+            pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
+            acts.append(jnp.sum(oh, axis=0, keepdims=True))
+        count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)
 
-    # per-slot manifolds, vectorized over SG-slot sublane groups: each group
-    # processes 8 slots as [SG, T] (one gather / one manifold batch for all 8)
-    pidx_all = jnp.concatenate(pidx, axis=0)  # [C, T] f32
-    acts_all = jnp.concatenate(acts, axis=0)
-    cc_k = [[] for _ in range(KC)]  # per-quantity group lists -> [C, T]
-    c2_q = [[] for _ in range(K2)]  # (quantity, point)-major
-    for gi in range(C // SG):
-        pc = pidx_all[gi * SG:(gi + 1) * SG].astype(i32)  # [SG, T]
-        act = acts_all[gi * SG:(gi + 1) * SG]
+        # ---- per-slot manifolds at frame-start poses --------------------------
+        o_px = own_slice(c_px)
+        o_py = own_slice(c_py)
+        o_ca = own_slice(c_ca)
+        o_sa = own_slice(c_sa)
+        o_spd = own_slice(c_spd)
+        o_rad = own_slice(c_rad)
+        o_nv = own_slice(c_nv)
+        o_fric = own_slice(c_fric)
+        o_rst = own_slice(c_rst)
+        o_sen2 = o_sensor[0]
+        o_vlx = [own_slice(v) for v in c_vlx]
+        o_vly = [own_slice(v) for v in c_vly]
+        own_wx = [o_px + o_ca * o_vlx[v] - o_sa * o_vly[v] for v in range(V)]
+        own_wy = [o_py + o_sa * o_vlx[v] + o_ca * o_vly[v] for v in range(V)]
+        wvax = jnp.stack(own_wx)  # [V, 1, T]
+        wvay = jnp.stack(own_wy)
 
-        def g(src):
-            return _lg8(src, pc)
+        # per-slot manifolds, vectorized over SG-slot sublane groups: each group
+        # processes 8 slots as [SG, T] (one gather / one manifold batch for all 8)
+        pidx_all = jnp.concatenate(pidx, axis=0)  # [C, T] f32
+        acts_all = jnp.concatenate(acts, axis=0)
+        cc_k = [[] for _ in range(KC)]  # per-quantity group lists -> [C, T]
+        c2_q = [[] for _ in range(K2)]  # (quantity, point)-major
+        # partner squared speed (lin + ang), the wake-on-fast-contact signal
+        # (mirrors step._sleep_branches: touching a partner with
+        # spd^2 >= sleep_velocity^2 resets the own sleep counter)
+        c_spd2 = c_vx * c_vx + c_vy * c_vy + c_om * c_om
+        wake_acc = jnp.zeros((1, T), f32)
+        pen_acc = jnp.zeros((1, T), f32)
+        for gi in range(C // SG):
+            pc = pidx_all[gi * SG:(gi + 1) * SG].astype(i32)  # [SG, T]
+            act = acts_all[gi * SG:(gi + 1) * SG]
 
-        p_px = g(c_px)
-        p_py = g(c_py)
-        p_ca = g(c_ca)
-        p_sa = g(c_sa)
-        pvx = [g(v) for v in c_vlx]
-        pvy = [g(v) for v in c_vly]
-        wvbx = jnp.stack([p_px + p_ca * pvx[v] - p_sa * pvy[v]
-                          for v in range(V)])  # [V, SG, T]
-        wvby = jnp.stack([p_py + p_sa * pvx[v] + p_ca * pvy[v]
-                          for v in range(V)])
-        margin_eff = margin + dt * (o_spd + g(c_spd))
-        # own side stays [*, 1, T] and broadcasts against the [*, SG, T]
-        # partner group inside the manifold math
-        m = manifold_batch(wvax, wvay, o_nv, o_rad,
-                           wvbx, wvby, g(c_nv), g(c_rad), margin_eff)
-        dxa = m.wa_x - o_px
-        dya = m.wa_y - o_py
-        a_ax = o_ca * dxa + o_sa * dya  # [2, SG, T]
-        a_ay = -o_sa * dxa + o_ca * dya
-        dxb = m.wb_x - p_px
-        dyb = m.wb_y - p_py
-        b_ax = p_ca * dxb + p_sa * dyb
-        b_ay = -p_sa * dxb + p_ca * dyb
-        n_ax = o_ca * m.n_x + o_sa * m.n_y  # [SG, T]
-        n_ay = -o_sa * m.n_x + o_ca * m.n_y
-        pmask = m.pmask * act
-        solvable = act * (1.0 - jnp.maximum(o_sen2, g(c_sen)))
-        p_invm = g(c_invm)
-        for k, v in enumerate([
-            pc.astype(f32), act, n_ax, n_ay,
-            jnp.sqrt(o_fric * g(c_fric)),
-            jnp.maximum(o_rst, g(c_rst)),
-            p_invm, g(c_invi), (p_invm > 0).astype(f32),  # p_dyn
-        ]):
-            cc_k[k].append(v)
-        for q, v2 in enumerate([a_ax, a_ay, b_ax, b_ay,
-                                pmask * solvable, pmask, m.sep]):
-            c2_q[2 * q].append(v2[0])
-            c2_q[2 * q + 1].append(v2[1])
-    pidx_o[:] = pidx_all[None].astype(i32)  # [1, C, T]
-    # k-major layouts: row k*C + slot — group slices stay 8-aligned
-    cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
-                        )[None].reshape(1, KC * C, T)
-    c2_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in c2_q]
-                        )[None].reshape(1, K2 * C, T)
+            def g(src):
+                return _lg8(src, pc)
+
+            p_px = g(c_px)
+            p_py = g(c_py)
+            p_ca = g(c_ca)
+            p_sa = g(c_sa)
+            pvx = [g(v) for v in c_vlx]
+            pvy = [g(v) for v in c_vly]
+            wvbx = jnp.stack([p_px + p_ca * pvx[v] - p_sa * pvy[v]
+                              for v in range(V)])  # [V, SG, T]
+            wvby = jnp.stack([p_py + p_sa * pvx[v] + p_ca * pvy[v]
+                              for v in range(V)])
+            margin_eff = margin + dt * (o_spd + g(c_spd))
+            # own side stays [*, 1, T] and broadcasts against the [*, SG, T]
+            # partner group inside the manifold math
+            m = manifold_batch(wvax, wvay, o_nv, o_rad,
+                               wvbx, wvby, g(c_nv), g(c_rad), margin_eff)
+            dxa = m.wa_x - o_px
+            dya = m.wa_y - o_py
+            a_ax = o_ca * dxa + o_sa * dya  # [2, SG, T]
+            a_ay = -o_sa * dxa + o_ca * dya
+            dxb = m.wb_x - p_px
+            dyb = m.wb_y - p_py
+            b_ax = p_ca * dxb + p_sa * dyb
+            b_ay = -p_sa * dxb + p_ca * dyb
+            n_ax = o_ca * m.n_x + o_sa * m.n_y  # [SG, T]
+            n_ay = -o_sa * m.n_x + o_ca * m.n_y
+            pmask = m.pmask * act
+            solvable = act * (1.0 - jnp.maximum(o_sen2, g(c_sen)))
+            p_invm = g(c_invm)
+            for k, v in enumerate([
+                pc.astype(f32), act, n_ax, n_ay,
+                jnp.sqrt(o_fric * g(c_fric)),
+                jnp.maximum(o_rst, g(c_rst)),
+                p_invm, g(c_invi), (p_invm > 0).astype(f32),  # p_dyn
+            ]):
+                cc_k[k].append(v)
+            for q, v2 in enumerate([a_ax, a_ay, b_ax, b_ay,
+                                    pmask * solvable, pmask, m.sep]):
+                c2_q[2 * q].append(v2[0])
+                c2_q[2 * q + 1].append(v2[1])
+            pen_acc = jnp.maximum(pen_acc, jnp.max(
+                jnp.max(jnp.maximum(-m.sep, 0.0) * pmask, axis=0),
+                axis=0, keepdims=True))
+            if sleep_velocity > 0.0:
+                # wake on a fast DYNAMIC partner inside the speculative
+                # margin (pmask): manifolds are frame-start snapshots, and a
+                # bouncing impactor is "touching" only mid-frame — waking on
+                # imminent contact instead means the sleeper participates in
+                # the impact rather than being frozen through it. p_invm is
+                # the effective inverse mass, so sleepers can't chain-wake.
+                prox = jnp.max(pmask, axis=0)  # [SG, T]
+                fast = ((g(c_spd2) >= sleep_velocity * sleep_velocity)
+                        & (p_invm > 0)).astype(f32)
+                wake_acc = jnp.maximum(
+                    wake_acc,
+                    jnp.max(prox * fast, axis=0, keepdims=True))
+        wake_o[0] = wake_acc
+        pen_o[0] = pen_acc
+        pidx_o[:] = pidx_all[None].astype(i32)  # [1, C, T]
+        # k-major layouts: row k*C + slot — group slices stay 8-aligned
+        cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
+                            )[None].reshape(1, KC * C, T)
+        c2_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in c2_q]
+                            )[None].reshape(1, K2 * C, T)
+
 
 
 KC = 9  # per-slot scalar constants (see cc_k above)
@@ -422,99 +468,111 @@ def _project_kernel(
     vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
     o_invm, o_invi, o_dynb,
     l_px, l_py, l_an,
-    pidx_r, cc_r, c2_r, grav_r, touch_r,
+    pidx_r, cc_r, c2_r, grav_r, touch_r, tile_live,
     dxx_o, dxy_o, dth_o, cnt_o, lam_o, touch_o,
     *, C: int, h: float, compliance: float, n_tiles: int,
 ):
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
     own = t - start
+    live = jnp.max(tile_live[0]) > 0.0
 
-    def wl(a, b, c, lg):
-        return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
+    # all-asleep-window tiles: zero corrections, touch passthrough
+    dxx_o[0] = jnp.zeros((1, T), f32)
+    dxy_o[0] = jnp.zeros((1, T), f32)
+    dth_o[0] = jnp.zeros((1, T), f32)
+    cnt_o[0] = jnp.zeros((1, T), f32)
+    lam_o[:] = jnp.zeros_like(lam_o)
+    touch_o[:] = touch_r[:]
 
-    zl = jnp.zeros_like(l_px[:])
-    c_px = wl(px0, px1, px2, l_px[:])
-    c_py = wl(py0, py1, py2, l_py[:])
-    c_an = wl(an0, an1, an2, l_an[:])
-    c_vx = wl(vx0, vx1, vx2, zl)
-    c_vy = wl(vy0, vy1, vy2, zl)
-    c_om = wl(om0, om1, om2, zl)
-    gx = grav_r[0, 0]
-    gy = grav_r[0, 1]
+    @pl.when(live)
+    def _project_body():
 
-    c_ca = jnp.cos(c_an)
-    c_sa = jnp.sin(c_an)
-    own_slice = lambda x: _own_lane_slice(x, own)
-    o_px = own_slice(c_px)
-    o_py = own_slice(c_py)
-    o_an = own_slice(c_an)
-    o_ca = own_slice(c_ca)
-    o_sa = own_slice(c_sa)
-    o_vx = own_slice(c_vx)
-    o_vy = own_slice(c_vy)
-    o_om = own_slice(c_om)
-    dyn = o_dynb[0]
+        def wl(a, b, c, lg):
+            return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
 
-    cc = cc_r[:]
-    c2 = c2_r[:]
-    pidx = pidx_r[:]
+        zl = jnp.zeros_like(l_px[:])
+        c_px = wl(px0, px1, px2, l_px[:])
+        c_py = wl(py0, py1, py2, l_py[:])
+        c_an = wl(an0, an1, an2, l_an[:])
+        c_vx = wl(vx0, vx1, vx2, zl)
+        c_vy = wl(vy0, vy1, vy2, zl)
+        c_om = wl(om0, om1, om2, zl)
+        gx = grav_r[0, 0]
+        gy = grav_r[0, 1]
 
-    # integrated own state (v_tilde + pose), derived algebraically
-    ovx_t = o_vx + gx * h * dyn
-    ovy_t = o_vy + gy * h * dyn
-    opx_t = o_px + ovx_t * h
-    opy_t = o_py + ovy_t * h
-    oa_t = o_an + o_om * h
+        c_ca = jnp.cos(c_an)
+        c_sa = jnp.sin(c_an)
+        own_slice = lambda x: _own_lane_slice(x, own)
+        o_px = own_slice(c_px)
+        o_py = own_slice(c_py)
+        o_an = own_slice(c_an)
+        o_ca = own_slice(c_ca)
+        o_sa = own_slice(c_sa)
+        o_vx = own_slice(c_vx)
+        o_vy = own_slice(c_vy)
+        o_om = own_slice(c_om)
+        dyn = o_dynb[0]
 
-    # slot-group loop: 8 slots per iteration as [SG, T] — own-side [1, T]
-    # rows broadcast against the group inside the solver math
-    oca_t = jnp.cos(oa_t)
-    osa_t = jnp.sin(oa_t)
-    acc = None
-    lam_groups = []  # per group [2, SG, T]
-    touch_groups = []
-    for gi in range(C // SG):
-        s = _unpack_group(cc, c2, gi, C)
-        s.pd.inv_mass_a = o_invm[0]
-        s.pd.inv_inertia_a = o_invi[0]
-        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
+        cc = cc_r[:]
+        c2 = c2_r[:]
+        pidx = pidx_r[:]
 
-        def g(src):
-            return _lg8(src, pc)
+        # integrated own state (v_tilde + pose), derived algebraically
+        ovx_t = o_vx + gx * h * dyn
+        ovy_t = o_vy + gy * h * dyn
+        opx_t = o_px + ovx_t * h
+        opy_t = o_py + ovy_t * h
+        oa_t = o_an + o_om * h
 
-        p_dyn = s.p_dyn  # partner gravity response (stored at setup)
-        p_px0 = g(c_px)
-        p_py0 = g(c_py)
-        p_an0 = g(c_an)
-        p_vx0 = g(c_vx)
-        p_vy0 = g(c_vy)
-        p_om0 = g(c_om)
-        pose0 = PairPose(o_px, o_py, o_ca, o_sa,
-                         p_px0, p_py0, g(c_ca), g(c_sa))
-        pvx_t = p_vx0 + gx * h * p_dyn
-        pvy_t = p_vy0 + gy * h * p_dyn
-        p_px_t = p_px0 + pvx_t * h
-        p_py_t = p_py0 + pvy_t * h
-        p_an_t = p_an0 + p_om0 * h
-        pose = PairPose(opx_t, opy_t, oca_t, osa_t,
-                        p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
-        vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
-                                            compliance)  # [4, SG, T]
-        acc = vals_a if acc is None else acc + vals_a
-        lam_groups.append(lam_i)
-        touch_groups.append(
-            jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
+        # slot-group loop: 8 slots per iteration as [SG, T] — own-side [1, T]
+        # rows broadcast against the group inside the solver math
+        oca_t = jnp.cos(oa_t)
+        osa_t = jnp.sin(oa_t)
+        acc = None
+        lam_groups = []  # per group [2, SG, T]
+        touch_groups = []
+        for gi in range(C // SG):
+            s = _unpack_group(cc, c2, gi, C)
+            s.pd.inv_mass_a = o_invm[0]
+            s.pd.inv_inertia_a = o_invi[0]
+            pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
 
-    accs = jnp.sum(acc, axis=1, keepdims=True)  # slot-axis reduce -> [4, 1, T]
-    dxx_o[0] = accs[0]
-    dxy_o[0] = accs[1]
-    dth_o[0] = accs[2]
-    cnt_o[0] = accs[3]
-    # lam layout: row pt*C + slot (point-major, group slices 8-aligned)
-    lam_o[:] = jnp.concatenate(lam_groups, axis=1).reshape(2 * C, T)[None]
-    touch_o[:] = jnp.maximum(
-        touch_r[:], jnp.concatenate(touch_groups, axis=0)[None])
+            def g(src):
+                return _lg8(src, pc)
+
+            p_dyn = s.p_dyn  # partner gravity response (stored at setup)
+            p_px0 = g(c_px)
+            p_py0 = g(c_py)
+            p_an0 = g(c_an)
+            p_vx0 = g(c_vx)
+            p_vy0 = g(c_vy)
+            p_om0 = g(c_om)
+            pose0 = PairPose(o_px, o_py, o_ca, o_sa,
+                             p_px0, p_py0, g(c_ca), g(c_sa))
+            pvx_t = p_vx0 + gx * h * p_dyn
+            pvy_t = p_vy0 + gy * h * p_dyn
+            p_px_t = p_px0 + pvx_t * h
+            p_py_t = p_py0 + pvy_t * h
+            p_an_t = p_an0 + p_om0 * h
+            pose = PairPose(opx_t, opy_t, oca_t, osa_t,
+                            p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
+            vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
+                                                compliance)  # [4, SG, T]
+            acc = vals_a if acc is None else acc + vals_a
+            lam_groups.append(lam_i)
+            touch_groups.append(
+                jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
+
+        accs = jnp.sum(acc, axis=1, keepdims=True)  # slot-axis reduce -> [4, 1, T]
+        dxx_o[0] = accs[0]
+        dxy_o[0] = accs[1]
+        dth_o[0] = accs[2]
+        cnt_o[0] = accs[3]
+        # lam layout: row pt*C + slot (point-major, group slices 8-aligned)
+        lam_o[:] = jnp.concatenate(lam_groups, axis=1).reshape(2 * C, T)[None]
+        touch_o[:] = jnp.maximum(
+            touch_r[:], jnp.concatenate(touch_groups, axis=0)[None])
 
 
 # ===========================================================================
@@ -528,7 +586,7 @@ def _apply_kernel(
     dxx0, dxx1, dxx2, dxy0, dxy1, dxy2, dth0, dth1, dth2, cnt0, cnt1, cnt2,
     o_invm, o_invi, o_dynb, o_kin,
     l_px, l_py, l_an,
-    pidx_r, cc_r, c2_r, lam_r, grav_r,
+    pidx_r, cc_r, c2_r, lam_r, grav_r, tile_live,
     npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o,
     *, C: int, h: float, relaxation: float, max_dpos: float,
     rest_threshold: float, lin_damp: float, ang_damp: float, n_tiles: int,
@@ -536,121 +594,139 @@ def _apply_kernel(
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
     own = t - start
+    live = jnp.max(tile_live[0]) > 0.0
 
-    def wl(a, b, c, lg):
-        return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
+    # all-asleep-window tiles: state passthrough (identical to running
+    # the kernel, since every body in a skipped tile has v == 0 and its
+    # effective gravity response is 0 — this skip only saves time). The own
+    # tile sits at window offset `own` (0 only for t=0, 2 only for t=Nt-1).
+    def _own_of(a, b, c):
+        return jnp.where(own == 0, a[0], jnp.where(own == 1, b[0], c[0]))
 
-    zl = jnp.zeros_like(l_px[:])
-    c_px = wl(px0, px1, px2, l_px[:])
-    c_py = wl(py0, py1, py2, l_py[:])
-    c_an = wl(an0, an1, an2, l_an[:])
-    c_vx = wl(vx0, vx1, vx2, zl)
-    c_vy = wl(vy0, vy1, vy2, zl)
-    c_om = wl(om0, om1, om2, zl)
-    c_dxx = wl(dxx0, dxx1, dxx2, zl)
-    c_dxy = wl(dxy0, dxy1, dxy2, zl)
-    c_dth = wl(dth0, dth1, dth2, zl)
-    c_cnt = wl(cnt0, cnt1, cnt2, zl)
-    gx = grav_r[0, 0]
-    gy = grav_r[0, 1]
+    npx_o[0] = _own_of(px0, px1, px2)
+    npy_o[0] = _own_of(py0, py1, py2)
+    nan_o[0] = _own_of(an0, an1, an2)
+    nvx_o[0] = _own_of(vx0, vx1, vx2)
+    nvy_o[0] = _own_of(vy0, vy1, vy2)
+    nom_o[0] = _own_of(om0, om1, om2)
 
-    # applied (count-normalized) deltas for EVERY candidate, derived the same
-    # way the own tile applies them — this is how partner post-apply state is
-    # known without cross-program communication
-    c_scale = relaxation / jnp.maximum(c_cnt, 1.0)
-    c_ddx = jnp.clip(c_dxx * c_scale, -max_dpos, max_dpos)
-    c_ddy = jnp.clip(c_dxy * c_scale, -max_dpos, max_dpos)
-    c_dda = jnp.clip(c_dth * c_scale, -max_dpos, max_dpos)
+    @pl.when(live)
+    def _apply_body():
 
-    own_slice = lambda x: _own_lane_slice(x, own)
-    dyn = o_dynb[0]
-    kin = o_kin[0]
+        def wl(a, b, c, lg):
+            return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
 
-    # integrate own (same derivation as project)
-    o_vx = own_slice(c_vx)
-    o_vy = own_slice(c_vy)
-    o_om = own_slice(c_om)
-    ovx_t = o_vx + gx * h * dyn
-    ovy_t = o_vy + gy * h * dyn
-    opx_t = own_slice(c_px) + ovx_t * h
-    opy_t = own_slice(c_py) + ovy_t * h
-    oa_t = own_slice(c_an) + o_om * h
-    o_ddx = own_slice(c_ddx)
-    o_ddy = own_slice(c_ddy)
-    o_dda = own_slice(c_dda)
-    npx = opx_t + o_ddx
-    npy = opy_t + o_ddy
-    nan = oa_t + o_dda
+        zl = jnp.zeros_like(l_px[:])
+        c_px = wl(px0, px1, px2, l_px[:])
+        c_py = wl(py0, py1, py2, l_py[:])
+        c_an = wl(an0, an1, an2, l_an[:])
+        c_vx = wl(vx0, vx1, vx2, zl)
+        c_vy = wl(vy0, vy1, vy2, zl)
+        c_om = wl(om0, om1, om2, zl)
+        c_dxx = wl(dxx0, dxx1, dxx2, zl)
+        c_dxy = wl(dxy0, dxy1, dxy2, zl)
+        c_dth = wl(dth0, dth1, dth2, zl)
+        c_cnt = wl(cnt0, cnt1, cnt2, zl)
+        gx = grav_r[0, 0]
+        gy = grav_r[0, 1]
 
-    # velocity reconstruction
-    nk = 1.0 - kin
-    nvx = kin * ovx_t + nk * (ovx_t + o_ddx / h)
-    nvy = kin * ovy_t + nk * (ovy_t + o_ddy / h)
-    nom = kin * o_om + nk * (o_om + o_dda / h)
+        # applied (count-normalized) deltas for EVERY candidate, derived the same
+        # way the own tile applies them — this is how partner post-apply state is
+        # known without cross-program communication
+        c_scale = relaxation / jnp.maximum(c_cnt, 1.0)
+        c_ddx = jnp.clip(c_dxx * c_scale, -max_dpos, max_dpos)
+        c_ddy = jnp.clip(c_dxy * c_scale, -max_dpos, max_dpos)
+        c_dda = jnp.clip(c_dth * c_scale, -max_dpos, max_dpos)
 
-    cc = cc_r[:]
-    c2 = c2_r[:]
-    pidx = pidx_r[:]
-    lam = lam_r[:]
-    o_can = jnp.cos(nan)
-    o_san = jnp.sin(nan)
+        own_slice = lambda x: _own_lane_slice(x, own)
+        dyn = o_dynb[0]
+        kin = o_kin[0]
 
-    accv = None
-    for gi in range(C // SG):
-        s = _unpack_group(cc, c2, gi, C)
-        s.pd.inv_mass_a = o_invm[0]
-        s.pd.inv_inertia_a = o_invi[0]
-        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
+        # integrate own (same derivation as project)
+        o_vx = own_slice(c_vx)
+        o_vy = own_slice(c_vy)
+        o_om = own_slice(c_om)
+        ovx_t = o_vx + gx * h * dyn
+        ovy_t = o_vy + gy * h * dyn
+        opx_t = own_slice(c_px) + ovx_t * h
+        opy_t = own_slice(c_py) + ovy_t * h
+        oa_t = own_slice(c_an) + o_om * h
+        o_ddx = own_slice(c_ddx)
+        o_ddy = own_slice(c_ddy)
+        o_dda = own_slice(c_dda)
+        npx = opx_t + o_ddx
+        npy = opy_t + o_ddy
+        nan = oa_t + o_dda
 
-        def g(src):
-            return _lg8(src, pc)
+        # velocity reconstruction
+        nk = 1.0 - kin
+        nvx = kin * ovx_t + nk * (ovx_t + o_ddx / h)
+        nvy = kin * ovy_t + nk * (ovy_t + o_ddy / h)
+        nom = kin * o_om + nk * (o_om + o_dda / h)
 
-        p_dyn = s.p_dyn
-        p_vx0 = g(c_vx)
-        p_vy0 = g(c_vy)
-        p_om0 = g(c_om)
-        pvx_t = p_vx0 + gx * h * p_dyn
-        pvy_t = p_vy0 + gy * h * p_dyn
-        p_ddx = g(c_ddx)
-        p_ddy = g(c_ddy)
-        p_dda = g(c_dda)
-        p_px_n = g(c_px) + pvx_t * h + p_ddx
-        p_py_n = g(c_py) + pvy_t * h + p_ddy
-        p_an_n = g(c_an) + p_om0 * h + p_dda
-        # partner velocity reconstruction mirrors the partner's own apply —
-        # kinematic partners keep velocity (their ddx is 0 anyway)
-        p_nvx = pvx_t + p_ddx / h
-        p_nvy = pvy_t + p_ddy / h
-        p_nom = p_om0 + p_dda / h
+        cc = cc_r[:]
+        c2 = c2_r[:]
+        pidx = pidx_r[:]
+        lam = lam_r[:]
+        o_can = jnp.cos(nan)
+        o_san = jnp.sin(nan)
 
-        pose_v = PairPose(npx, npy, o_can, o_san,
-                          p_px_n, p_py_n, jnp.cos(p_an_n), jnp.sin(p_an_n))
-        pvel = PairVel(nvx, nvy, nom, p_nvx, p_nvy, p_nom)
-        pvel0 = PairVel(ovx_t, ovy_t, o_om, pvx_t, pvy_t, p_om0)
-        lo = gi * SG
-        lam_c = jnp.stack([lam[0, lo:lo + SG],
-                           lam[0, C + lo:C + lo + SG]])  # [2, SG, T]
-        cv_a, _ = velocity_contacts_b(pose_v, pvel, pvel0, s.pd, s.cb,
-                                      lam_c, h, rest_threshold)
-        accv = cv_a if accv is None else accv + cv_a
+        accv = None
+        for gi in range(C // SG):
+            s = _unpack_group(cc, c2, gi, C)
+            s.pd.inv_mass_a = o_invm[0]
+            s.pd.inv_inertia_a = o_invi[0]
+            pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
 
-    accv = jnp.sum(accv, axis=1, keepdims=True)  # slot-axis reduce
-    cntv = jnp.maximum(accv[3], 1.0)
-    nvx = nvx + accv[0] / cntv
-    nvy = nvy + accv[1] / cntv
-    nom = nom + accv[2] / cntv
-    if lin_damp > 0.0:
-        sd = 1.0 / (1.0 + h * lin_damp)
-        nvx = nvx * sd
-        nvy = nvy * sd
-    if ang_damp > 0.0:
-        nom = nom * (1.0 / (1.0 + h * ang_damp))
-    npx_o[0] = npx
-    npy_o[0] = npy
-    nan_o[0] = nan
-    nvx_o[0] = nvx
-    nvy_o[0] = nvy
-    nom_o[0] = nom
+            def g(src):
+                return _lg8(src, pc)
+
+            p_dyn = s.p_dyn
+            p_vx0 = g(c_vx)
+            p_vy0 = g(c_vy)
+            p_om0 = g(c_om)
+            pvx_t = p_vx0 + gx * h * p_dyn
+            pvy_t = p_vy0 + gy * h * p_dyn
+            p_ddx = g(c_ddx)
+            p_ddy = g(c_ddy)
+            p_dda = g(c_dda)
+            p_px_n = g(c_px) + pvx_t * h + p_ddx
+            p_py_n = g(c_py) + pvy_t * h + p_ddy
+            p_an_n = g(c_an) + p_om0 * h + p_dda
+            # partner velocity reconstruction mirrors the partner's own apply —
+            # kinematic partners keep velocity (their ddx is 0 anyway)
+            p_nvx = pvx_t + p_ddx / h
+            p_nvy = pvy_t + p_ddy / h
+            p_nom = p_om0 + p_dda / h
+
+            pose_v = PairPose(npx, npy, o_can, o_san,
+                              p_px_n, p_py_n, jnp.cos(p_an_n), jnp.sin(p_an_n))
+            pvel = PairVel(nvx, nvy, nom, p_nvx, p_nvy, p_nom)
+            pvel0 = PairVel(ovx_t, ovy_t, o_om, pvx_t, pvy_t, p_om0)
+            lo = gi * SG
+            lam_c = jnp.stack([lam[0, lo:lo + SG],
+                               lam[0, C + lo:C + lo + SG]])  # [2, SG, T]
+            cv_a, _ = velocity_contacts_b(pose_v, pvel, pvel0, s.pd, s.cb,
+                                          lam_c, h, rest_threshold)
+            accv = cv_a if accv is None else accv + cv_a
+
+        accv = jnp.sum(accv, axis=1, keepdims=True)  # slot-axis reduce
+        cntv = jnp.maximum(accv[3], 1.0)
+        nvx = nvx + accv[0] / cntv
+        nvy = nvy + accv[1] / cntv
+        nom = nom + accv[2] / cntv
+        if lin_damp > 0.0:
+            sd = 1.0 / (1.0 + h * lin_damp)
+            nvx = nvx * sd
+            nvy = nvy * sd
+        if ang_damp > 0.0:
+            nom = nom * (1.0 / (1.0 + h * ang_damp))
+        npx_o[0] = npx
+        npy_o[0] = npy
+        nan_o[0] = nan
+        nvx_o[0] = nvx
+        nvy_o[0] = nvy
+        nom_o[0] = nom
 
 
 # ===========================================================================
@@ -685,7 +761,7 @@ def _setup_specs(n_tiles, C, V):
     in_specs += [_bcast((1, L))] * 3  # l_px l_py l_an
     in_specs += [_bcast((1, V, L))] * 2  # l_vlx l_vly
     in_specs += [_bcast((1, L))] * 8  # l_rad l_nv l_fric l_rst l_sen l_act l_lay l_msk
-    in_specs += [_own_spec()] * 2  # edge_lo, edge_hi
+    in_specs += [_own_spec()] * 3  # edge_lo, edge_hi, tile_live
     return in_specs
 
 
@@ -693,7 +769,7 @@ def _setup_specs(n_tiles, C, V):
     jax.jit,
     static_argnames=("C", "V", "substeps", "h", "dt", "margin", "compliance",
                      "relaxation", "max_dpos", "rest_threshold", "lin_damp",
-                     "ang_damp", "interpret"),
+                     "ang_damp", "sleep_velocity", "sort_axis", "interpret"),
 )
 def run_tiled_frame(
     state,  # dict of [Nt, T] f32: px py an vx vy om
@@ -703,12 +779,18 @@ def run_tiled_frame(
             # sen act lay msk
     gravity,  # [1, 2]
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
-    rest_threshold, lin_damp, ang_damp, interpret=False,
+    rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
+    interpret=False,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
-    touched [Nt, C, T], count [Nt, T], winover [Nt, T]). ``C`` must be a
-    multiple of SG=8 (slots are processed as sublane groups; tiled.py
-    rounds the configured capacity up)."""
+    touched [Nt, C, T], count [Nt, T], winover [Nt, T], wake [Nt, 1, T],
+    pen [Nt, 1, T], pidx [Nt, C, T] — touched+pidx back the pair-event API
+    in tiled.py). ``C`` must be a multiple of SG=8 (slots are processed
+    as sublane groups; tiled.py rounds the configured capacity up).
+    ``consts['tile_live']`` gates per-tile work: a tile whose whole 3-tile
+    window is asleep skips all compute (island-granular sleeping);
+    ``sleep_velocity > 0`` enables the in-kernel wake-on-fast-contact
+    signal; ``sort_axis`` picks which axis the window-miss check uses."""
     assert C % SG == 0, f"tile engine needs slot capacity % {SG} == 0, got {C}"
     Nt = state["px"].shape[0]
     params = None if interpret else pltpu.CompilerParams(
@@ -729,25 +811,29 @@ def run_tiled_frame(
                   large["sen"], large["act"], large["lay"], large["msk"]]
 
     setup = functools.partial(_setup_kernel, C=C, V=V, margin=margin, dt=dt,
-                              n_tiles=Nt)
-    pidx, cc, c2, count, winover = pl.pallas_call(
+                              n_tiles=Nt, sleep_velocity=sleep_velocity,
+                              sort_axis=sort_axis)
+    tile_live = consts["tile_live"]
+    pidx, cc, c2, count, winover, wake, pen = pl.pallas_call(
         setup,
         grid=(Nt,),
         in_specs=_setup_specs(Nt, C, V),
         out_specs=(_own3(C), _own3(C * KC), _own3(C * K2), _own_spec(),
-                   _own_spec()),
+                   _own_spec(), _own_spec(), _own_spec()),
         out_shape=(
             jax.ShapeDtypeStruct((Nt, C, T), i32),
             jax.ShapeDtypeStruct((Nt, C * KC, T), f32),
             jax.ShapeDtypeStruct((Nt, C * K2, T), f32),
             jax.ShapeDtypeStruct((Nt, 1, T), i32),
             jax.ShapeDtypeStruct((Nt, 1, T), i32),
+            jax.ShapeDtypeStruct((Nt, 1, T), f32),
+            jax.ShapeDtypeStruct((Nt, 1, T), f32),
         ),
         compiler_params=params,
         interpret=interpret,
     )(*(win_state + win_verts + win_scal
         + [consts["responds"], consts["sen"]]
-        + large_args + [consts["edge_lo"], consts["edge_hi"]]))
+        + large_args + [consts["edge_lo"], consts["edge_hi"], tile_live]))
 
     project = functools.partial(_project_kernel, C=C, h=h,
                                 compliance=compliance, n_tiles=Nt)
@@ -763,14 +849,15 @@ def run_tiled_frame(
         sum([w3s() for _ in range(6)], [])
         + [_own_spec()] * 3  # invm invi dynb
         + [_bcast((1, L))] * 3  # large pose
-        + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)), _own3(C)]
+        + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)), _own3(C),
+           _own_spec()]  # + tile_live
     )
     apply_specs = (
         sum([w3s() for _ in range(10)], [])  # state 6 + corrections 4
         + [_own_spec()] * 4  # invm invi dynb kin
         + [_bcast((1, L))] * 3
         + [_own3(C), _own3(C * KC), _own3(C * K2), _own3(2 * C),
-           _bcast((1, 2))]
+           _bcast((1, 2)), _own_spec()]  # + tile_live
     )
 
     lpose = [large["px"], large["py"], large["an"]]
@@ -792,7 +879,7 @@ def run_tiled_frame(
             compiler_params=params,
             interpret=interpret,
         )(*(sw + [consts["invm"], consts["invi"], consts["dynb"]]
-            + lpose + [pidx, cc, c2, gravity, touched]))
+            + lpose + [pidx, cc, c2, gravity, touched, tile_live]))
 
         corr = wrows(dxx) + wrows(dxy) + wrows(dth) + wrows(cnt)
         npx, npy, nan_, nvx, nvy, nom = pl.pallas_call(
@@ -805,14 +892,14 @@ def run_tiled_frame(
             interpret=interpret,
         )(*(sw + corr
             + [consts["invm"], consts["invi"], consts["dynb"], consts["kin"]]
-            + lpose + [pidx, cc, c2, lam, gravity]))
+            + lpose + [pidx, cc, c2, lam, gravity, tile_live]))
         st2 = dict(px=npx, py=npy, an=nan_, vx=nvx, vy=nvy, om=nom)
         return (st2, touched), ()
 
     touched0 = jnp.zeros((Nt, C, T), f32)
     (state, touched), _ = jax.lax.scan(
         substep, (state, touched0), None, length=substeps)
-    return state, touched, count, winover
+    return state, touched, count, winover, wake, pen, pidx
 
 
 _VMEM_LIMIT_TILES = 100 * 1024 * 1024

@@ -58,11 +58,6 @@ def frame2_shapes_ok(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> boo
     """
     if cfg.use_pallas is False or not cfg.batch_uniform_topology:
         return False
-    # jointed batches ride the kernel's fused-Jacobi joint tier; graph-colored
-    # Gauss-Seidel joints (the default, stiffer for long chains) stay on the
-    # XLA path — opt batched jointed worlds in with joint_solver='jacobi'
-    if worlds.joints.j != 0 and cfg.joint_solver != "jacobi":
-        return False
     n, m = worlds.bodies.n, worlds.colliders.m
     w = worlds.bodies.pos.shape[0]
     if w % n_shards != 0:
@@ -94,7 +89,14 @@ def use_pallas_frame2(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> bo
 
 
 def _frame2_arrays(worlds: World, cfg: SolverConfig):
-    """XLA-side prep for the two Pallas kernels: flat f32/i32 [W, ...] views."""
+    """XLA-side prep for the two Pallas kernels: flat f32/i32 [W, ...] views.
+
+    With sleeping enabled, sleepers are frozen EXACTLY for the frame: their
+    inverse masses and gravity response are zeroed (awake neighbors solve
+    against them as static — same semantics as the XLA path's freeze), but
+    ``responds``/``moves`` keep the TRUE values so sleeping partners stay in
+    awake bodies' candidate rows (support contacts) and keep their own rows
+    (wake detection)."""
     b, c = worlds.bodies, worlds.colliders
     from .state import BODY_KINEMATIC, COL_ACTIVE, COL_SENSOR
 
@@ -102,11 +104,17 @@ def _frame2_arrays(worlds: World, cfg: SolverConfig):
     responds = ((b.inv_mass > 0) | (b.inv_inertia > 0)).astype(f32)
     kin = ((b.flags & BODY_KINEMATIC) != 0).astype(f32)
     moves = jnp.maximum(responds, kin)
+    invm, invi = b.inv_mass, b.inv_inertia
+    if cfg.sleep_velocity > 0.0:
+        asleep = (b.sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
+        awake_f = 1.0 - asleep.astype(f32)
+        invm = invm * awake_f
+        invi = invi * awake_f
     body = dict(
         posx=b.pos[..., 0], posy=b.pos[..., 1], ang=b.angle,
         velx=b.vel[..., 0], vely=b.vel[..., 1], angvel=b.ang_vel,
-        invm=b.inv_mass, invi=b.inv_inertia,
-        dyn=(b.inv_mass > 0).astype(f32), kin=kin,
+        invm=invm, invi=invi,
+        dyn=(invm > 0).astype(f32), kin=kin,
         responds=responds, moves=moves,
     )
     col = dict(
@@ -202,6 +210,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         )
         joint_overflow = jnp.sum(jnp.maximum(jcount - JC, 0))
         joints = dict(
+            jcolor=padj(j.color, fill=2**20),
             jtype=padj(j.jtype), jba=padj(j.body_a), jbb=padj(j.body_b),
             jaax=padj(j.anchor_a[..., 0]), jaay=padj(j.anchor_a[..., 1]),
             jabx=padj(j.anchor_b[..., 0]), jaby=padj(j.anchor_b[..., 1]),
@@ -225,6 +234,8 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
         max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
+        joint_solver=cfg.joint_solver, n_colors=cfg.max_joint_colors,
+        max_dpos_joint=cfg.max_dpos,
         interpret=interpret,
     )
 
@@ -233,8 +244,26 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     vel = jnp.stack([velx, vely], axis=-1)
     sleep_count = b.sleep_count
     if cfg.sleep_velocity > 0.0:
-        slow = (jnp.sum(vel**2, axis=-1) + angvel**2) < cfg.sleep_velocity**2
+        # unified sleep semantics (VERDICT r2 item 7): _frame2_arrays froze
+        # sleepers exactly for this frame; here the counter updates and the
+        # wake-on-fast-contact rule runs on the kernel's touch tables (a
+        # touched slot whose partner body is fast wakes the row's owner;
+        # dyn-dyn pairs appear in both rows, so waking is symmetric)
+        spd2 = jnp.sum(vel**2, axis=-1) + angvel**2
+        slow = spd2 < cfg.sleep_velocity**2
         sleep_count = jnp.where(slow, sleep_count + 1, 0)
+        cb = worlds.colliders.body_idx  # [W, M]
+        Wn, N = spd2.shape
+        fast = (b.inv_mass > 0) & (spd2 >= cfg.sleep_velocity**2)
+        pb = jnp.take_along_axis(
+            cb, partner.reshape(Wn, -1), axis=1).reshape(partner.shape)
+        fast_p = jnp.take_along_axis(
+            fast, pb.reshape(Wn, -1), axis=1).reshape(pb.shape)
+        wake_rows = jnp.any((touched > 0) & fast_p, axis=-2)  # [W, M]
+        wake = jax.vmap(
+            lambda cbw, wr: jnp.zeros((N,), bool).at[cbw].max(wr)
+        )(cb, wake_rows)
+        sleep_count = jnp.where(wake, 0, sleep_count)
         asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
         vel = jnp.where(asleep[..., None], 0.0, vel)
         angvel = jnp.where(asleep, 0.0, angvel)
@@ -247,6 +276,29 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
     return new_worlds, touched, partner, count, joint_overflow
+
+
+def batched_step_events(worlds: World, cfg: SolverConfig,
+                        interpret: bool = False, tables=None):
+    """Kernel-path batched step that ALSO returns the frame's canonical
+    contact-pair keys (VERDICT r2 item 8: events at kernel speed, no
+    fallback to the XLA path). Returns ``(new_worlds, keys [W, C, M],
+    diag)``; diff consecutive frames' keys with
+    :func:`starframe_tpu.events.key_event_masks`. Requires a kernel-eligible
+    batch (``frame2_shapes_ok``)."""
+    assert frame2_shapes_ok(worlds, cfg), (
+        "batched_step_events runs the slot-kernel path; this batch is not "
+        "eligible (see frame2_shapes_ok) — use step(with_contacts=True)")
+    from .events import touching_keys_from_slots
+
+    w2, touched, partner, count, jovf = frame2_step(
+        worlds, cfg, interpret=interpret, tables=tables)
+    keys = touching_keys_from_slots(touched, partner, worlds.colliders.m)
+    diag = dict(
+        slot_overflow=jnp.maximum(jnp.max(count) - cfg.slot_capacity, 0),
+        joint_overflow=jovf,
+    )
+    return w2, keys, diag
 
 
 def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:

@@ -71,9 +71,9 @@ def batchify(
     128-lane multiples the kernel's gathers need, replicates the world, and
     adds per-world deterministic velocity perturbations so worlds diverge.
 
-    With ``use_kernel`` (default) jointed scenes are switched to the
-    ``joint_solver='jacobi'`` tier the kernel implements (the XLA path keeps
-    graph-colored Gauss-Seidel when False).
+    The kernel implements both joint tiers (graph-colored Gauss-Seidel —
+    the default — and averaged Jacobi), so jointed scenes keep their
+    configured ``joint_solver``.
     """
     from ..state import expand_capacity
 
@@ -95,9 +95,6 @@ def batchify(
         batched, bodies=dataclasses.replace(batched.bodies, vel=vel)
     )
     cfg = scene.config
-    has_joints = world.joints.j > 0
-    if use_kernel and has_joints:
-        cfg = dataclasses.replace(cfg, joint_solver="jacobi")
     if not use_kernel:
         cfg = dataclasses.replace(cfg, use_pallas=False)
     cap = dataclasses.replace(

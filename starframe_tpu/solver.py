@@ -343,7 +343,10 @@ def substep(
                 msk = (joints.color >= color) if last else (joints.color == color)
                 j_contrib = solve_joint_positions(s, bodies, joints, h, mask=msk)
                 accj = _accumulate(n_b, use_mm, *j_contrib)
-                s, dx, dth = _apply_accum(s, accj, 1.0, cfg.max_dpos_eff, dx, dth)
+                # joint corrections are constraint maintenance, not
+                # depenetration — the rate cap (max_dpos_eff) applies only
+                # to contacts; capping joints makes stiff mechanisms spongy
+                s, dx, dth = _apply_accum(s, accj, 1.0, cfg.max_dpos, dx, dth)
         else:
             j_contrib = solve_joint_positions(s, bodies, joints, h)
             accj = _accumulate(n_b, use_mm, *j_contrib)

@@ -101,7 +101,7 @@ def _tiled_frame_step(world: World, cfg: SolverConfig, max_pairs: int,
         cell_overflow=jnp.zeros((), jnp.int32),
         contact_count=jnp.sum(tdiag["touched"] > 0, dtype=jnp.int32),
         touching_count=jnp.sum(tdiag["touched"] > 0, dtype=jnp.int32),
-        max_penetration=jnp.zeros((), jnp.float32),
+        max_penetration=tdiag["max_penetration"],
         kinetic_energy=ke,
     )
     return new_world, _empty_contacts(max_pairs), diag

@@ -85,8 +85,9 @@ def _enter_tiles(world: World, cfg: SolverConfig):
     col_active = ((c.flags & COL_ACTIVE) != 0).astype(f32)
     sensor = ((c.flags & COL_SENSOR) != 0).astype(f32)
 
-    # sort moving colliders by x; statics/inactive/padding to the tail
-    cx = b.pos[:, 0]
+    # sort moving colliders along cfg.tile_sort_axis;
+    # statics/inactive/padding to the tail
+    cx = b.pos[:, 0 if cfg.tile_sort_axis == "x" else 1]
     key = jnp.where((col_active > 0) & (moves > 0), cx,
                     jnp.where(col_active > 0, _BIG, 2 * _BIG))
     key = jnp.concatenate([key, jnp.full((Mp - M,), 3 * _BIG, f32)])
@@ -153,6 +154,7 @@ def _enter_tiles(world: World, cfg: SolverConfig):
         lay=c.layer[lidx][None], msk=c.mask[lidx][None],
     )
     large_overflow = jnp.maximum(n_large - L, 0)
+    large = dict(large, cols=lidx)  # canonical collider ids (event keys)
     return state, consts, large, body_id, large_overflow
 
 
@@ -161,8 +163,9 @@ _RESORT_KEYS = ("rad", "nv", "fric", "rst", "sen", "act", "mov", "invm",
                 "sleep")
 
 
-def _resort(state: dict, consts: dict, body_id):
-    """Re-sort the tile layout by current x (statics/padding keep the tail)."""
+def _resort(state: dict, consts: dict, body_id, axis_key: str = "px"):
+    """Re-sort the tile layout by the current sort-axis position
+    (statics/padding keep the tail)."""
     Nt, _, T = state["px"].shape
     Mp = Nt * T
 
@@ -171,7 +174,7 @@ def _resort(state: dict, consts: dict, body_id):
 
     act = flat(consts["act"])
     mov = flat(consts["mov"])
-    px = flat(state["px"])
+    px = flat(state[axis_key])
     key = jnp.where((act > 0) & (mov > 0), px,
                     jnp.where(act > 0, _BIG, 2 * _BIG))
     perm = jnp.argsort(key)
@@ -195,8 +198,12 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
     rows for the setup kernel and the tile-level staleness flag: True when
     some live body's swept reach escapes its 3-tile window's coverage."""
     Nt, _, T = state["px"].shape
-    px = state["px"].reshape(Nt, T)
-    vx = state["vx"].reshape(Nt, T)
+    if cfg.tile_sort_axis == "x":
+        px = state["px"].reshape(Nt, T)
+        vx = state["vx"].reshape(Nt, T)
+    else:
+        px = state["py"].reshape(Nt, T)
+        vx = state["vy"].reshape(Nt, T)
     ext = consts["ext"].reshape(Nt, T)
     live = (consts["act"].reshape(Nt, T) > 0) & (consts["mov"].reshape(Nt, T) > 0)
     reach = ext + jnp.abs(vx) * cfg.dt
@@ -222,43 +229,74 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
 
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
                interpret: bool = False):
-    """One frame on tile-layout state (edge bounds recomputed, kernels run,
-    sleep applied elementwise). Returns (state', consts', diag_frame)."""
+    """One frame on tile-layout state. Returns (state', consts', diag_frame).
+
+    Sleep semantics (unified with the XLA path, VERDICT r2 item 7): sleepers
+    are frozen EXACTLY for the frame (effective inverse masses zeroed, so
+    awake neighbors solve against them as static) and wake the frame after
+    a touching FAST dynamic partner is detected in-kernel. Tiles whose whole
+    3-tile window is asleep skip all kernel compute (``tile_live`` — the
+    island-granular work saving of SURVEY.md §2 row 11, at spatial-slab
+    granularity)."""
     from .pallas.tiles import run_tiled_frame
 
     edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg)
-    consts = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
+    Nt, _, T = state["px"].shape
+    kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
+    if cfg.sleep_velocity > 0.0:
+        asleep = (consts["sleep"] >= cfg.sleep_frames) & (consts["invm"] > 0)
+        awake_f = 1.0 - asleep.astype(f32)
+        kc = dict(kc, invm=consts["invm"] * awake_f,
+                  invi=consts["invi"] * awake_f,
+                  dynb=consts["dynb"] * awake_f)
+        awake_body = (consts["mov"] > 0) & (consts["act"] > 0) & ~asleep
+        any_awake_t = jnp.any(awake_body.reshape(Nt, T), axis=1)
+        t = jnp.arange(Nt)
+        start = jnp.clip(t - 1, 0, Nt - 3)
+        win_any = (any_awake_t[start] | any_awake_t[start + 1]
+                   | any_awake_t[start + 2])
+        tile_live = jnp.broadcast_to(
+            win_any.astype(f32)[:, None, None], (Nt, 1, T))
+    else:
+        tile_live = jnp.ones((Nt, 1, T), f32)
+    kc = dict(kc, tile_live=tile_live)
+
     V = consts["vlx"].shape[1]
     Cs = -(-cfg.slot_capacity // 8) * 8
-    new_state, touched, count, winover = run_tiled_frame(
+    new_state, touched, count, winover, wake, pen, pidx = run_tiled_frame(
         {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
-        consts, large, jnp.asarray(gravity, f32)[None],
+        kc, large, jnp.asarray(gravity, f32)[None],
         C=Cs, V=V, substeps=cfg.substeps,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
         max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
+        sleep_velocity=cfg.sleep_velocity,
+        sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
         interpret=interpret,
     )
-    consts2 = {k: v for k, v in consts.items()
-               if k not in ("edge_lo", "edge_hi")}
+    consts2 = dict(consts)
     if cfg.sleep_velocity > 0.0:
         slow = (new_state["vx"] ** 2 + new_state["vy"] ** 2
                 + new_state["om"] ** 2) < cfg.sleep_velocity ** 2
         sleep = jnp.where(slow, consts["sleep"] + 1, 0)
-        asleep = (sleep >= cfg.sleep_frames) & (consts["invm"] > 0)
+        # wake-on-fast-contact resets the counter the frame after detection
+        sleep = jnp.where(wake > 0, 0, sleep)
+        asleep2 = (sleep >= cfg.sleep_frames) & (consts["invm"] > 0)
         new_state = dict(
             new_state,
-            vx=jnp.where(asleep, 0.0, new_state["vx"]),
-            vy=jnp.where(asleep, 0.0, new_state["vy"]),
-            om=jnp.where(asleep, 0.0, new_state["om"]),
+            vx=jnp.where(asleep2, 0.0, new_state["vx"]),
+            vy=jnp.where(asleep2, 0.0, new_state["vy"]),
+            om=jnp.where(asleep2, 0.0, new_state["om"]),
         )
         consts2 = dict(consts2, sleep=sleep)
     diag = dict(
         slot_count=count,
         slot_overflow=jnp.sum(jnp.maximum(count - Cs, 0)),
         window_overflow=jnp.sum(winover),
+        max_penetration=jnp.max(pen),
         touched=touched,
+        pidx=pidx,
     )
     return new_state, consts2, diag
 
@@ -287,6 +325,35 @@ def _exit_tiles(world: World, state: dict, consts: dict, prev: dict,
         world, bodies=new_bodies, step_count=world.step_count + n_frames)
 
 
+def touch_keys(touched, pidx, body_id, large_cols, n_colliders: int):
+    """Canonical contact-pair keys from the tile engine's touch tables
+    (VERDICT r2 item 8: events on the fast paths).
+
+    ``touched``/``pidx`` are the frame outputs [Nt, C, T]; ``pidx`` is the
+    candidate-local partner index (< 3T: window tile row; >= 3T: large-set
+    slot). Returns int32 keys ``min*M + max`` of the same shape, -1 where
+    not touching — feed to :func:`starframe_tpu.events.key_event_masks` or
+    compare as sets (a dynamic-dynamic pair appears in both rows with the
+    same canonical key)."""
+    from .pallas.tiles import T, WIN
+
+    Nt, C, _ = touched.shape
+    Mp = body_id.shape[0]
+    start = jnp.clip(jnp.arange(Nt) - 1, 0, Nt - WIN)  # [Nt]
+    in_win = pidx < WIN * T
+    row = start[:, None, None] * T + jnp.minimum(pidx, WIN * T - 1)
+    win_col = body_id[jnp.clip(row, 0, Mp - 1)]
+    lrg_col = large_cols[jnp.clip(pidx - WIN * T, 0, large_cols.shape[0] - 1)]
+    partner_col = jnp.where(in_win, win_col, lrg_col)
+    own_row = (jnp.arange(Nt)[:, None, None] * T
+               + jnp.arange(T)[None, None, :])
+    own_col = body_id[jnp.broadcast_to(own_row, touched.shape)]
+    a = jnp.minimum(own_col, partner_col)
+    b = jnp.maximum(own_col, partner_col)
+    key = a * jnp.int32(n_colliders) + b
+    return jnp.where(touched > 0, key, -1)
+
+
 def tiled_step(world: World, cfg: SolverConfig, gravity=None,
                interpret: bool = False):
     """One frame via the tile engine. Returns (new_world, diag_dict).
@@ -300,12 +367,14 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
                                          interpret=interpret)
     diag["large_overflow"] = large_ovf
+    diag["touch_keys"] = touch_keys(diag["touched"], diag.pop("pidx"),
+                                    body_id, large["cols"], world.colliders.m)
     new_world = _exit_tiles(world, new_state, consts, prev, body_id, 1)
     return new_world, diag
 
 
 def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
-                  interpret: bool = False):
+                  interpret: bool = False, with_events: bool = False):
     """N frames with state kept in tile layout (one sort in, one unsort out).
 
     Re-sorts every ``cfg.frames_per_broadphase`` frames, or EARLIER whenever
@@ -322,28 +391,70 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     Cs = -(-cfg.slot_capacity // 8) * 8
 
+    ak = "px" if cfg.tile_sort_axis == "x" else "py"
+
     def body(carry, _):
         state, consts, body_id, age, ovf, wovf, resorts = carry
         _, _, stale = _edge_rows(state, consts, cfg)
-        do = (age == 0) | stale
+        # scheduled re-sorts are pointless while nothing moves (a fully
+        # sleeping world keeps a valid sort); the guard still forces one
+        if cfg.sleep_velocity > 0.0:
+            asleep = ((consts["sleep"] >= cfg.sleep_frames)
+                      & (consts["invm"] > 0))
+            awake = jnp.any((consts["mov"] > 0) & (consts["act"] > 0)
+                            & ~asleep)
+        else:
+            awake = jnp.bool_(True)
+        do = ((age == 0) & awake) | stale
         state, consts, body_id = jax.lax.cond(
-            do, lambda op: _resort(*op), lambda op: op,
+            do, lambda op: _resort(*op, axis_key=ak), lambda op: op,
             (state, consts, body_id))
         prev = {k: state[k] for k in ("px", "py", "an")}
-        state, consts, diag = _run_frame(state, consts, large, cfg, g,
-                                         interpret=interpret)
+
+        def live_frame(op):
+            return _run_frame(op[0], op[1], large, cfg, g,
+                              interpret=interpret)
+
+        def skip_frame(op):
+            # fully-asleep world: every tile would skip anyway, but the
+            # lax.cond saves the kernel dispatches + window DMA too (the
+            # tile-level skip alone leaves a ~3.4 ms DMA floor at 10k)
+            st, co = op
+            zi = jnp.int32(0)
+            Cs = -(-cfg.slot_capacity // 8) * 8
+            Nt2, _, T2 = st["px"].shape
+            dg = dict(slot_count=jnp.zeros((Nt2, 1, T2), i32),
+                      slot_overflow=zi, window_overflow=zi,
+                      max_penetration=jnp.float32(0),
+                      touched=jnp.zeros((Nt2, Cs, T2), f32),
+                      pidx=jnp.zeros((Nt2, Cs, T2), i32))
+            return st, co, dg
+
+        state, consts, diag = jax.lax.cond(
+            awake, live_frame, skip_frame, (state, consts))
         ovf = jnp.maximum(ovf, diag["slot_overflow"])
         wovf = jnp.maximum(wovf, diag["window_overflow"])
         resorts = resorts + (stale & (age != 0)).astype(i32)
         age = jnp.where(do, 1, age + 1) % K
-        return (state, consts, body_id, age, ovf, wovf, resorts), prev
+        out = prev
+        if with_events:
+            # per-frame canonical touch keys [Nt, C, T] (-1 = empty slot)
+            out = (prev, touch_keys(diag["touched"], diag["pidx"], body_id,
+                                    large["cols"], world.colliders.m))
+        return (state, consts, body_id, age, ovf, wovf, resorts), out
 
     zero = jnp.int32(0)
     carry0 = (state, consts, body_id, jnp.int32(1 % K), zero, zero, zero)
-    (state, consts, body_id, _, ovf, wovf, resorts), prevs = jax.lax.scan(
+    (state, consts, body_id, _, ovf, wovf, resorts), ys = jax.lax.scan(
         body, carry0, None, length=n_frames)
+    if with_events:
+        prevs, keys = ys
+    else:
+        prevs, keys = ys, None
     prev_last = jax.tree.map(lambda x: x[-1], prevs)
     final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
     diag = dict(slot_overflow=ovf, window_overflow=wovf,
                 forced_resorts=resorts, large_overflow=large_ovf)
+    if with_events:
+        return final, diag, keys
     return final, diag

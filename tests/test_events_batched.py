@@ -97,3 +97,52 @@ def test_pallas_path_determinism_on_tpu():
     p2, a2 = run()
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_kernel_event_masks_match_xla_diffs():
+    """VERDICT r2 item 8: started/ended events computed entirely on the
+    kernel path (touch tables + key diff) match the XLA path's
+    with_contacts diff, frame by frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from starframe_tpu.config import SolverConfig
+    from starframe_tpu.events import (diff_contacts, key_event_masks,
+                                      keys_to_set, touching_keys)
+    from starframe_tpu.parallel import batched_step_events, replicate_world
+    from starframe_tpu.step import step
+
+    from test_frame2 import _scene
+
+    world, cap = _scene(n=128, seed=21)
+    cfg = SolverConfig(substeps=4, slot_capacity=8, manifold_refresh="frame")
+    worlds = replicate_world(world, 2)
+    M = world.colliders.m
+
+    w_k = worlds
+    w_x = world
+    step_x = jax.jit(
+        lambda w: step(w, cfg, cap.max_pairs, allow_tiled=False)[:2])
+    prev_keys = None
+    prev_contacts = None
+    for frame in range(3):
+        w_k, keys, diag = batched_step_events(w_k, cfg, interpret=True)
+        assert int(np.asarray(diag["slot_overflow"])) == 0
+        w_x, contacts = step_x(w_x)
+
+        kset = keys_to_set(np.asarray(keys[0]), M)
+        ck, touching = touching_keys(contacts, M)
+        xset = keys_to_set(np.asarray(jnp.where(touching, ck, -1)), M)
+        assert kset == xset, f"frame {frame}: touching sets differ"
+
+        if prev_keys is not None:
+            started, ended = key_event_masks(prev_keys[0], keys[0])
+            k_started = keys_to_set(
+                np.asarray(jnp.where(started, keys[0], -1)), M)
+            k_ended = keys_to_set(
+                np.asarray(jnp.where(ended, prev_keys[0], -1)), M)
+            x_started, _, x_ended = diff_contacts(prev_contacts, contacts)
+            assert k_started == x_started, f"frame {frame}: started differ"
+            assert k_ended == x_ended, f"frame {frame}: ended differ"
+        prev_keys = keys
+        prev_contacts = jax.tree.map(lambda x: np.asarray(x), contacts)

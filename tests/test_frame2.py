@@ -335,3 +335,96 @@ def test_broadphase_reuse_matches_per_frame_tables():
     w4 = r4(worlds)
     np.testing.assert_allclose(
         np.asarray(w4.bodies.pos), np.asarray(w1.bodies.pos), atol=2e-3)
+
+
+@pytest.mark.parametrize("interpret", [True])
+def test_frame2_joints_match_xla_colored(interpret):
+    """VERDICT r2 item 6: the kernel's graph-colored Gauss-Seidel joint tier
+    (sequential color passes inside the substep) must match the XLA colored
+    path — the default, stiffer joint solver."""
+    from starframe_tpu.step import step
+
+    world, cap = _jointed_scene()
+    cfg = SolverConfig(substeps=4, slot_capacity=8, joint_solver="colored",
+                       manifold_refresh="frame")
+    worlds = replicate_world(world, 2)
+
+    w_ker = worlds
+    for _ in range(3):
+        w_ker, *_ = frame2_step(w_ker, cfg, interpret=interpret)
+
+    w_xla = worlds
+    step_v = jax.jit(jax.vmap(lambda w: step(w, cfg, cap.max_pairs)[0]))
+    for _ in range(3):
+        w_xla = step_v(w_xla)
+
+    np.testing.assert_allclose(
+        np.asarray(w_ker.bodies.pos), np.asarray(w_xla.bodies.pos), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(w_ker.bodies.angle), np.asarray(w_xla.bodies.angle),
+        atol=1e-3)
+
+
+def test_frame2_colored_chain_stiffer_than_jacobi():
+    """Long hanging chain: colored GS holds rest lengths visibly better than
+    averaged Jacobi (the reason colored is the default)."""
+    import dataclasses as dc
+
+    b = WorldBuilder(gravity=(0.0, -9.81))
+    anchor = b.add_static(pos=(0.0, 10.0))
+    b.add_collider(anchor, Shape.circle(0.1), mask=0)
+    prev = anchor
+    n_links = 24
+    for i in range(n_links):
+        link = b.add_body(pos=(0.4 * (i + 1), 10.0), mass=1.0)
+        b.add_collider(link, Shape.circle(0.15), mask=0)
+        b.distance_joint(prev, link, rest=0.4)
+        prev = link
+    n = 128
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=4 * n,
+                   max_joints=n_links, max_verts=4)
+    world, cap = b.build(cap)
+    worlds = replicate_world(world, 2)
+
+    def total_stretch(w):
+        pos = np.asarray(w.bodies.pos[0])
+        d = np.linalg.norm(np.diff(pos[:n_links + 1], axis=0), axis=1)
+        return float(np.abs(d - 0.4).sum())
+
+    results = {}
+    for solver in ("colored", "jacobi"):
+        cfg = SolverConfig(substeps=6, slot_capacity=8, joint_solver=solver,
+                           manifold_refresh="frame")
+        w = worlds
+        for _ in range(10):
+            w, *_ = frame2_step(w, cfg, interpret=True)
+        results[solver] = total_stretch(w)
+    assert results["colored"] < 0.6 * results["jacobi"], results
+
+
+def test_lane_gather_debug_oob_poisons():
+    """DEBUG_OOB turns the silent out-of-range contract (reads src[0]) into
+    NaN poison — and a full frame on real data stays NaN-free under it,
+    proving every shipped call site masks correctly (VERDICT r2 item 10)."""
+    from starframe_tpu.pallas import lanegather
+
+    src = jnp.arange(256, dtype=jnp.float32)[None].repeat(8, 0)
+    idx = jnp.full((8, 128), 999, jnp.int32)  # all out of range
+    ok = lanegather.lane_gather(src, idx)
+    np.testing.assert_array_equal(np.asarray(ok), 0.0)  # deterministic src[0]
+
+    lanegather.DEBUG_OOB = True
+    try:
+        bad = lanegather.lane_gather(src, idx)
+        assert np.isnan(np.asarray(bad)).all()
+
+        # representative frame under poison mode: no NaN may escape
+        world, cap = _scene(n=128, seed=2)
+        cfg = SolverConfig(substeps=2, slot_capacity=8,
+                           manifold_refresh="frame")
+        worlds = replicate_world(world, 2)
+        w2, *_ = frame2_step(worlds, cfg, interpret=True)
+        assert np.isfinite(np.asarray(w2.bodies.pos)).all()
+        assert np.isfinite(np.asarray(w2.bodies.vel)).all()
+    finally:
+        lanegather.DEBUG_OOB = False

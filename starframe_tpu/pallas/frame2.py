@@ -108,6 +108,24 @@ def _frame2_kernel(
     gx = grav[:, 0:1]  # [Wb, 1] — per-world gravity (round 1 used world 0's)
     gy = grav[:, 1:2]
 
+    # ---- slot packing helpers ------------------------------------------------
+    # All C contact slots live on ONE packed lane axis [Wb, C*M] (and all JC
+    # joint slots on [Wb, JC*N]): at M=256 a single-slot op is only a few
+    # vregs, so a per-slot Python loop is op-issue-bound on the VPU; packing
+    # widens every op C-fold and cuts its issue count C-fold (the frame2
+    # analogue of the tile engine's sublane packing — PROFILE.md cost model,
+    # FUTURE.md lever 1a).
+    def tile_c(x):  # [Wb, M] -> [Wb, C*M]: own-side quantity, one copy/slot
+        return x if C == 1 else jnp.concatenate([x] * C, axis=-1)
+
+    def sum_c(x):  # [..., C*M] -> [..., M]: reduce packed slots per collider
+        if C == 1:
+            return x
+        acc = x[..., 0:M]
+        for c in range(1, C):
+            acc = acc + x[..., c * M:(c + 1) * M]
+        return acc
+
     # ---- frame constants ----------------------------------------------------
     # collider->body reduction matrix from world 0's topology (identity when
     # each body owns one collider — the batched-RL case)
@@ -136,131 +154,159 @@ def _frame2_kernel(
     spd_b = jnp.sqrt(vx * vx + vy * vy)
     o_spd = lane_gather(spd_b, cbody) + jnp.abs(lane_gather(om, cbody)) * ext
 
-    # ---- per-slice frame setup: partner gathers + manifolds ----------------
-    slices = []
-    for c in range(C):
-        pc = partner_r[:, c, :]  # [Wb, M] i32 partner collider
-        act = slot_act_r[:, c, :]  # [Wb, M] f32 0/1
-        pb = lane_gather(cbody, pc)  # partner body
-        p_px = lane_gather(px, pb)
-        p_py = lane_gather(py, pb)
-        p_ca = lane_gather(ca_b, pb)
-        p_sa = lane_gather(sa_b, pb)
-        p_spd = lane_gather(spd_b, pb) + jnp.abs(lane_gather(om, pb)) * lane_gather(ext, pc)
+    # ---- packed frame setup: partner gathers + manifolds ([Wb, C*M]) -------
+    pc = jnp.concatenate(
+        [partner_r[:, c, :] for c in range(C)], axis=-1) if C > 1 \
+        else partner_r[:, 0, :]  # [Wb, C*M] i32 partner collider
+    act = jnp.concatenate(
+        [slot_act_r[:, c, :] for c in range(C)], axis=-1) if C > 1 \
+        else slot_act_r[:, 0, :]  # [Wb, C*M] f32 0/1
+    pb = lane_gather(cbody, pc)  # partner body [Wb, C*M]
+    p_px = lane_gather(px, pb)
+    p_py = lane_gather(py, pb)
+    p_ca = lane_gather(ca_b, pb)
+    p_sa = lane_gather(sa_b, pb)
+    p_spd = lane_gather(spd_b, pb) + jnp.abs(lane_gather(om, pb)) * lane_gather(ext, pc)
+    o_px_t, o_py_t = tile_c(o_px), tile_c(o_py)
+    o_ca_t, o_sa_t = tile_c(o_ca), tile_c(o_sa)
 
-        own_wx, own_wy, par_wx, par_wy = [], [], [], []
-        for v in range(V):
-            ovx, ovy = vlx_r[:, v, :], vly_r[:, v, :]
-            own_wx.append(o_px + o_ca * ovx - o_sa * ovy)
-            own_wy.append(o_py + o_sa * ovx + o_ca * ovy)
-            pvx = lane_gather(ovx, pc)
-            pvy = lane_gather(ovy, pc)
-            par_wx.append(p_px + p_ca * pvx - p_sa * pvy)
-            par_wy.append(p_py + p_sa * pvx + p_ca * pvy)
-        wvax = jnp.stack(own_wx)  # [V, Wb, M]
-        wvay = jnp.stack(own_wy)
-        wvbx = jnp.stack(par_wx)
-        wvby = jnp.stack(par_wy)
+    own_wx, own_wy, par_wx, par_wy = [], [], [], []
+    for v in range(V):
+        ovx, ovy = vlx_r[:, v, :], vly_r[:, v, :]
+        # own world verts once per collider [Wb, M], tiled to the slot axis
+        own_wx.append(tile_c(o_px + o_ca * ovx - o_sa * ovy))
+        own_wy.append(tile_c(o_py + o_sa * ovx + o_ca * ovy))
+        pvx = lane_gather(ovx, pc)
+        pvy = lane_gather(ovy, pc)
+        par_wx.append(p_px + p_ca * pvx - p_sa * pvy)
+        par_wy.append(p_py + p_sa * pvx + p_ca * pvy)
+    wvax = jnp.stack(own_wx)  # [V, Wb, C*M]
+    wvay = jnp.stack(own_wy)
+    wvbx = jnp.stack(par_wx)
+    wvby = jnp.stack(par_wy)
 
-        # velocity-expanded speculative margin: a contact that will form
-        # during THIS frame's substeps must already be in the manifold
-        margin_eff = margin + dt * (o_spd + p_spd)
-        m = manifold_batch(
-            wvax, wvay, nverts, radius,
-            wvbx, wvby, lane_gather(nverts, pc), lane_gather(radius, pc),
-            margin_eff,
-        )
-        # body-local anchors and normal (rotate by -angle at frame start)
-        dxa = m.wa_x - o_px[None]
-        dya = m.wa_y - o_py[None]
-        a_ax = o_ca[None] * dxa + o_sa[None] * dya
-        a_ay = -o_sa[None] * dxa + o_ca[None] * dya
-        dxb = m.wb_x - p_px[None]
-        dyb = m.wb_y - p_py[None]
-        b_ax = p_ca[None] * dxb + p_sa[None] * dyb
-        b_ay = -p_sa[None] * dxb + p_ca[None] * dyb
-        n_ax = o_ca * m.n_x + o_sa * m.n_y
-        n_ay = -o_sa * m.n_x + o_ca * m.n_y
-        pmask = m.pmask * act[None]
-        p_sensor = lane_gather(sensor_r[:], pc)
-        solvable = act * (1.0 - jnp.maximum(sensor_r[:], p_sensor))
-        cb_ = SimpleNamespace(
-            n_ax=n_ax, n_ay=n_ay, a_ax=a_ax, a_ay=a_ay, b_ax=b_ax, b_ay=b_ay,
-            solve_mask=pmask * solvable[None], pmask=pmask, sep=m.sep,
-        )
-        pd_ = SimpleNamespace(
-            friction=jnp.sqrt(fric_r[:] * lane_gather(fric_r[:], pc)),
-            restitution=jnp.maximum(rest_r[:], lane_gather(rest_r[:], pc)),
-            inv_mass_a=o_invm,
-            inv_mass_b=lane_gather(invm, pb),
-            inv_inertia_a=o_invi,
-            inv_inertia_b=lane_gather(invi, pb),
-        )
-        slices.append(SimpleNamespace(pb=pb, cb=cb_, pd=pd_))
+    # velocity-expanded speculative margin: a contact that will form
+    # during THIS frame's substeps must already be in the manifold
+    margin_eff = margin + dt * (tile_c(o_spd) + p_spd)
+    m = manifold_batch(
+        wvax, wvay, tile_c(nverts), tile_c(radius),
+        wvbx, wvby, lane_gather(nverts, pc), lane_gather(radius, pc),
+        margin_eff,
+    )
+    # body-local anchors and normal (rotate by -angle at frame start)
+    dxa = m.wa_x - o_px_t[None]
+    dya = m.wa_y - o_py_t[None]
+    a_ax = o_ca_t[None] * dxa + o_sa_t[None] * dya
+    a_ay = -o_sa_t[None] * dxa + o_ca_t[None] * dya
+    dxb = m.wb_x - p_px[None]
+    dyb = m.wb_y - p_py[None]
+    b_ax = p_ca[None] * dxb + p_sa[None] * dyb
+    b_ay = -p_sa[None] * dxb + p_ca[None] * dyb
+    n_ax = o_ca_t * m.n_x + o_sa_t * m.n_y
+    n_ay = -o_sa_t * m.n_x + o_ca_t * m.n_y
+    pmask = m.pmask * act[None]
+    p_sensor = lane_gather(sensor_r[:], pc)
+    solvable = act * (1.0 - jnp.maximum(tile_c(sensor_r[:]), p_sensor))
+    cb_ = SimpleNamespace(
+        n_ax=n_ax, n_ay=n_ay, a_ax=a_ax, a_ay=a_ay, b_ax=b_ax, b_ay=b_ay,
+        solve_mask=pmask * solvable[None], pmask=pmask, sep=m.sep,
+    )
+    pd_ = SimpleNamespace(
+        friction=jnp.sqrt(tile_c(fric_r[:]) * lane_gather(fric_r[:], pc)),
+        restitution=jnp.maximum(tile_c(rest_r[:]), lane_gather(rest_r[:], pc)),
+        inv_mass_a=tile_c(o_invm),
+        inv_mass_b=lane_gather(invm, pb),
+        inv_inertia_a=tile_c(o_invi),
+        inv_inertia_b=lane_gather(invi, pb),
+    )
 
-    # ---- joint slot slices (frame-constant canonicalized params) -----------
-    jslices = []
+    # ---- packed joint slots [Wb, JC*N] (frame-constant canonical params) ----
+    def tile_j(x):  # [Wb, N] -> [Wb, JC*N]: own-side body quantity per slot
+        return x if JC == 1 else jnp.concatenate([x] * JC, axis=-1)
+
+    def sum_j(x):  # [..., JC*N] -> [..., N]
+        if JC == 1:
+            return x
+        acc = x[..., 0:N]
+        for jc in range(1, JC):
+            acc = acc + x[..., jc * N:(jc + 1) * N]
+        return acc
+
+    jpack = None
     if has_joints:
         jtype = jtype_r[:]
         jba = jba_r[:]
         jbb = jbb_r[:]
-        for jc in range(JC):
-            js = jslot_r[:, jc, :]  # [Wb, N] joint row per body
-            side = jside_r[:, jc, :]  # 1 when own body is endpoint A
-            jact = jact_r[:, jc, :]
-            side_b = side > 0
+        js = jnp.concatenate(
+            [jslot_r[:, jc, :] for jc in range(JC)], axis=-1) if JC > 1 \
+            else jslot_r[:, 0, :]  # [Wb, JC*N] joint row per body-slot
+        side = jnp.concatenate(
+            [jside_r[:, jc, :] for jc in range(JC)], axis=-1) if JC > 1 \
+            else jside_r[:, 0, :]  # 1 when own body is endpoint A
+        jact = jnp.concatenate(
+            [jact_r[:, jc, :] for jc in range(JC)], axis=-1) if JC > 1 \
+            else jact_r[:, 0, :]
+        side_b = side > 0
 
-            def jg(src_ref):
-                return lane_gather(src_ref[:], js)
+        def jg(src_ref):
+            return lane_gather(src_ref[:], js)
 
-            ty = lane_gather(jtype, js)
-            ba = lane_gather(jba, js)
-            bb = lane_gather(jbb, js)
-            pb = jnp.where(side_b, bb, ba)
-            aax = jg(jaax_r)
-            aay = jg(jaay_r)
-            abx = jg(jabx_r)
-            aby = jg(jaby_r)
-            rest_j = jg(jrest_r)
-            lo_j = jg(jlo_r)
-            hi_j = jg(jhi_r)
-            ms = jg(jms_r)
-            # swap canonicalization: distance length bounds are symmetric;
-            # angular quantities (weld rest, angle-range bounds, motor speed)
-            # negate when the own body is endpoint B
-            keep_rng = side_b | (ty != JOINT_ANGLE_RANGE)
-            jcol = lane_gather(jcolor_r[:], js)
-            jd = SimpleNamespace(
-                jtype=ty,
-                oax=jnp.where(side_b, aax, abx),
-                oay=jnp.where(side_b, aay, aby),
-                pax=jnp.where(side_b, abx, aax),
-                pay=jnp.where(side_b, aby, aay),
-                rest=jnp.where(side_b, rest_j, -rest_j),
-                lo=jnp.where(keep_rng, lo_j, -hi_j),
-                hi=jnp.where(keep_rng, hi_j, -lo_j),
-                compliance=jg(jcomp_r),
-                damping=jg(jdamp_r),
-                motor_speed=jnp.where(side_b, ms, -ms),
-                motor_max=jg(jmm_r),
-                im_o=invm, im_p=lane_gather(invm, pb),
-                ii_o=invi, ii_p=lane_gather(invi, pb),
-                active=jact,
-            )
-            jslices.append(SimpleNamespace(pb=pb, jd=jd, color=jcol))
+        ty = lane_gather(jtype, js)
+        ba = lane_gather(jba, js)
+        bb = lane_gather(jbb, js)
+        pb_j = jnp.where(side_b, bb, ba)
+        aax = jg(jaax_r)
+        aay = jg(jaay_r)
+        abx = jg(jabx_r)
+        aby = jg(jaby_r)
+        rest_j = jg(jrest_r)
+        lo_j = jg(jlo_r)
+        hi_j = jg(jhi_r)
+        ms = jg(jms_r)
+        # swap canonicalization: distance length bounds are symmetric;
+        # angular quantities (weld rest, angle-range bounds, motor speed)
+        # negate when the own body is endpoint B
+        keep_rng = side_b | (ty != JOINT_ANGLE_RANGE)
+        jcol = lane_gather(jcolor_r[:], js)
+        jd_all = SimpleNamespace(
+            jtype=ty,
+            oax=jnp.where(side_b, aax, abx),
+            oay=jnp.where(side_b, aay, aby),
+            pax=jnp.where(side_b, abx, aax),
+            pay=jnp.where(side_b, aby, aay),
+            rest=jnp.where(side_b, rest_j, -rest_j),
+            lo=jnp.where(keep_rng, lo_j, -hi_j),
+            hi=jnp.where(keep_rng, hi_j, -lo_j),
+            compliance=jg(jcomp_r),
+            damping=jg(jdamp_r),
+            motor_speed=jnp.where(side_b, ms, -ms),
+            motor_max=jg(jmm_r),
+            im_o=tile_j(invm), im_p=lane_gather(invm, pb_j),
+            ii_o=tile_j(invi), ii_p=lane_gather(invi, pb_j),
+            active=jact,
+        )
+        jpack = SimpleNamespace(pb=pb_j, jd=jd_all, color=jcol)
 
-    touch0 = tuple(
-        jnp.max((s.cb.sep < TOUCH_SLOP).astype(f32) * s.cb.pmask, axis=0)
-        for s in slices
-    )
+    touch0 = jnp.max((m.sep < TOUCH_SLOP).astype(f32) * pmask, axis=0)
 
-    def joint_pose(s, cab, sab, px, py, an):
-        """Own pose is the body lane itself; only the partner is gathered."""
+    def joint_pose(cab, sab, px, py, an):
+        """Own pose is the body lane itself (tiled); the partner is gathered."""
+        pbj = jpack.pb
         return PairPose(
-            px, py, cab, sab,
-            lane_gather(px, s.pb), lane_gather(py, s.pb),
-            lane_gather(cab, s.pb), lane_gather(sab, s.pb),
-        ), lane_gather(an, s.pb)
+            tile_j(px), tile_j(py), tile_j(cab), tile_j(sab),
+            lane_gather(px, pbj), lane_gather(py, pbj),
+            lane_gather(cab, pbj), lane_gather(sab, pbj),
+        ), lane_gather(an, pbj)
+
+    def slot_pose(cab, sab, px, py):
+        """Packed pair poses: own side gathered once per collider and tiled,
+        partner side gathered at the packed slot indices."""
+        return PairPose(
+            tile_c(lane_gather(px, cbody)), tile_c(lane_gather(py, cbody)),
+            tile_c(lane_gather(cab, cbody)), tile_c(lane_gather(sab, cbody)),
+            lane_gather(px, pb), lane_gather(py, pb),
+            lane_gather(cab, pb), lane_gather(sab, pb),
+        )
 
     # ---- substep loop --------------------------------------------------------
     def substep(_, carry):
@@ -268,14 +314,7 @@ def _frame2_kernel(
         ca0b, sa0b = jnp.cos(an), jnp.sin(an)
 
         # substep-start pair poses (static-friction reference)
-        pose0s = []
-        for s in slices:
-            pose0s.append(PairPose(
-                lane_gather(px, cbody), lane_gather(py, cbody),
-                lane_gather(ca0b, cbody), lane_gather(sa0b, cbody),
-                lane_gather(px, s.pb), lane_gather(py, s.pb),
-                lane_gather(ca0b, s.pb), lane_gather(sa0b, s.pb),
-            ))
+        pose0 = slot_pose(ca0b, sa0b, px, py)
 
         # integrate (semi-implicit Euler)
         vx = vx + gx * h * dyn
@@ -288,26 +327,19 @@ def _frame2_kernel(
         dxx = jnp.zeros_like(px)
         dxy = jnp.zeros_like(py)
         dth = jnp.zeros_like(an)
-        lam_ns = [jnp.zeros_like(s.cb.sep) for s in slices]
+        lam_n = jnp.zeros_like(cb_.sep)  # [2, Wb, C*M]
         for _it in range(iterations):
             cab, sab = jnp.cos(an), jnp.sin(an)
-            acc = None
-            for k, s in enumerate(slices):
-                pose = PairPose(
-                    lane_gather(px, cbody), lane_gather(py, cbody),
-                    lane_gather(cab, cbody), lane_gather(sab, cbody),
-                    lane_gather(px, s.pb), lane_gather(py, s.pb),
-                    lane_gather(cab, s.pb), lane_gather(sab, s.pb),
-                )
-                vals_a, _, lam_i = solve_contacts_b(
-                    pose, pose0s[k], s.pd, s.cb, h, compliance)
-                lam_ns[k] = lam_ns[k] + lam_i
-                acc = vals_a if acc is None else acc + vals_a
-            ab = to_bodies(acc)  # [4, Wb, N]
-            if joint_solver == "jacobi":
-                for s in jslices:  # joints: averaged Jacobi fused w/ contacts
-                    pose, an_p = joint_pose(s, cab, sab, px, py, an)
-                    ab = ab + solve_joints_b(pose, an, an_p, s.jd, h)
+            pose = slot_pose(cab, sab, px, py)
+            vals_a, _, lam_i = solve_contacts_b(
+                pose, pose0, pd_, cb_, h, compliance)
+            lam_n = lam_n + lam_i
+            ab = to_bodies(sum_c(vals_a))  # [4, Wb, N]
+            if jpack is not None and joint_solver == "jacobi":
+                # joints: averaged Jacobi fused with the contact apply
+                pose_j, an_p = joint_pose(cab, sab, px, py, an)
+                ab = ab + sum_j(
+                    solve_joints_b(pose_j, tile_j(an), an_p, jpack.jd, h))
             cnt = jnp.maximum(ab[3], 1.0)
             ddx = jnp.clip(ab[0] * relaxation / cnt, -max_dpos, max_dpos)
             ddy = jnp.clip(ab[1] * relaxation / cnt, -max_dpos, max_dpos)
@@ -318,7 +350,7 @@ def _frame2_kernel(
             dxx = dxx + ddx
             dxy = dxy + ddy
             dth = dth + dda
-            if jslices and joint_solver == "colored":
+            if jpack is not None and joint_solver == "colored":
                 # graph-colored Gauss-Seidel (BASELINE.json:5): same-color
                 # joints share no dynamic body, so each color batch applies
                 # EXACTLY; poses refresh between colors. Mirrors
@@ -327,15 +359,12 @@ def _frame2_kernel(
                 for color in range(n_colors):
                     cab2, sab2 = jnp.cos(an), jnp.sin(an)
                     last = color == n_colors - 1
-                    abj = None
-                    for s in jslices:
-                        cmask = (s.color >= color) if last else (
-                            s.color == color)
-                        jd = SimpleNamespace(**vars(s.jd))
-                        jd.active = s.jd.active * cmask.astype(f32)
-                        pose, an_p = joint_pose(s, cab2, sab2, px, py, an)
-                        v = solve_joints_b(pose, an, an_p, jd, h)
-                        abj = v if abj is None else abj + v
+                    cmask = (jpack.color >= color) if last else (
+                        jpack.color == color)
+                    jd = SimpleNamespace(**vars(jpack.jd))
+                    jd.active = jpack.jd.active * cmask.astype(f32)
+                    pose_j, an_p = joint_pose(cab2, sab2, px, py, an)
+                    abj = sum_j(solve_joints_b(pose_j, tile_j(an), an_p, jd, h))
                     cntj = jnp.maximum(abj[3], 1.0)
                     # joints are constraint maintenance, not depenetration:
                     # clipped by the raw max_dpos, not the rate cap
@@ -360,38 +389,29 @@ def _frame2_kernel(
 
         # velocity pass: restitution + dynamic friction + motors/damping
         cab, sab = jnp.cos(an), jnp.sin(an)
-        accv = None
-        new_touched = []
-        for k, s in enumerate(slices):
-            pose_v = PairPose(
-                lane_gather(px, cbody), lane_gather(py, cbody),
-                lane_gather(cab, cbody), lane_gather(sab, cbody),
-                lane_gather(px, s.pb), lane_gather(py, s.pb),
-                lane_gather(cab, s.pb), lane_gather(sab, s.pb),
-            )
-            pvel = PairVel(
-                lane_gather(vx, cbody), lane_gather(vy, cbody),
-                lane_gather(om, cbody),
-                lane_gather(vx, s.pb), lane_gather(vy, s.pb),
-                lane_gather(om, s.pb),
-            )
-            pvel0 = PairVel(
-                lane_gather(vtx, cbody), lane_gather(vty, cbody),
-                lane_gather(vtom, cbody),
-                lane_gather(vtx, s.pb), lane_gather(vty, s.pb),
-                lane_gather(vtom, s.pb),
-            )
-            cv_a, _ = velocity_contacts_b(
-                pose_v, pvel, pvel0, s.pd, s.cb, lam_ns[k], h, rest_threshold)
-            accv = cv_a if accv is None else accv + cv_a
-            tk = jnp.max((lam_ns[k] > 0.0).astype(f32) * s.cb.pmask, axis=0)
-            new_touched.append(jnp.maximum(touched[k], tk))
-        abv = to_bodies(accv)
-        for s in jslices:
-            pose, _ = joint_pose(s, cab, sab, px, py, an)
-            pvel = PairVel(vx, vy, om, lane_gather(vx, s.pb),
-                           lane_gather(vy, s.pb), lane_gather(om, s.pb))
-            abv = abv + velocity_joints_b(pose, pvel, s.jd, h)
+        pose_v = slot_pose(cab, sab, px, py)
+        pvel = PairVel(
+            tile_c(lane_gather(vx, cbody)), tile_c(lane_gather(vy, cbody)),
+            tile_c(lane_gather(om, cbody)),
+            lane_gather(vx, pb), lane_gather(vy, pb), lane_gather(om, pb),
+        )
+        pvel0 = PairVel(
+            tile_c(lane_gather(vtx, cbody)), tile_c(lane_gather(vty, cbody)),
+            tile_c(lane_gather(vtom, cbody)),
+            lane_gather(vtx, pb), lane_gather(vty, pb), lane_gather(vtom, pb),
+        )
+        cv_a, _ = velocity_contacts_b(
+            pose_v, pvel, pvel0, pd_, cb_, lam_n, h, rest_threshold)
+        abv = to_bodies(sum_c(cv_a))
+        tk = jnp.max((lam_n > 0.0).astype(f32) * cb_.pmask, axis=0)
+        touched = jnp.maximum(touched, tk)
+        if jpack is not None:
+            pose_j, _ = joint_pose(cab, sab, px, py, an)
+            pvel_j = PairVel(
+                tile_j(vx), tile_j(vy), tile_j(om),
+                lane_gather(vx, jpack.pb), lane_gather(vy, jpack.pb),
+                lane_gather(om, jpack.pb))
+            abv = abv + sum_j(velocity_joints_b(pose_j, pvel_j, jpack.jd, h))
         cntv = jnp.maximum(abv[3], 1.0)
         vx = vx + abv[0] / cntv
         vy = vy + abv[1] / cntv
@@ -402,7 +422,7 @@ def _frame2_kernel(
             vy = vy * sdamp
         if ang_damp > 0.0:
             om = om * (1.0 / (1.0 + h * ang_damp))
-        return px, py, an, vx, vy, om, tuple(new_touched)
+        return px, py, an, vx, vy, om, touched
 
     carry = (px, py, an, vx, vy, om, touch0)
     px, py, an, vx, vy, om, touched = jax.lax.fori_loop(
@@ -413,7 +433,8 @@ def _frame2_kernel(
     ovelx_r[:] = vx
     ovely_r[:] = vy
     oangvel_r[:] = om
-    otouched_r[:] = jnp.stack(touched, axis=1)  # [Wb, C, M]
+    for c in range(C):  # unpack the lane-packed slots back to [Wb, C, M]
+        otouched_r[:, c, :] = touched[:, c * M:(c + 1) * M]
 
 
 def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):

@@ -49,8 +49,12 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             w, _, diag = sf.parallel.batched_rollout(w, cfg, cap.max_pairs,
                                                      n_frames,
                                                      record=lambda _: ())
+            # hard counter: truncated LIVE contacts (must be 0); soft:
+            # truncated speculative candidates (bounded staleness, see
+            # parallel.batched_rollout docstring)
             ovf = jnp.maximum(diag["slot_overflow"], diag["joint_overflow"])
-            return w, jnp.sum(w.bodies.pos), ovf
+            return w, jnp.sum(w.bodies.pos), jnp.stack(
+                [ovf, diag["spec_dropped"]])
 
         from starframe_tpu.tiled import tiled_rollout, use_tiled
 
@@ -60,7 +64,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             w, d = tiled_rollout(w, cfg, n_frames)
             ovf = (d["slot_overflow"] + d["window_overflow"]
                    + d["large_overflow"])
-            return w, jnp.sum(w.bodies.pos), ovf
+            return w, jnp.sum(w.bodies.pos), jnp.stack([ovf, jnp.int32(0)])
 
         def body(carry, _):
             w, ovf = carry
@@ -69,7 +73,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             return (w2, ovf), ()
 
         (w, ovf), _ = jax.lax.scan(body, (w, jnp.int32(0)), None, length=n_frames)
-        return w, jnp.sum(w.bodies.pos), ovf
+        return w, jnp.sum(w.bodies.pos), jnp.stack([ovf, jnp.int32(0)])
 
     return jax.jit(chunk)
 
@@ -89,20 +93,27 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         f"{time.perf_counter() - t0:.1f}s (checksum {cs_v:.3f})")
 
     times = []
-    overflow = int(np.asarray(ovf))
+    overflow, spec = (int(x) for x in np.asarray(ovf))
     for _ in range(reps):
         t0 = time.perf_counter()
         w, cs, ovf = run(w)
         float(np.asarray(cs))  # force completion
         times.append(time.perf_counter() - t0)
-        overflow = max(overflow, int(np.asarray(ovf)))
+        o, s = (int(x) for x in np.asarray(ovf))
+        overflow = max(overflow, o)
+        spec = max(spec, s)
     per_frame = min(times) / frames
     bps = n_body_per_frame / per_frame
     log(f"[bench] best of {reps}: {per_frame * 1e3:.3f} ms/frame | "
-        f"{bps:.3e} body-steps/s | slot_overflow={overflow}")
+        f"{bps:.3e} body-steps/s | slot_overflow={overflow} "
+        f"spec_dropped={spec}")
     if overflow > 0:
         log("[bench] WARNING: capacity overflow detected — physics truncated "
-            "candidates; raise slot/pair capacity (SURVEY.md §4.6)")
+            "LIVE contacts; raise slot/pair capacity (SURVEY.md §4.6)")
+    elif spec > 0:
+        log("[bench] note: some rows dropped SPECULATIVE candidates only "
+            "(bounded staleness <= K-1 frames; no live contact truncated — "
+            "see parallel.batched_rollout)")
 
     pcts = {}
     if latency_reps:
@@ -135,7 +146,7 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         with jax.profiler.trace(profile_dir):
             w, cs, _ = run(w)
             float(np.asarray(cs))
-    pcts = dict(pcts, slot_overflow=overflow)
+    pcts = dict(pcts, slot_overflow=overflow, spec_dropped=spec)
     return bps, per_frame, pcts
 
 
@@ -174,9 +185,11 @@ def main():
     if args.config == "batched":
         scene = no_pallas(
             sf.scenes.batched_worlds(n_worlds=args.worlds, n_bodies=args.bodies))
-        # big workloads: short scan chunks — the TPU relay kills single
-        # executions much past ~1-2 minutes
-        n_chunk = 5 if args.worlds * args.bodies >= 2 ** 18 else args.frames
+        # big workloads: bounded scan chunks — the TPU relay kills single
+        # executions much past ~1-2 minutes. 20 frames x ~35 ms/frame is
+        # ~0.7 s/chunk (and lets cfg.frames_per_broadphase=4 amortize fully;
+        # a 5-frame chunk pays the table build twice per chunk).
+        n_chunk = 20 if args.worlds * args.bodies >= 2 ** 18 else args.frames
         lat = args.latency_reps if args.latency_reps is not None else 0
         bps, per_frame, pcts = bench_scene(scene, n_chunk, batched=True,
                                            profile_dir=args.profile,

@@ -44,7 +44,7 @@ def _slot_kernel(
     # collider-level [Wb, M] (verts [Wb, V, M])
     cbody_r, vlx_r, vly_r, radius_r, layer_r, lmask_r, active_r, sensor_r,
     # outputs
-    partner_o, slot_act_o, count_o,
+    partner_o, slot_act_o, count_o, count_close_o,
     *, C: int, margin: float, dt: float,
 ):
     posx, posy, ang = posx_r[:], posy_r[:], ang_r[:]
@@ -160,6 +160,11 @@ def _slot_kernel(
     partner_o[:] = jnp.concatenate(parts, axis=1).astype(i32)
     slot_act_o[:] = jnp.concatenate(acts, axis=1)
     count_o[:] = jnp.sum(mask, axis=1).astype(i32)
+    # close candidates are touching/imminent contacts: rows where THESE
+    # exceed C have dropped live physics (hard overflow); rows where only
+    # the total exceeds C dropped speculative (swept-margin) candidates,
+    # which re-enter at the next table rebuild (soft, bounded staleness)
+    count_close_o[:] = jnp.sum(mask_close, axis=1).astype(i32)
 
 
 def _joint_slot_kernel(jba_r, jbb_r, jactive_r, partner_o, side_o, act_o,
@@ -286,8 +291,12 @@ def build_slot_tables(
     """Build per-collider partner slot tables for a world batch.
 
     Returns ``(partner [W, C, M] i32, slot_active [W, C, M] f32,
-    count [W, M] i32)``. Overflowed rows (count > C) keep their first C
-    partners in rank order.
+    count [W, M] i32, count_close [W, M] i32)``. Overflowed rows
+    (count > C) keep their first C partners in rank order, close
+    (touching/imminent) candidates first — ``count_close > C`` is the hard
+    overflow (live contacts dropped); ``count > C >= count_close`` only
+    drops speculative candidates (bounded staleness: they re-enter at the
+    next rebuild).
     """
     W, N = posx.shape
     M = cbody.shape[1]
@@ -308,14 +317,15 @@ def build_slot_tables(
     def cspec():
         return pl.BlockSpec((Wb, C, M), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
 
-    partner, slot_act, count = pl.pallas_call(
+    partner, slot_act, count, count_close = pl.pallas_call(
         kernel,
         grid=(W // Wb,),
         in_specs=[nspec()] * 7 + [mspec(), vspec(), vspec()] + [mspec()] * 5,
-        out_specs=(cspec(), cspec(), mspec()),
+        out_specs=(cspec(), cspec(), mspec(), mspec()),
         out_shape=(
             jax.ShapeDtypeStruct((W, C, M), i32),
             jax.ShapeDtypeStruct((W, C, M), f32),
+            jax.ShapeDtypeStruct((W, M), i32),
             jax.ShapeDtypeStruct((W, M), i32),
         ),
         compiler_params=None if interpret else _params(),
@@ -324,4 +334,4 @@ def build_slot_tables(
         posx, posy, ang, velx, vely, responds, moves,
         cbody, vlx, vly, radius, layer, lmask, active, sensor,
     )
-    return partner, slot_act, count
+    return partner, slot_act, count, count_close

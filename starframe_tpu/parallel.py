@@ -130,6 +130,12 @@ def _frame2_arrays(worlds: World, cfg: SolverConfig):
     return body, col
 
 
+def _gmag(worlds: World) -> jax.Array:
+    """Per-world gravity magnitude ``[W, 1]``."""
+    g = jnp.broadcast_to(worlds.gravity, (worlds.bodies.pos.shape[0], 2))
+    return jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))
+
+
 def _sweep_bounds(worlds: World, cfg: SolverConfig, K: int) -> jax.Array:
     """Per-body speed bound ``|v| + |g| * K * dt`` the K-frame slot tables
     are valid for ``[W, N]``. Magnitude-based (not per-component): contact
@@ -153,7 +159,7 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
     gravity can add over the window, applied on both axes so impulse-rotated
     velocity stays covered), so rollouts can amortize this kernel across
     frames (FUTURE.md broadphase-reuse lever). Returns
-    (partner, slot_act, count)."""
+    (partner, slot_act, count, count_close)."""
     body, col = _frame2_arrays(worlds, cfg)
     vx, vy = body["velx"], body["vely"]
     if frames > 1:
@@ -173,12 +179,14 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
 def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
                 tables=None):
     """One batched frame through the slot kernels. Returns
-    ``(new_worlds, touched [W, C, M], partner [W, C, M], count [W, M],
-    joint_overflow i32)`` — the slot tables back the batched contact-event
-    API and the overflow diagnostic (``max(count) - C`` must be <= 0 for
-    trustworthy physics; ``joint_overflow`` is the joint-slot analogue,
-    already reduced because joint topology is frame-static). Pass ``tables``
-    (from :func:`frame2_tables`) to reuse a broadphase across frames."""
+    ``(new_worlds, touched [W, C, M], partner [W, C, M], counts,
+    joint_overflow i32)`` — ``counts = (count, count_close)`` [W, M] each:
+    ``max(count_close) - C`` must be <= 0 for trustworthy physics (live
+    contacts dropped); ``max(count) - C > 0`` only drops speculative
+    candidates (bounded staleness, see build_slot_tables).
+    ``joint_overflow`` is the joint-slot analogue, already reduced because
+    joint topology is frame-static. Pass ``tables`` (from
+    :func:`frame2_tables`) to reuse a broadphase across frames."""
     import dataclasses
 
     from .pallas.frame2 import run_frame2
@@ -188,7 +196,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     C = cfg.slot_capacity
     if tables is None:
         tables = frame2_tables(worlds, cfg, interpret=interpret)
-    partner, slot_act, count = tables
+    partner, slot_act, count, count_close = tables
 
     joints = None
     JC = 0
@@ -275,7 +283,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     new_worlds = dataclasses.replace(
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
-    return new_worlds, touched, partner, count, joint_overflow
+    return new_worlds, touched, partner, (count, count_close), joint_overflow
 
 
 def batched_step_events(worlds: World, cfg: SolverConfig,
@@ -291,11 +299,12 @@ def batched_step_events(worlds: World, cfg: SolverConfig,
         "eligible (see frame2_shapes_ok) — use step(with_contacts=True)")
     from .events import touching_keys_from_slots
 
-    w2, touched, partner, count, jovf = frame2_step(
+    w2, touched, partner, (count, count_close), jovf = frame2_step(
         worlds, cfg, interpret=interpret, tables=tables)
     keys = touching_keys_from_slots(touched, partner, worlds.colliders.m)
     diag = dict(
-        slot_overflow=jnp.maximum(jnp.max(count) - cfg.slot_capacity, 0),
+        slot_overflow=jnp.maximum(jnp.max(count_close) - cfg.slot_capacity, 0),
+        spec_dropped=jnp.maximum(jnp.max(count) - cfg.slot_capacity, 0),
         joint_overflow=jovf,
     )
     return w2, keys, diag
@@ -331,21 +340,33 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     correctness counters (silent truncation is the #1 hazard of the
     fixed-capacity design, SURVEY.md §4.6):
 
-    - ``slot_overflow``: max over frames of ``max(count) - C`` (<= 0 means
-      no collider row ever truncated candidates);
-    - ``joint_overflow``: joint-slot analogue (0 means none);
-    - ``forced_rebuilds``: broadphase rebuilds forced by the velocity guard.
+    - ``slot_overflow``: max over frames of ``max(count_close) - C``
+      (<= 0 means no collider row ever truncated a touching/imminent
+      contact — the hard physics-corruption case);
+    - ``spec_dropped``: max over frames of ``max(count) - C`` — rows that
+      truncated only SPECULATIVE (swept-margin) candidates. Bounded
+      staleness, not corruption: a dropped speculative pair re-enters at
+      the next rebuild (<= K-1 frames), so the worst case is a contact
+      forming up to K-1 frames late at the pair's closing speed, resolved
+      by the solver's normal depenetration (the same contract Box2D-style
+      speculative margins provide);
+    - ``joint_overflow``: joint-slot analogue of the hard counter;
+    - ``forced_rebuilds``: broadphase rebuilds forced by the staleness
+      guard below.
 
     On the slot-kernel path with ``cfg.frames_per_broadphase = K > 1``, the
     slot tables are rebuilt every K-th frame with K-frame-inflated sweeps
     (a candidate SUPERSET, so solved contacts — which require actual
     proximity — are unchanged; only slot pressure rises) and carried through
     the scan — amortizing the broadphase kernel K-fold. The superset claim
-    assumes no body exceeds the speed the tables were built for; impulse
-    exchange (a projectile hitting a resting cluster) CAN violate it, so a
-    per-frame guard compares current |v| against the build-time bound and
-    forces an early rebuild when any body escapes (counted in
-    ``forced_rebuilds``).
+    assumes every body stays inside the swept AABB its tables were built
+    with; impulse exchange (a projectile hitting a resting cluster) CAN
+    violate it, so a per-frame POSITIONAL guard checks each body's
+    displacement since build (plus the coming frame's motion) against the
+    sweep budget and forces an early rebuild on escape (counted in
+    ``forced_rebuilds``). The positional form is the exact invariant: a
+    settling pile exchanging small impulses never trips it (bodies barely
+    move), while a genuinely escaping body always does.
     """
     if record is None:
         record = lambda w: (w.bodies.pos, w.bodies.angle)
@@ -357,37 +378,49 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         C = cfg.slot_capacity
 
         def build(w):
+            # position budget per body: the swept-AABB inflation the tables
+            # are built with = speed bound x window (per axis, symmetric)
+            sweep = _sweep_bounds(w, cfg, K) * (K * cfg.dt)
             return (frame2_tables(w, cfg, frames=K, interpret=interpret),
-                    _sweep_bounds(w, cfg, K))
+                    w.bodies.pos, sweep)
 
         def body(carry, _):
-            w, tables, vbound, age, ovf, jovf, rebuilds = carry
+            w, tables, pos0, sweep, age, ovf, spec, jovf, rebuilds = carry
             if K > 1:
                 b = w.bodies
-                sp2 = jnp.sum(b.vel**2, axis=-1)
-                esc = sp2 > (vbound + 1e-5) ** 2
+                # positional staleness guard: body must stay inside its
+                # build-time swept AABB through the COMING frame
+                disp = jnp.max(jnp.abs(b.pos - pos0), axis=-1)
+                motion = (jnp.sqrt(jnp.sum(b.vel**2, axis=-1))
+                          + _gmag(w) * cfg.dt) * cfg.dt
+                esc = disp + motion > sweep + 1e-5
                 viol = jnp.any(esc & (b.inv_mass > 0))
             else:
                 viol = jnp.bool_(False)
             do = (age == 0) | viol
-            tables, vbound = jax.lax.cond(
-                do, lambda op: build(op[0]), lambda op: (op[1], op[2]),
-                (w, tables, vbound))
-            w2, _, _, count, j_ovf = frame2_step(w, cfg, interpret=interpret,
-                                                 tables=tables)
-            ovf = jnp.maximum(ovf, jnp.max(count) - C)
+            tables, pos0, sweep = jax.lax.cond(
+                do, lambda op: build(op[0]),
+                lambda op: (op[1], op[2], op[3]),
+                (w, tables, pos0, sweep))
+            w2, _, _, (count, count_close), j_ovf = frame2_step(
+                w, cfg, interpret=interpret, tables=tables)
+            ovf = jnp.maximum(ovf, jnp.max(count_close) - C)
+            spec = jnp.maximum(spec, jnp.max(count) - C)
             jovf = jnp.maximum(jovf, j_ovf)
             rebuilds = rebuilds + (viol & (age != 0)).astype(jnp.int32)
             age = jnp.where(do, 1, age + 1) % K
-            return (w2, tables, vbound, age, ovf, jovf, rebuilds), record(w2)
+            return (w2, tables, pos0, sweep, age, ovf, spec, jovf,
+                    rebuilds), record(w2)
 
-        tables0, vbound0 = build(worlds)
+        tables0, pos00, sweep0 = build(worlds)
         zero = jnp.int32(0)
-        carry0 = (worlds, tables0, vbound0, jnp.int32(1 % K),
-                  jnp.int32(-(2**31)), zero, zero)
-        (final, _, _, _, ovf, jovf, rebuilds), traj = jax.lax.scan(
+        neg = jnp.int32(-(2**31))
+        carry0 = (worlds, tables0, pos00, sweep0, jnp.int32(1 % K),
+                  neg, neg, zero, zero)
+        (final, _, _, _, _, ovf, spec, jovf, rebuilds), traj = jax.lax.scan(
             body, carry0, None, length=n_frames)
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
+                    spec_dropped=jnp.maximum(spec, 0),
                     joint_overflow=jovf, forced_rebuilds=rebuilds)
         return final, traj, diag
 
@@ -401,7 +434,7 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     zero = jnp.int32(0)
     (final, povf, covf), traj = jax.lax.scan(
         body, (worlds, zero, zero), None, length=n_frames)
-    diag = dict(slot_overflow=povf, joint_overflow=zero,
+    diag = dict(slot_overflow=povf, spec_dropped=zero, joint_overflow=zero,
                 forced_rebuilds=zero, cell_overflow=covf)
     return final, traj, diag
 

@@ -84,7 +84,7 @@ def test_slot_tables_match_bruteforce_oracle():
     worlds = replicate_world(world, 2)
     body, col = _frame2_arrays(worlds, cfg)
     C = cfg.slot_capacity
-    partner, slot_act, count = jax.tree.map(
+    partner, slot_act, count, count_close = jax.tree.map(
         np.asarray,
         build_slot_tables(
             body["posx"], body["posy"], body["ang"], body["velx"], body["vely"],
@@ -121,6 +121,8 @@ def test_slot_tables_match_bruteforce_oracle():
         got = sorted(partner[0, c, i] for c in range(min(C, len(expect)))
                      if slot_act[0, c, i] > 0)
         assert got == sorted(expect)[: len(got)], f"row {i} partners"
+    # close candidates are a subset of all candidates
+    assert np.all(count_close <= count)
     # both worlds identical
     np.testing.assert_array_equal(partner[0], partner[1])
 
@@ -148,7 +150,8 @@ def _run_parity(n_frames=3, seed=0, interpret=True):
     w_ker = worlds
     count_max = 0
     for _ in range(n_frames):
-        w_ker, touched, partner, count, _ = frame2_step(w_ker, cfg, interpret=interpret)
+        w_ker, touched, partner, (count, _close), _ = frame2_step(
+            w_ker, cfg, interpret=interpret)
         count_max = max(count_max, int(np.asarray(count).max()))
     assert count_max <= cfg.slot_capacity, "slot overflow during parity run"
 

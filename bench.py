@@ -64,7 +64,8 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             w, d = tiled_rollout(w, cfg, n_frames)
             ovf = (d["slot_overflow"] + d["window_overflow"]
                    + d["large_overflow"])
-            return w, jnp.sum(w.bodies.pos), jnp.stack([ovf, jnp.int32(0)])
+            return w, jnp.sum(w.bodies.pos), jnp.stack(
+                [ovf, d["spec_dropped"]])
 
         def body(carry, _):
             w, ovf = carry

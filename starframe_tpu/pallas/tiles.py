@@ -141,32 +141,237 @@ def _own_lane_slice(x, w):
 
 
 # ===========================================================================
-# kernel 1: frame setup (slot tables + manifolds + anchors)
+# kernel 1a: slot tables (candidate mask + rank-select) — amortizable over
+# K frames with inflated sweeps (tiled.py's rollout carries the result and
+# rebuilds on resort / positional escape)
 # ===========================================================================
 
 
-def _setup_kernel(
+def _tables_kernel(
+    # window state [1, T] x3 each
+    px0, px1, px2, py0, py1, py2, an0, an1, an2,
+    vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
+    # window collider consts
+    vlx_w0, vlx_w1, vlx_w2, vly_w0, vly_w1, vly_w2,  # [1, V, T] x3
+    rad0, rad1, rad2, nv0, nv1, nv2,
+    act0, act1, act2, mov0, mov1, mov2,
+    lay0, lay1, lay2, msk0, msk1, msk2,
+    # own row extras
+    o_responds, o_sensor,
+    # large set (broadcast)
+    l_px, l_py, l_an, l_vlx, l_vly, l_rad, l_nv, l_act, l_lay, l_msk,
+    # rows
+    edge_lo, edge_hi,  # [n_tiles, 1] window sort-axis bounds rows (own spec)
+    grav_r,  # [1, 2]
+    # outputs
+    pidx_o, act_o, count_o, cntc_o, winover_o, sweep_o,
+    *, C: int, V: int, margin: float, dt: float, n_tiles: int,
+    sort_axis: int, sweep_frames: int, sweep_slack: float, sweep_cap: float,
+):
+    """Candidate slot tables, valid while every body stays within its sweep
+    budget (``sweep_o``, in position units). With ``sweep_frames = K > 1``
+    the sweep is a symmetric SPEED-magnitude inflation (contact impulses
+    rotate velocity between components, so per-axis signed sweeps would be
+    invalidated by every bounce) capped at ``sweep_cap`` — any sweep is
+    SOUND because the rollout's positional guard forces a rebuild the
+    moment a body's displacement (plus its coming frame motion) escapes the
+    budget; the cap only trades rebuild frequency against slot pressure."""
+    t = pl.program_id(0)
+    start = _win_start(t, n_tiles)
+
+    def win(a, b, c):
+        return _concat_window([a[0], b[0], c[0]])
+
+    # ---- candidate row: window (3T) + large (L) on the lane axis ----------
+    def wl(w3, lg):  # [1, 3T] + [1, L] -> [1, 3T+L]
+        return jnp.concatenate([w3, lg[:]], axis=-1)
+
+    c_px = wl(win(px0, px1, px2), l_px)
+    c_py = wl(win(py0, py1, py2), l_py)
+    c_an = wl(win(an0, an1, an2), l_an)
+    c_vx = wl(win(vx0, vx1, vx2), jnp.zeros_like(l_px[:]))
+    c_vy = wl(win(vy0, vy1, vy2), jnp.zeros_like(l_px[:]))
+    c_rad = wl(win(rad0, rad1, rad2), l_rad)
+    c_nv = wl(win(nv0, nv1, nv2), l_nv)
+    c_act = wl(win(act0, act1, act2), l_act)
+    # window candidates must MOVE (statics ride the large channel only —
+    # that is what prevents double-counting them)
+    c_part = wl(win(mov0, mov1, mov2), l_act)
+    c_lay = wl(win(lay0, lay1, lay2), l_lay)
+    c_msk = wl(win(msk0, msk1, msk2), l_msk)
+
+    def winv(a, b, c):  # verts are pre-sliced [1, T] arrays, not refs
+        return jnp.concatenate([a, b, c], axis=-1)
+
+    c_vlx = [wl(winv(vlx_w0[:, v], vlx_w1[:, v], vlx_w2[:, v]), l_vlx[:, v])
+             for v in range(V)]
+    c_vly = [wl(winv(vly_w0[:, v], vly_w1[:, v], vly_w2[:, v]), l_vly[:, v])
+             for v in range(V)]
+
+    S = WIN * T + L
+    c_ca = jnp.cos(c_an)
+    c_sa = jnp.sin(c_an)
+
+    # candidate AABBs (lane form [1, S])
+    lox = hix = loy = hiy = ext = None
+    for v in range(V):
+        wx = c_px + c_ca * c_vlx[v] - c_sa * c_vly[v]
+        wy = c_py + c_sa * c_vlx[v] + c_ca * c_vly[v]
+        lox = wx if lox is None else jnp.minimum(lox, wx)
+        hix = wx if hix is None else jnp.maximum(hix, wx)
+        loy = wy if loy is None else jnp.minimum(loy, wy)
+        hiy = wy if hiy is None else jnp.maximum(hiy, wy)
+        d = jnp.sqrt(c_vlx[v] ** 2 + c_vly[v] ** 2)
+        ext = d if ext is None else jnp.maximum(ext, d)
+    ext = ext + c_rad
+    pad = c_rad + 0.5 * margin
+    if sweep_frames > 1:
+        # K-frame symmetric magnitude sweep, capped at sweep_cap body
+        # extents (a fast faller would otherwise blow its slot capacity);
+        # statics sweep nothing. The budget is a HEURISTIC, not a bound —
+        # the rollout's positional guard rebuilds the moment a body leaves
+        # it, so any value is sound; it only trades rebuild frequency
+        # against slot pressure. Gravity headroom is ONE frame's worth
+        # (g*dt), not the window's: in a dense pile a g*K*dt allowance
+        # inflates every settled body's AABB into its second neighbor ring
+        # and doubles candidate counts; a body that genuinely free-falls
+        # escapes the small budget and triggers a rebuild instead.
+        gx = grav_r[0, 0]
+        gy = grav_r[0, 1]
+        gmag = jnp.sqrt(gx * gx + gy * gy)
+        spd = jnp.sqrt(c_vx * c_vx + c_vy * c_vy)
+        kdt = sweep_frames * dt
+        # quarter-extent displacement floor: settled bodies' speeds GROW
+        # between builds (impulse jitter), and a pure speed-based budget
+        # makes the any-body escape guard fire constantly at settle
+        sw = jnp.minimum((spd + gmag * dt + sweep_slack) * kdt + 0.25 * ext,
+                         sweep_cap * ext) * (c_part > 0)
+        swx = swy = sw
+    else:
+        swx = jnp.abs(c_vx) * dt
+        swy = jnp.abs(c_vy) * dt
+    # close boxes (no velocity sweep): touching/penetrating candidates take
+    # slots before speculative swept-margin ones (graceful overflow)
+    clox = lox - pad
+    chix = hix + pad
+    cloy = loy - pad
+    chiy = hiy + pad
+    lox = clox - swx
+    hix = chix + swx
+    loy = cloy - swy
+    hiy = chiy + swy
+
+    own_slice = lambda x: _own_lane_slice(x, t - start)
+    o_lox = own_slice(lox)
+    o_hix = own_slice(hix)
+    o_loy = own_slice(loy)
+    o_hiy = own_slice(hiy)
+    o_clox = own_slice(clox)
+    o_chix = own_slice(chix)
+    o_cloy = own_slice(cloy)
+    o_chiy = own_slice(chiy)
+    o_lay = own_slice(c_lay)
+    o_msk = own_slice(c_msk)
+    # per-body position budget the tables stay valid for (window rows only)
+    sweep_o[0] = own_slice(swx)
+
+    # ---- dense candidate mask [S, T]: candidate j (sublanes) x own i ------
+    def as_j(x):  # [1, S] -> [S, 1]
+        return jnp.swapaxes(x, 0, 1)
+
+    ov = (
+        (as_j(lox) <= o_hix) & (o_lox <= as_j(hix))
+        & (as_j(loy) <= o_hiy) & (o_loy <= as_j(hiy))
+    )
+    ov_close = (
+        (as_j(clox) <= o_chix) & (o_clox <= as_j(chix))
+        & (as_j(cloy) <= o_chiy) & (o_cloy <= as_j(chiy))
+    )
+    # global ids: same body <-> same id (iota worlds: collider == body)
+    own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
+    win_gid = start * T + jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
+    # large ids offset past every tile so they never collide with window ids
+    lrg_gid = n_tiles * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
+    c_gid = jnp.concatenate([win_gid, lrg_gid], axis=-1)
+    diff = as_j(c_gid) != own_gid
+    layer_ok = (
+        ((o_msk >> as_j(c_lay)) & 1) & ((as_j(c_msk) >> o_lay) & 1)
+    ) != 0
+    # rows: responding colliders, plus MOVING sensors (a static sensor's
+    # touches are recorded from its dynamic partners' rows instead)
+    o_moves = own_slice(c_part)
+    row_ok = (o_responds[0] > 0) | ((o_sensor[0] > 0) & (o_moves > 0))
+    elig = (as_j(c_part) > 0) & (as_j(c_act) > 0) & row_ok
+    mask = (ov & diff & layer_ok & elig).astype(f32)
+
+    # window-miss detection: an own AABB reaching past the window's
+    # sort-axis range may have partners we cannot see — count it
+    # (SURVEY.md §4.6). sort_axis: 0 = tiles cut by x, 1 = by y.
+    if sort_axis == 0:
+        ax_lo, ax_hi = o_lox, o_hix
+    else:
+        ax_lo, ax_hi = o_loy, o_hiy
+    winover = ((ax_lo < edge_lo[0]) | (ax_hi > edge_hi[0])).astype(i32)
+    winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
+
+    # ---- rank-select C partners per own body (close first) ----------------
+    mask_close = ov_close.astype(f32) * mask
+    mask_far = mask - mask_close
+    jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
+    kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
+    # (measured: bf16 operands here are SLOWER — the f32->bf16 relayouts
+    # cost more than the MXU saves at [S, S] x [S, T] scale)
+    lt = (kk < jj).astype(f32)
+
+    def rank_of(m):
+        return jax.lax.dot_general(lt, m, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # [S, T]
+
+    rank_c = rank_of(mask_close)
+    rank_f = rank_of(mask_far)
+    cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
+    crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
+    j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
+    pidx, acts = [], []
+    for c in range(C):
+        oh = jnp.where(crank == float(c), mask, 0.0)
+        pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
+        acts.append(jnp.sum(oh, axis=0, keepdims=True))
+    count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)
+    # close candidates = touching/imminent contacts: the HARD overflow
+    # signal (count > C with count_close <= C only drops speculative
+    # candidates — bounded staleness, the positional guard re-admits them)
+    cntc_o[0] = jnp.sum(mask_close, axis=0, keepdims=True).astype(i32)
+    pidx_o[:] = jnp.concatenate(pidx, axis=0)[None].astype(i32)  # [1, C, T]
+    act_o[:] = jnp.concatenate(acts, axis=0)[None]
+
+
+# ===========================================================================
+# kernel 1b: per-frame manifolds + anchors at current poses (consumes the
+# slot tables; runs every frame)
+# ===========================================================================
+
+
+def _manifold_kernel(
     # window state [1, T] x3 each
     px0, px1, px2, py0, py1, py2, an0, an1, an2,
     vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
     # window collider consts
     vlx_w0, vlx_w1, vlx_w2, vly_w0, vly_w1, vly_w2,  # [1, V, T] x3
     rad0, rad1, rad2, nv0, nv1, nv2, fric0, fric1, fric2,
-    rst0, rst1, rst2, sen0, sen1, sen2, act0, act1, act2,
-    mov0, mov1, mov2, invm0, invm1, invm2, invi0, invi1, invi2,
-    lay0, lay1, lay2, msk0, msk1, msk2,
+    rst0, rst1, rst2, sen0, sen1, sen2,
+    invm0, invm1, invm2, invi0, invi1, invi2,
     # own row extras
-    o_responds, o_sensor,
+    o_sensor,
     # large set (broadcast): pose frozen for the frame
     l_px, l_py, l_an, l_vlx, l_vly, l_rad, l_nv, l_fric, l_rst, l_sen,
-    l_act, l_lay, l_msk,
-    # scalars
-    edge_lo, edge_hi,  # [n_tiles, 1] window sort-axis bounds rows (own spec)
+    # tables + gating
+    pidx_r, act_r,  # [1, C, T]
     tile_live,  # [n_tiles, 1, T] 0/1: any awake body in this tile's window
     # outputs
-    pidx_o, cc_o, c2_o, count_o, winover_o, wake_o, pen_o,
+    cc_o, c2_o, wake_o, pen_o,
     *, C: int, V: int, margin: float, dt: float, n_tiles: int,
-    sleep_velocity: float, sort_axis: int,
+    sleep_velocity: float,
 ):
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
@@ -174,21 +379,17 @@ def _setup_kernel(
 
     # skipped (all-asleep-window) tiles: zero outputs, no compute — the
     # island-granular work saving (SURVEY.md §2 row 11); sleeping tiles'
-    # bodies are frozen so their tables would be unused anyway
-    pidx_o[:] = jnp.zeros_like(pidx_o)
+    # bodies are frozen so their manifolds would be unused anyway
     cc_o[:] = jnp.zeros_like(cc_o)
     c2_o[:] = jnp.zeros_like(c2_o)
-    count_o[0] = jnp.zeros((1, T), i32)
-    winover_o[0] = jnp.zeros((1, T), i32)
     wake_o[0] = jnp.zeros((1, T), f32)
     pen_o[0] = jnp.zeros((1, T), f32)
 
     @pl.when(live)
-    def _setup_body():
+    def _manifold_body():
         def win(a, b, c):
             return _concat_window([a[0], b[0], c[0]])
 
-        # ---- candidate row: window (3T) + large (L) on the lane axis ----------
         def wl(w3, lg):  # [1, 3T] + [1, L] -> [1, 3T+L]
             return jnp.concatenate([w3, lg[:]], axis=-1)
 
@@ -203,15 +404,10 @@ def _setup_kernel(
         c_fric = wl(win(fric0, fric1, fric2), l_fric)
         c_rst = wl(win(rst0, rst1, rst2), l_rst)
         c_sen = wl(win(sen0, sen1, sen2), l_sen)
-        c_act = wl(win(act0, act1, act2), l_act)
-        # window candidates must MOVE (statics ride the large channel only —
-        # that is what prevents double-counting them)
-        c_part = wl(win(mov0, mov1, mov2), l_act)
         c_invm = wl(win(invm0, invm1, invm2), jnp.zeros_like(l_px[:]))
         c_invi = wl(win(invi0, invi1, invi2), jnp.zeros_like(l_px[:]))
-        c_lay = wl(win(lay0, lay1, lay2), l_lay)
-        c_msk = wl(win(msk0, msk1, msk2), l_msk)
-        def winv(a, b, c):  # verts are pre-sliced [1, T] arrays, not refs
+
+        def winv(a, b, c):
             return jnp.concatenate([a, b, c], axis=-1)
 
         c_vlx = [wl(winv(vlx_w0[:, v], vlx_w1[:, v], vlx_w2[:, v]), l_vlx[:, v])
@@ -219,112 +415,16 @@ def _setup_kernel(
         c_vly = [wl(winv(vly_w0[:, v], vly_w1[:, v], vly_w2[:, v]), l_vly[:, v])
                  for v in range(V)]
 
-        S = WIN * T + L
         c_ca = jnp.cos(c_an)
         c_sa = jnp.sin(c_an)
-
-        # candidate swept AABBs + speed bound (lane form [1, S])
-        lox = hix = loy = hiy = ext = None
+        ext = None
         for v in range(V):
-            wx = c_px + c_ca * c_vlx[v] - c_sa * c_vly[v]
-            wy = c_py + c_sa * c_vlx[v] + c_ca * c_vly[v]
-            lox = wx if lox is None else jnp.minimum(lox, wx)
-            hix = wx if hix is None else jnp.maximum(hix, wx)
-            loy = wy if loy is None else jnp.minimum(loy, wy)
-            hiy = wy if hiy is None else jnp.maximum(hiy, wy)
             d = jnp.sqrt(c_vlx[v] ** 2 + c_vly[v] ** 2)
             ext = d if ext is None else jnp.maximum(ext, d)
         ext = ext + c_rad
-        pad = c_rad + 0.5 * margin
-        swx = jnp.abs(c_vx) * dt
-        swy = jnp.abs(c_vy) * dt
-        # close boxes (no velocity sweep): touching/penetrating candidates take
-        # slots before speculative swept-margin ones (graceful overflow)
-        clox = lox - pad
-        chix = hix + pad
-        cloy = loy - pad
-        chiy = hiy + pad
-        lox = clox - swx
-        hix = chix + swx
-        loy = cloy - swy
-        hiy = chiy + swy
         c_spd = jnp.sqrt(c_vx**2 + c_vy**2) + jnp.abs(c_om) * ext
 
         own_slice = lambda x: _own_lane_slice(x, t - start)
-        o_lox = own_slice(lox)
-        o_hix = own_slice(hix)
-        o_loy = own_slice(loy)
-        o_hiy = own_slice(hiy)
-        o_clox = own_slice(clox)
-        o_chix = own_slice(chix)
-        o_cloy = own_slice(cloy)
-        o_chiy = own_slice(chiy)
-        o_lay = own_slice(c_lay)
-        o_msk = own_slice(c_msk)
-
-        # ---- dense candidate mask [S, T]: candidate j (sublanes) x own i ------
-        def as_j(x):  # [1, S] -> [S, 1]
-            return jnp.swapaxes(x, 0, 1)
-
-        ov = (
-            (as_j(lox) <= o_hix) & (o_lox <= as_j(hix))
-            & (as_j(loy) <= o_hiy) & (o_loy <= as_j(hiy))
-        )
-        ov_close = (
-            (as_j(clox) <= o_chix) & (o_clox <= as_j(chix))
-            & (as_j(cloy) <= o_chiy) & (o_cloy <= as_j(chiy))
-        )
-        # global ids: same body <-> same id (iota worlds: collider == body)
-        own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
-        win_gid = start * T + jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
-        # large ids offset past every tile so they never collide with window ids
-        lrg_gid = n_tiles * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
-        c_gid = jnp.concatenate([win_gid, lrg_gid], axis=-1)
-        diff = as_j(c_gid) != own_gid
-        layer_ok = (
-            ((o_msk >> as_j(c_lay)) & 1) & ((as_j(c_msk) >> o_lay) & 1)
-        ) != 0
-        # rows: responding colliders, plus MOVING sensors (a static sensor's
-        # touches are recorded from its dynamic partners' rows instead)
-        o_moves = own_slice(c_part)
-        row_ok = (o_responds[0] > 0) | ((o_sensor[0] > 0) & (o_moves > 0))
-        elig = (as_j(c_part) > 0) & (as_j(c_act) > 0) & row_ok
-        mask = (ov & diff & layer_ok & elig).astype(f32)
-
-        # window-miss detection: an own AABB reaching past the window's
-        # sort-axis range may have partners we cannot see — count it
-        # (SURVEY.md §4.6). sort_axis: 0 = tiles cut by x, 1 = by y.
-        if sort_axis == 0:
-            ax_lo, ax_hi = o_lox, o_hix
-        else:
-            ax_lo, ax_hi = o_loy, o_hiy
-        winover = ((ax_lo < edge_lo[0]) | (ax_hi > edge_hi[0])).astype(i32)
-        winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
-
-        # ---- rank-select C partners per own body (close first) ----------------
-        mask_close = ov_close.astype(f32) * mask
-        mask_far = mask - mask_close
-        jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
-        kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
-        lt = (kk < jj).astype(f32)
-
-        def rank_of(m):
-            return jax.lax.dot_general(lt, m, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=f32)  # [S, T]
-
-        rank_c = rank_of(mask_close)
-        rank_f = rank_of(mask_far)
-        cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
-        crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
-        j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
-        pidx, acts = [], []
-        for c in range(C):
-            oh = jnp.where(crank == float(c), mask, 0.0)
-            pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
-            acts.append(jnp.sum(oh, axis=0, keepdims=True))
-        count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)
-
-        # ---- per-slot manifolds at frame-start poses --------------------------
         o_px = own_slice(c_px)
         o_py = own_slice(c_py)
         o_ca = own_slice(c_ca)
@@ -344,8 +444,8 @@ def _setup_kernel(
 
         # per-slot manifolds, vectorized over SG-slot sublane groups: each group
         # processes 8 slots as [SG, T] (one gather / one manifold batch for all 8)
-        pidx_all = jnp.concatenate(pidx, axis=0)  # [C, T] f32
-        acts_all = jnp.concatenate(acts, axis=0)
+        pidx_all = pidx_r[0].astype(f32)  # [C, T]
+        acts_all = act_r[0]
         cc_k = [[] for _ in range(KC)]  # per-quantity group lists -> [C, T]
         c2_q = [[] for _ in range(K2)]  # (quantity, point)-major
         # partner squared speed (lin + ang), the wake-on-fast-contact signal
@@ -418,7 +518,6 @@ def _setup_kernel(
                     jnp.max(prox * fast, axis=0, keepdims=True))
         wake_o[0] = wake_acc
         pen_o[0] = pen_acc
-        pidx_o[:] = pidx_all[None].astype(i32)  # [1, C, T]
         # k-major layouts: row k*C + slot — group slices stay 8-aligned
         cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
                             )[None].reshape(1, KC * C, T)
@@ -734,35 +833,109 @@ def _apply_kernel(
 # ===========================================================================
 
 
-def _setup_specs(n_tiles, C, V):
-    w = _window_specs(n_tiles)
+def _wv3_specs(n_tiles, V):
+    def mk(off):
+        def imap(t):
+            return (jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
+                    + off, 0, 0)
 
+        return pl.BlockSpec((1, V, T), imap, memory_space=pltpu.VMEM)
+
+    return [mk(0), mk(1), mk(2)]
+
+
+def _tables_specs(n_tiles, C, V):
     def w3():
         return list(_window_specs(n_tiles))
 
-    def wv3():
-        def mk(off):
-            def imap(t):
-                return (jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
-                        + off, 0, 0)
-
-            return pl.BlockSpec((1, V, T), imap, memory_space=pltpu.VMEM)
-
-        return [mk(0), mk(1), mk(2)]
-
-    del w
     in_specs = []
     for _ in range(6):  # px py an vx vy om
         in_specs += w3()
-    in_specs += wv3() + wv3()  # vlx, vly
-    for _ in range(11):  # rad nv fric rst sen act mov invm invi lay msk
+    in_specs += _wv3_specs(n_tiles, V) * 2  # vlx, vly
+    for _ in range(6):  # rad nv act mov lay msk
         in_specs += w3()
     in_specs += [_own_spec()] * 2  # o_responds, o_sensor
     in_specs += [_bcast((1, L))] * 3  # l_px l_py l_an
     in_specs += [_bcast((1, V, L))] * 2  # l_vlx l_vly
-    in_specs += [_bcast((1, L))] * 8  # l_rad l_nv l_fric l_rst l_sen l_act l_lay l_msk
-    in_specs += [_own_spec()] * 3  # edge_lo, edge_hi, tile_live
+    in_specs += [_bcast((1, L))] * 5  # l_rad l_nv l_act l_lay l_msk
+    in_specs += [_own_spec()] * 2  # edge_lo, edge_hi
+    in_specs += [_bcast((1, 2))]  # gravity
     return in_specs
+
+
+def _manifold_specs(n_tiles, C, V):
+    def w3():
+        return list(_window_specs(n_tiles))
+
+    in_specs = []
+    for _ in range(6):  # px py an vx vy om
+        in_specs += w3()
+    in_specs += _wv3_specs(n_tiles, V) * 2  # vlx, vly
+    for _ in range(7):  # rad nv fric rst sen invm invi
+        in_specs += w3()
+    in_specs += [_own_spec()]  # o_sensor
+    in_specs += [_bcast((1, L))] * 3  # l_px l_py l_an
+    in_specs += [_bcast((1, V, L))] * 2  # l_vlx l_vly
+    in_specs += [_bcast((1, L))] * 5  # l_rad l_nv l_fric l_rst l_sen
+    in_specs += [_own3(C), _own3(C), _own_spec()]  # pidx, act, tile_live
+    return in_specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("C", "V", "margin", "dt", "sort_axis", "sweep_frames",
+                     "sweep_slack", "sweep_cap", "interpret"),
+)
+def build_tile_tables(
+    state, consts, large, gravity,
+    *, C, V, margin, dt, sort_axis=0, sweep_frames=1, sweep_slack=0.0,
+    sweep_cap=1e30, interpret=False,
+):
+    """Slot tables for the tile layout. Returns ``(pidx [Nt, C, T] i32,
+    act [Nt, C, T] f32, count [Nt, 1, T] i32, count_close [Nt, 1, T] i32,
+    winover [Nt, 1, T] i32, sweep [Nt, 1, T] f32)`` — ``sweep`` is each
+    body's position budget (tiled.py's rollout guards displacement against
+    it); ``count_close > C`` is the hard overflow (live contacts dropped),
+    ``count > C`` alone only drops speculative candidates."""
+    Nt = state["px"].shape[0]
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT_TILES)
+
+    def wrows(x):
+        return [x, x, x]
+
+    win_state = sum([wrows(state[k]) for k in
+                     ("px", "py", "an", "vx", "vy", "om")], [])
+    win_verts = wrows(consts["vlx"]) + wrows(consts["vly"])
+    win_scal = sum([wrows(consts[k]) for k in
+                    ("rad", "nv", "act", "mov", "lay", "msk")], [])
+    large_args = [large["px"], large["py"], large["an"],
+                  large["vlx"], large["vly"],
+                  large["rad"], large["nv"], large["act"],
+                  large["lay"], large["msk"]]
+    kernel = functools.partial(
+        _tables_kernel, C=C, V=V, margin=margin, dt=dt, n_tiles=Nt,
+        sort_axis=sort_axis, sweep_frames=sweep_frames,
+        sweep_slack=sweep_slack, sweep_cap=sweep_cap)
+    return pl.pallas_call(
+        kernel,
+        grid=(Nt,),
+        in_specs=_tables_specs(Nt, C, V),
+        out_specs=(_own3(C), _own3(C), _own_spec(), _own_spec(), _own_spec(),
+                   _own_spec()),
+        out_shape=(
+            jax.ShapeDtypeStruct((Nt, C, T), i32),
+            jax.ShapeDtypeStruct((Nt, C, T), f32),
+            jax.ShapeDtypeStruct((Nt, 1, T), i32),
+            jax.ShapeDtypeStruct((Nt, 1, T), i32),
+            jax.ShapeDtypeStruct((Nt, 1, T), i32),
+            jax.ShapeDtypeStruct((Nt, 1, T), f32),
+        ),
+        compiler_params=params,
+        interpret=interpret,
+    )(*(win_state + win_verts + win_scal
+        + [consts["responds"], consts["sen"]]
+        + large_args + [consts["edge_lo"], consts["edge_hi"], gravity]))
 
 
 @functools.partial(
@@ -778,6 +951,8 @@ def run_tiled_frame(
     large,  # dict of [1, L] (+ verts [1, V, L]): px py an rad nv fric rst
             # sen act lay msk
     gravity,  # [1, 2]
+    tables=None,  # optional (pidx, act) from build_tile_tables — reuse a
+                  # K-frame broadphase; None builds per-frame tables here
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
     rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
     interpret=False,
@@ -802,38 +977,44 @@ def run_tiled_frame(
     win_state = sum([wrows(state[k]) for k in
                      ("px", "py", "an", "vx", "vy", "om")], [])
     win_verts = wrows(consts["vlx"]) + wrows(consts["vly"])
-    win_scal = sum([wrows(consts[k]) for k in
-                    ("rad", "nv", "fric", "rst", "sen", "act", "mov",
-                     "invm", "invi", "lay", "msk")], [])
-    large_args = [large["px"], large["py"], large["an"],
+    tile_live = consts["tile_live"]
+
+    if tables is None:
+        pidx, act, count, count_close, winover, _sweep = build_tile_tables(
+            {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
+            consts, large, gravity, C=C, V=V, margin=margin, dt=dt,
+            sort_axis=sort_axis, interpret=interpret)
+    else:
+        pidx, act = tables
+        count = jnp.zeros((Nt, 1, T), i32)  # caller tracks counts at build
+        count_close = jnp.zeros((Nt, 1, T), i32)
+        winover = jnp.zeros((Nt, 1, T), i32)
+
+    mani_scal = sum([wrows(consts[k]) for k in
+                     ("rad", "nv", "fric", "rst", "sen", "invm", "invi")], [])
+    mani_large = [large["px"], large["py"], large["an"],
                   large["vlx"], large["vly"],
                   large["rad"], large["nv"], large["fric"], large["rst"],
-                  large["sen"], large["act"], large["lay"], large["msk"]]
-
-    setup = functools.partial(_setup_kernel, C=C, V=V, margin=margin, dt=dt,
-                              n_tiles=Nt, sleep_velocity=sleep_velocity,
-                              sort_axis=sort_axis)
-    tile_live = consts["tile_live"]
-    pidx, cc, c2, count, winover, wake, pen = pl.pallas_call(
-        setup,
+                  large["sen"]]
+    manifold = functools.partial(
+        _manifold_kernel, C=C, V=V, margin=margin, dt=dt, n_tiles=Nt,
+        sleep_velocity=sleep_velocity)
+    cc, c2, wake, pen = pl.pallas_call(
+        manifold,
         grid=(Nt,),
-        in_specs=_setup_specs(Nt, C, V),
-        out_specs=(_own3(C), _own3(C * KC), _own3(C * K2), _own_spec(),
-                   _own_spec(), _own_spec(), _own_spec()),
+        in_specs=_manifold_specs(Nt, C, V),
+        out_specs=(_own3(C * KC), _own3(C * K2), _own_spec(), _own_spec()),
         out_shape=(
-            jax.ShapeDtypeStruct((Nt, C, T), i32),
             jax.ShapeDtypeStruct((Nt, C * KC, T), f32),
             jax.ShapeDtypeStruct((Nt, C * K2, T), f32),
-            jax.ShapeDtypeStruct((Nt, 1, T), i32),
-            jax.ShapeDtypeStruct((Nt, 1, T), i32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
         ),
         compiler_params=params,
         interpret=interpret,
-    )(*(win_state + win_verts + win_scal
-        + [consts["responds"], consts["sen"]]
-        + large_args + [consts["edge_lo"], consts["edge_hi"], tile_live]))
+    )(*(win_state + win_verts + mani_scal
+        + [consts["sen"]]
+        + mani_large + [pidx, act, tile_live]))
 
     project = functools.partial(_project_kernel, C=C, h=h,
                                 compliance=compliance, n_tiles=Nt)
@@ -899,7 +1080,7 @@ def run_tiled_frame(
     touched0 = jnp.zeros((Nt, C, T), f32)
     (state, touched), _ = jax.lax.scan(
         substep, (state, touched0), None, length=substeps)
-    return state, touched, count, winover, wake, pen, pidx
+    return state, touched, (count, count_close), winover, wake, pen, pidx
 
 
 _VMEM_LIMIT_TILES = 100 * 1024 * 1024

@@ -228,8 +228,11 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
 
 
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
-               interpret: bool = False):
+               interpret: bool = False, tables=None):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
+    ``tables=(pidx, act)`` reuses a K-frame broadphase built by
+    :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
+    amortization lever); None builds per-frame tables in-kernel.
 
     Sleep semantics (unified with the XLA path, VERDICT r2 item 7): sleepers
     are frozen EXACTLY for the frame (effective inverse masses zeroed, so
@@ -263,9 +266,10 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
 
     V = consts["vlx"].shape[1]
     Cs = -(-cfg.slot_capacity // 8) * 8
-    new_state, touched, count, winover, wake, pen, pidx = run_tiled_frame(
+    new_state, touched, (count, count_close), winover, wake, pen, pidx = \
+        run_tiled_frame(
         {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
-        kc, large, jnp.asarray(gravity, f32)[None],
+        kc, large, jnp.asarray(gravity, f32)[None], tables,
         C=Cs, V=V, substeps=cfg.substeps,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
@@ -292,7 +296,8 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         consts2 = dict(consts2, sleep=sleep)
     diag = dict(
         slot_count=count,
-        slot_overflow=jnp.sum(jnp.maximum(count - Cs, 0)),
+        slot_overflow=jnp.sum(jnp.maximum(count_close - Cs, 0)),
+        spec_dropped=jnp.sum(jnp.maximum(count - Cs, 0)),
         window_overflow=jnp.sum(winover),
         max_penetration=jnp.max(pen),
         touched=touched,
@@ -390,11 +395,43 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     K = max(cfg.frames_per_broadphase, 1)
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     Cs = -(-cfg.slot_capacity // 8) * 8
+    gmag = jnp.sqrt(jnp.sum(jnp.asarray(g, f32) ** 2))
 
     ak = "px" if cfg.tile_sort_axis == "x" else "py"
 
+    from .pallas.tiles import build_tile_tables
+
+    def build(state, consts):
+        """K-frame slot tables + the positional-guard budget (pos0, sweep).
+
+        The sweep cap bounds slot pressure during fast phases (a falling
+        body would otherwise inflate its AABB by speed x window and overflow
+        its C slots); the guard simply rebuilds sooner — any cap is sound."""
+        V = consts["vlx"].shape[1]
+        edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg)
+        kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
+        pidx, act, count, count_close, winover, sweep = build_tile_tables(
+            {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
+            kc, large, jnp.asarray(g, f32)[None],
+            C=Cs, V=V, margin=cfg.contact_margin, dt=cfg.dt,
+            sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
+            sweep_frames=K, sweep_slack=cfg.broadphase_speed_slack,
+            # cap fast bodies' budget at 2 extents: in a DENSE pile,
+            # candidate count grows ~quadratically with sweep inflation, so
+            # capping (adaptive rebuild cadence via the positional guard)
+            # beats a large always-valid sweep; slow bodies' budgets are
+            # speed-based and unaffected
+            sweep_cap=1.0,
+            interpret=interpret)
+        pos0 = {"px": state["px"], "py": state["py"]}
+        bovf = jnp.sum(jnp.maximum(count_close - Cs, 0))
+        bspec = jnp.sum(jnp.maximum(count - Cs, 0))
+        bwovf = jnp.sum(winover)
+        return (pidx, act), pos0, sweep, bovf, bspec, bwovf
+
     def body(carry, _):
-        state, consts, body_id, age, ovf, wovf, resorts = carry
+        (state, consts, body_id, tables, pos0, sweep, age,
+         ovf, spec, wovf, resorts, rebuilds) = carry
         _, _, stale = _edge_rows(state, consts, cfg)
         # scheduled re-sorts are pointless while nothing moves (a fully
         # sleeping world keeps a valid sort); the guard still forces one
@@ -405,56 +442,83 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
                             & ~asleep)
         else:
             awake = jnp.bool_(True)
-        do = ((age == 0) & awake) | stale
+        # positional staleness guard (tables superset invariant): any live
+        # body whose displacement since table build — plus its coming frame
+        # motion — escapes its sweep budget forces a table rebuild. A
+        # rebuild does NOT need a resort: tables reference tile rows, which
+        # only change when the sort permutation does — so fast phases pay
+        # the (cheap) table kernel per frame, never the argsort+permute.
+        if K > 1:
+            disp = jnp.maximum(jnp.abs(state["px"] - pos0["px"]),
+                               jnp.abs(state["py"] - pos0["py"]))
+            motion = (jnp.sqrt(state["vx"] ** 2 + state["vy"] ** 2)
+                      + gmag * cfg.dt) * cfg.dt
+            livb = (consts["mov"] > 0) & (consts["act"] > 0)
+            esc = jnp.any((disp + motion > sweep + 1e-5) & livb)
+        else:
+            esc = jnp.bool_(False)
+        do_sort = ((age == 0) & awake) | stale
         state, consts, body_id = jax.lax.cond(
-            do, lambda op: _resort(*op, axis_key=ak), lambda op: op,
+            do_sort, lambda op: _resort(*op, axis_key=ak), lambda op: op,
             (state, consts, body_id))
+        do = do_sort | esc
+        tables, pos0, sweep, bovf, bspec, bwovf = jax.lax.cond(
+            do, lambda op: build(op[0], op[1]),
+            lambda op: (op[2], op[3], op[4], jnp.int32(0), jnp.int32(0),
+                        jnp.int32(0)),
+            (state, consts, tables, pos0, sweep))
+        ovf = jnp.maximum(ovf, bovf)
+        spec = jnp.maximum(spec, bspec)
+        wovf = jnp.maximum(wovf, bwovf)
         prev = {k: state[k] for k in ("px", "py", "an")}
 
         def live_frame(op):
             return _run_frame(op[0], op[1], large, cfg, g,
-                              interpret=interpret)
+                              interpret=interpret, tables=op[2])
 
         def skip_frame(op):
             # fully-asleep world: every tile would skip anyway, but the
             # lax.cond saves the kernel dispatches + window DMA too (the
             # tile-level skip alone leaves a ~3.4 ms DMA floor at 10k)
-            st, co = op
+            st, co, _ = op
             zi = jnp.int32(0)
-            Cs = -(-cfg.slot_capacity // 8) * 8
             Nt2, _, T2 = st["px"].shape
             dg = dict(slot_count=jnp.zeros((Nt2, 1, T2), i32),
-                      slot_overflow=zi, window_overflow=zi,
+                      slot_overflow=zi, spec_dropped=zi, window_overflow=zi,
                       max_penetration=jnp.float32(0),
                       touched=jnp.zeros((Nt2, Cs, T2), f32),
                       pidx=jnp.zeros((Nt2, Cs, T2), i32))
             return st, co, dg
 
         state, consts, diag = jax.lax.cond(
-            awake, live_frame, skip_frame, (state, consts))
-        ovf = jnp.maximum(ovf, diag["slot_overflow"])
+            awake, live_frame, skip_frame, (state, consts, tables))
         wovf = jnp.maximum(wovf, diag["window_overflow"])
         resorts = resorts + (stale & (age != 0)).astype(i32)
-        age = jnp.where(do, 1, age + 1) % K
+        rebuilds = rebuilds + (esc & ~do_sort).astype(i32)
+        age = jnp.where(do_sort, 1, age + 1) % K
         out = prev
         if with_events:
             # per-frame canonical touch keys [Nt, C, T] (-1 = empty slot)
             out = (prev, touch_keys(diag["touched"], diag["pidx"], body_id,
                                     large["cols"], world.colliders.m))
-        return (state, consts, body_id, age, ovf, wovf, resorts), out
+        return (state, consts, body_id, tables, pos0, sweep, age,
+                ovf, spec, wovf, resorts, rebuilds), out
 
     zero = jnp.int32(0)
-    carry0 = (state, consts, body_id, jnp.int32(1 % K), zero, zero, zero)
-    (state, consts, body_id, _, ovf, wovf, resorts), ys = jax.lax.scan(
-        body, carry0, None, length=n_frames)
+    tables0, pos00, sweep0, bovf0, bspec0, bwovf0 = build(state, consts)
+    carry0 = (state, consts, body_id, tables0, pos00, sweep0,
+              jnp.int32(1 % K), bovf0, bspec0, bwovf0, zero, zero)
+    (state, consts, body_id, _, _, _, _, ovf, spec, wovf, resorts,
+     rebuilds), ys = jax.lax.scan(body, carry0, None, length=n_frames)
     if with_events:
         prevs, keys = ys
     else:
         prevs, keys = ys, None
     prev_last = jax.tree.map(lambda x: x[-1], prevs)
     final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
-    diag = dict(slot_overflow=ovf, window_overflow=wovf,
-                forced_resorts=resorts, large_overflow=large_ovf)
+    diag = dict(slot_overflow=ovf, spec_dropped=spec, window_overflow=wovf,
+                forced_resorts=resorts, forced_rebuilds=rebuilds,
+                large_overflow=large_ovf)
     if with_events:
         return final, diag, keys
     return final, diag

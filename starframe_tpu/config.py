@@ -130,6 +130,20 @@ class SolverConfig:
     # slot pressure). Useful when settling scenes rebuild too often; 0 keeps
     # sweeps tight and rebuilds on any super-gravity speed gain.
     broadphase_speed_slack: float = 0.0
+    # Continuous collision detection for bodies flagged ``bullet=True``
+    # (state.BODY_BULLET): each substep, a bullet's integrated advance is
+    # clamped at its earliest time of impact against the frame's speculative
+    # manifolds, so it lands on the surface (plus ``ccd_slop`` of allowed
+    # penetration to activate the contact) instead of crossing thin geometry
+    # in one substep. Zero cost when off (static gate); requires
+    # manifold_refresh='frame' (the clamp trusts frame-start normals —
+    # post-tunnel re-narrowphase would pick the far side).
+    ccd: bool = False
+    # Penetration depth a TOI-clamped bullet is allowed per substep: deep
+    # enough that the contact constraint activates and restitution sees the
+    # true approach speed, shallow enough that the depenetration rate cap
+    # resolves it within a substep.
+    ccd_slop: float = 0.005
     # Axis the tile engine sorts/cuts big single worlds along ('x' or 'y').
     # Pick the axis the scene is WIDE in for window locality; pick the axis
     # it SETTLES along to let whole slabs sleep (a pile settling bottom-up

@@ -407,6 +407,43 @@ def _pair_kinematics(cb_: ContactsB, pose: PairPose):
     return nx, ny, rax, ray, rbx, rby, wax, way, wbx, wby
 
 
+def bullet_advance_scale(pose0: PairPose, pose1: PairPose, pd,
+                         cb_: ContactsB, bullet: jax.Array, n_bodies: int,
+                         slop: float) -> jax.Array:
+    """Per-body CCD advance fraction [N] in [0, 1] for bullet bodies.
+
+    For every contact point, measures how far the pair CLOSED along its
+    frame-start normal during this substep (``c0 - c1`` with anchors
+    re-evaluated at each pose) and, where that advance would carry the pair
+    from separation ``c0`` past ``slop`` of penetration, yields the fraction
+    that lands it exactly at ``slop``. The per-body factor is the min over
+    the body's pairs; scaling the integrated displacement by it is the
+    conservative-advancement TOI clamp (starframe/Box2D bullet semantics,
+    SURVEY.md §2 row 6 CCD): the bullet stops ON the surface it would have
+    crossed, the now-shallow contact activates normally, and the velocity
+    pass sees the true approach speed for restitution.
+
+    Only the flagged body of a pair is clamped: a non-bullet partner keeps
+    its full advance (its own per-substep motion is by definition small
+    enough for the discrete solver, else flag it too).
+    """
+    nx0, ny0, *_, wax0, way0, wbx0, wby0 = _pair_kinematics(cb_, pose0)
+    _, _, _, _, _, _, wax1, way1, wbx1, wby1 = _pair_kinematics(cb_, pose1)
+    n_x = nx0[None]  # [1, P] frame-start normal (A->B side convention)
+    n_y = ny0[None]
+    c0 = (wbx0 - wax0) * n_x + (wby0 - way0) * n_y  # [2, P]
+    c1 = (wbx1 - wax1) * n_x + (wby1 - way1) * n_y
+    advance = c0 - c1  # > 0 where the pair closes this substep
+    allowed = jnp.maximum(c0, 0.0) + slop
+    need = (advance > allowed) & (cb_.solve_mask > 0.0)
+    f_pt = jnp.where(need, allowed / jnp.maximum(advance, _EPS), 1.0)
+    f_pair = jnp.min(f_pt, axis=0)  # [P]
+    f = jnp.ones((n_bodies,), jnp.float32)
+    f = f.at[pd.body_a].min(jnp.where(bullet[pd.body_a], f_pair, 1.0))
+    f = f.at[pd.body_b].min(jnp.where(bullet[pd.body_b], f_pair, 1.0))
+    return f
+
+
 def solve_contacts_b(pose: PairPose, pose0: PairPose, pd, cb_: ContactsB,
                      h: float, contact_compliance: float):
     """XPBD contact projection, P-last. Returns (vals_a[4,P], vals_b[4,P],

@@ -56,7 +56,7 @@ def frame2_shapes_ok(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> boo
     ``n_shards > 1`` the check applies to the per-device world count a
     ``shard_map`` over an ``n_shards``-device mesh would see.
     """
-    if cfg.use_pallas is False or not cfg.batch_uniform_topology:
+    if cfg.use_pallas is False or not cfg.batch_uniform_topology or cfg.ccd:
         return False
     n, m = worlds.bodies.n, worlds.colliders.m
     w = worlds.bodies.pos.shape[0]

@@ -298,6 +298,7 @@ def substep(
     only the anchor kinematics are re-evaluated at current poses.
     """
     from .kernels import (
+        bullet_advance_scale,
         gather_pair_pose,
         gather_pair_vel,
         narrowphase_b,
@@ -313,6 +314,24 @@ def substep(
     if cb is None:
         cb = narrowphase_b(pd, gather_pair_pose(pd, s.pos, s.angle),
                            cfg.contact_margin)
+    elif cfg.ccd:
+        # continuous collision: clamp flagged bullets' integrated advance at
+        # their earliest TOI against the frame manifolds (cfg.ccd docs).
+        # Velocities are NOT scaled — v_tilde carries the full speed into
+        # the contact's velocity pass, so restitution acts on the real
+        # approach speed at the clamped (surface + ccd_slop) pose.
+        from .state import BODY_BULLET
+
+        bullet = (bodies.flags & BODY_BULLET) != 0
+        f = bullet_advance_scale(
+            pose0, gather_pair_pose(pd, s.pos, s.angle), pd, cb, bullet,
+            s.pos.shape[0], cfg.ccd_slop)
+        hit = f < 1.0  # where() keeps unclamped bodies bitwise untouched
+        s = BodyState(
+            jnp.where(hit[:, None], s0.pos + f[:, None] * (s.pos - s0.pos),
+                      s.pos),
+            jnp.where(hit, s0.angle + f * (s.angle - s0.angle), s.angle),
+            s.vel, s.ang_vel)
 
     n_b = s.pos.shape[0]
     use_mm = _use_matmul_accum(n_b, cfg)

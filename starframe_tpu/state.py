@@ -34,6 +34,7 @@ from .shapes import Shape
 BODY_ACTIVE = 1
 BODY_KINEMATIC = 2
 BODY_DYNAMIC = 4  # declared dynamic (may transiently be massless at spawn)
+BODY_BULLET = 8  # continuous collision: TOI-clamp this body's advance
 
 # Collider flags
 COL_ACTIVE = 1
@@ -275,7 +276,13 @@ class WorldBuilder:
         body_type: str = "dynamic",
         mass: Optional[float] = None,
         inertia: Optional[float] = None,
+        bullet: bool = False,
     ) -> BodyKey:
+        """``bullet=True`` marks the body for continuous collision
+        detection: with ``SolverConfig.ccd`` enabled, its per-substep
+        advance is clamped at the time of impact against every broadphase
+        partner, so it cannot tunnel through thin geometry at any speed
+        (starframe/Box2D bullet semantics)."""
         if body_type not in ("dynamic", "static", "kinematic"):
             raise ValueError(f"unknown body_type {body_type!r}")
         self._bodies.append(
@@ -287,6 +294,7 @@ class WorldBuilder:
                 body_type=body_type,
                 mass=mass,
                 inertia=inertia,
+                bullet=bool(bullet),
             )
         )
         return BodyKey(len(self._bodies) - 1)
@@ -558,7 +566,8 @@ class WorldBuilder:
             b_vel[i] = b["vel"]
             b_angvel[i] = b["ang_vel"]
             b_flags[i] = BODY_ACTIVE | (BODY_KINEMATIC if b["body_type"] == "kinematic" else 0) \
-                | (BODY_DYNAMIC if b["body_type"] == "dynamic" else 0)
+                | (BODY_DYNAMIC if b["body_type"] == "dynamic" else 0) \
+                | (BODY_BULLET if b.get("bullet") else 0)
             if b["body_type"] == "dynamic":
                 m = b["mass"] if b["mass"] is not None else mass[i]
                 inr = b["inertia"] if b["inertia"] is not None else inertia[i]
@@ -697,6 +706,7 @@ def spawn_body(
     body_type: str = "dynamic",
     mass: Optional[float] = None,
     inertia: Optional[float] = None,
+    bullet: bool = False,
 ) -> tuple[World, BodyKey]:
     """Activate a new body in a free slot at runtime (host-side, O(capacity),
     no recompile). Dynamic bodies start massless until a collider is spawned
@@ -713,7 +723,8 @@ def spawn_body(
         if inertia is not None and inertia > 0 and not np.isinf(inertia):
             inv_i = 1.0 / inertia
     flags = BODY_ACTIVE | (BODY_KINEMATIC if body_type == "kinematic" else 0) \
-        | (BODY_DYNAMIC if body_type == "dynamic" else 0)
+        | (BODY_DYNAMIC if body_type == "dynamic" else 0) \
+        | (BODY_BULLET if bullet else 0)
     pos = jnp.asarray(pos, f32)
     bodies = dataclasses.replace(
         b,

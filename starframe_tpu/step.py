@@ -245,6 +245,12 @@ def _live_step(
     s0 = BodyState(b.pos, b.angle, b.vel, b.ang_vel)
     touched0 = jnp.zeros((max_pairs,), bool)
 
+    if cfg.ccd and cfg.manifold_refresh != "frame":
+        raise ValueError(
+            "cfg.ccd requires manifold_refresh='frame': the TOI clamp "
+            "trusts frame-start manifold normals; per-substep re-narrowphase "
+            "after a crossing would pick the far-side feature")
+
     cb_frame = None
     if cfg.manifold_refresh == "frame":
         # reference pipeline order (SURVEY.md §3.2): narrowphase ONCE at

@@ -41,7 +41,7 @@ def use_tiled(world: World, cfg: SolverConfig) -> bool:
     """Static gate for the tiled single-world path."""
     from .pallas.tiles import L, T
 
-    if cfg.use_pallas is False or cfg.iterations != 1:
+    if cfg.use_pallas is False or cfg.iterations != 1 or cfg.ccd:
         return False
     if cfg.manifold_refresh != "frame":
         return False

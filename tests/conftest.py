@@ -24,6 +24,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+# SURVEY.md §5.2: run the whole suite under NaN debugging — any jitted
+# function returning a NaN fails loudly instead of corrupting physics
+# downstream. Cost is one output scan per call; masked-lane garbage inside
+# kernels is fine as long as the *outputs* are clean, which is the contract.
+jax.config.update("jax_debug_nans", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

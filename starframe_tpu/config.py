@@ -130,6 +130,15 @@ class SolverConfig:
     # slot pressure). Useful when settling scenes rebuild too often; 0 keeps
     # sweeps tight and rebuilds on any super-gravity speed gain.
     broadphase_speed_slack: float = 0.0
+    # Multiplicative headroom on the K-frame sweep budget (partner-aware
+    # slot tables). The raw budget ``max(v_own, v_partners) * K * dt`` is
+    # exactly tight: in contact-rich scenes small per-bounce impulse gains
+    # overrun it near the window's end and the staleness guard forces
+    # rebuilds nearly every frame (measured r3: ~1/3 of a bouncing batch
+    # escapes by frame K-1 at 1.0). 1.3 buys the window-long impulse tail
+    # at a modest speculative-slot-pressure cost; the guard stays the exact
+    # correctness backstop either way.
+    broadphase_budget_headroom: float = 1.3
     # Continuous collision detection for bodies flagged ``bullet=True``
     # (state.BODY_BULLET): each substep, a bullet's integrated advance is
     # clamped at its earliest time of impact against the frame's speculative

@@ -38,15 +38,86 @@ f32 = jnp.float32
 i32 = jnp.int32
 
 
+def _elig_kernel(cbody_r, layer_r, lmask_r, active_r, sensor_r,
+                 responds_b_r, moves_b_r, elig_o):
+    """Static pair-eligibility mask ``[Wb, M, M] i8`` (j on sublanes, own
+    row i on lanes — same layout the slot kernel consumes). Everything here
+    depends only on topology/layers/flags, which are constant across a
+    rollout, so rollouts precompute it once and every table rebuild skips
+    ~10 of its ~28 [Wb, M, M] vector passes (the build is VPU-pass-bound,
+    measured r3)."""
+    cbody = cbody_r[:]
+    responds = lane_gather(responds_b_r[:], cbody)
+    moves = lane_gather(moves_b_r[:], cbody)
+    layer = layer_r[:]
+    lmask = lmask_r[:]
+    active = active_r[:]
+    sensor = sensor_r[:]
+
+    def as_i(x):
+        return x[:, None, :]
+
+    def as_j(x):
+        return x[:, :, None]
+
+    diff_body = as_j(cbody) != as_i(cbody)
+    layer_ok = (
+        ((as_i(lmask) >> as_j(layer)) & 1) & ((as_j(lmask) >> as_i(layer)) & 1)
+    ) != 0
+    both_active = (as_i(active) > 0) & (as_j(active) > 0)
+    sensorish = (as_i(sensor) > 0) | (as_j(sensor) > 0)
+    row_ok = (as_i(responds) > 0) | ((as_i(sensor) > 0) & (as_i(moves) > 0))
+    pair_moves = (as_i(moves) > 0) | (as_j(moves) > 0)
+    elig = diff_body & layer_ok & both_active & row_ok & (pair_moves | sensorish)
+    elig_o[:] = elig.astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("worlds_per_program", "interpret"))
+def build_elig_mask(cbody, layer, lmask, active, sensor, responds, moves,
+                    *, worlds_per_program: int = 0, interpret: bool = False):
+    """One-time static eligibility mask ``[W, M, M] i8`` for
+    :func:`build_slot_tables`'s ``elig`` input. Rebuild on topology/flag
+    changes (spawn/despawn, layer/sensor edits) — NOT per frame."""
+    W, M = cbody.shape
+    Wb = worlds_per_program or pick_worlds_per_program(W, M)
+
+    def mspec():
+        return pl.BlockSpec((Wb, M), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def nspec():
+        N = responds.shape[1]
+        return pl.BlockSpec((Wb, N), lambda w: (w, 0), memory_space=pltpu.VMEM)
+
+    def espec():
+        return pl.BlockSpec((Wb, M, M), lambda w: (w, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _elig_kernel,
+        grid=(W // Wb,),
+        in_specs=[mspec()] * 5 + [nspec()] * 2,
+        out_specs=espec(),
+        out_shape=jax.ShapeDtypeStruct((W, M, M), jnp.int8),
+        compiler_params=None if interpret else _params(),
+        interpret=interpret,
+    )(cbody, layer, lmask, active, sensor, responds, moves)
+
+
 def _slot_kernel(
     # body-level [Wb, N]
     posx_r, posy_r, ang_r, velx_r, vely_r, responds_r, moves_r,
     # collider-level [Wb, M] (verts [Wb, V, M])
     cbody_r, vlx_r, vly_r, radius_r, layer_r, lmask_r, active_r, sensor_r,
-    # outputs
-    partner_o, slot_act_o, count_o, count_close_o,
-    *, C: int, margin: float, dt: float,
+    *rest,
+    C: int, margin: float, dt: float, partner_aware: bool, has_elig: bool,
 ):
+    if has_elig:
+        elig_r = rest[0]
+        partner_o, slot_act_o, count_o, count_close_o, budget_o = rest[1:]
+    else:
+        elig_r = None
+        partner_o, slot_act_o, count_o, count_close_o, budget_o = rest
     posx, posy, ang = posx_r[:], posy_r[:], ang_r[:]
     velx, vely = velx_r[:], vely_r[:]
     cbody = cbody_r[:]
@@ -98,25 +169,31 @@ def _slot_kernel(
         (as_j(lox) <= as_i(hix)) & (as_i(lox) <= as_j(hix))
         & (as_j(loy) <= as_i(hiy)) & (as_i(loy) <= as_j(hiy))
     )
-    layer = layer_r[:]
-    lmask = lmask_r[:]
-    active = active_r[:]
-    sensor = sensor_r[:]
-    responds = lane_gather(responds_r[:], cbody)  # inv_mass|inv_inertia > 0
-    moves = lane_gather(moves_r[:], cbody)  # responds or kinematic
+    if has_elig:
+        elig = elig_r[:] != 0
+    else:
+        layer = layer_r[:]
+        lmask = lmask_r[:]
+        active = active_r[:]
+        sensor = sensor_r[:]
+        responds = lane_gather(responds_r[:], cbody)  # inv_mass|inv_inertia>0
+        moves = lane_gather(moves_r[:], cbody)  # responds or kinematic
 
-    diff_body = as_j(cbody) != as_i(cbody)
-    layer_ok = (
-        ((as_i(lmask) >> as_j(layer)) & 1) & ((as_j(lmask) >> as_i(layer)) & 1)
-    ) != 0
-    both_active = (as_i(active) > 0) & (as_j(active) > 0)
-    sensorish = (as_i(sensor) > 0) | (as_j(sensor) > 0)
-    # row-eligibility: the OWN side must be able to respond (dynamic-ish) or
-    # be a moving sensor; pairs where only the partner responds live in the
-    # partner's row instead. Kinematic/static own rows would apply nothing.
-    row_ok = (as_i(responds) > 0) | ((as_i(sensor) > 0) & (as_i(moves) > 0))
-    pair_moves = (as_i(moves) > 0) | (as_j(moves) > 0)
-    elig = diff_body & layer_ok & both_active & row_ok & (pair_moves | sensorish)
+        diff_body = as_j(cbody) != as_i(cbody)
+        layer_ok = (
+            ((as_i(lmask) >> as_j(layer)) & 1)
+            & ((as_j(lmask) >> as_i(layer)) & 1)
+        ) != 0
+        both_active = (as_i(active) > 0) & (as_j(active) > 0)
+        sensorish = (as_i(sensor) > 0) | (as_j(sensor) > 0)
+        # row-eligibility: the OWN side must be able to respond (dynamic-ish)
+        # or be a moving sensor; pairs where only the partner responds live
+        # in the partner's row instead. Kinematic/static own rows would
+        # apply nothing.
+        row_ok = (as_i(responds) > 0) | ((as_i(sensor) > 0) & (as_i(moves) > 0))
+        pair_moves = (as_i(moves) > 0) | (as_j(moves) > 0)
+        elig = (diff_body & layer_ok & both_active & row_ok
+                & (pair_moves | sensorish))
     mask = (ov & elig).astype(f32)
     # close subset: overlapping without the velocity sweep — these are
     # touching/penetrating and take slots FIRST, so an overflowed row drops
@@ -125,6 +202,33 @@ def _slot_kernel(
         (as_j(clox) <= as_i(chix)) & (as_i(clox) <= as_j(chix))
         & (as_j(cloy) <= as_i(chiy)) & (as_i(cloy) <= as_j(chiy))
     )
+    if partner_aware:
+        # Impulse-aware inflation (two-phase): a resting body hit by a
+        # mover acquires up to ~the mover's speed, so a K-frame table built
+        # from OWN speeds goes stale on the first momentum exchange (the
+        # rollout's positional guard then forces a rebuild nearly every
+        # frame in contact-rich scenes — measured r3). Phase 1's mask says
+        # who can REACH collider i within the window at current speeds;
+        # inflate i's box by the max positional budget over those partners
+        # (sweeps are symmetric in K-frame mode: sweep_x == sweep_y ==
+        # positional budget) and redo the swept-overlap test. Post-impulse
+        # motion at up-to-neighborhood-max speed then stays inside the
+        # table's budget, which budget_o reports for the guard to check.
+        sweep = sweep_x
+        ps = jnp.max(jnp.where(mask > 0, as_j(sweep), 0.0), axis=1)
+        ns = jnp.maximum(sweep, ps)
+        lox = clox - ns
+        hix = chix + ns
+        loy = cloy - ns
+        hiy = chiy + ns
+        ov = (
+            (as_j(lox) <= as_i(hix)) & (as_i(lox) <= as_j(hix))
+            & (as_j(loy) <= as_i(hiy)) & (as_i(loy) <= as_j(hiy))
+        )
+        mask = (ov & elig).astype(f32)
+        budget_o[:] = ns
+    else:
+        budget_o[:] = jnp.minimum(sweep_x, sweep_y)
     mask_close = (ov_close & elig).astype(f32) * mask
     mask_far = mask - mask_close
 
@@ -280,30 +384,38 @@ def pick_worlds_per_program(n_worlds: int, m: int, budget_bytes=32 * 1024 * 1024
 
 @functools.partial(
     jax.jit,
-    static_argnames=("C", "margin", "dt", "worlds_per_program", "interpret"),
+    static_argnames=("C", "margin", "dt", "worlds_per_program", "interpret",
+                     "partner_aware"),
 )
 def build_slot_tables(
     posx, posy, ang, velx, vely, responds, moves,  # [W, N]
     cbody, vlx, vly, radius, layer, lmask, active, sensor,  # [W, M] / [W, V, M]
+    elig=None,  # [W, M, M] i8 from build_elig_mask (optional, amortizes)
     *, C: int, margin: float, dt: float, worlds_per_program: int = 0,
-    interpret: bool = False,
+    interpret: bool = False, partner_aware: bool = False,
 ):
     """Build per-collider partner slot tables for a world batch.
 
     Returns ``(partner [W, C, M] i32, slot_active [W, C, M] f32,
-    count [W, M] i32, count_close [W, M] i32)``. Overflowed rows
-    (count > C) keep their first C partners in rank order, close
-    (touching/imminent) candidates first — ``count_close > C`` is the hard
-    overflow (live contacts dropped); ``count > C >= count_close`` only
+    count [W, M] i32, count_close [W, M] i32, budget [W, M] f32)``.
+    Overflowed rows (count > C) keep their first C partners in rank order,
+    close (touching/imminent) candidates first — ``count_close > C`` is the
+    hard overflow (live contacts dropped); ``count > C >= count_close`` only
     drops speculative candidates (bounded staleness: they re-enter at the
-    next rebuild).
+    next rebuild). ``budget`` is the positional inflation each collider's
+    swept box actually used — with ``partner_aware=True`` (K-frame mode)
+    that budget also covers the max budget over phase-1 candidate partners,
+    so impulse-acquired velocity stays in-table and the rollout's staleness
+    guard (which checks displacement against this budget) fires rarely.
     """
     W, N = posx.shape
     M = cbody.shape[1]
     V = vlx.shape[1]
     Wb = worlds_per_program or pick_worlds_per_program(W, M)
 
-    kernel = functools.partial(_slot_kernel, C=C, margin=margin, dt=dt)
+    kernel = functools.partial(_slot_kernel, C=C, margin=margin, dt=dt,
+                               partner_aware=partner_aware,
+                               has_elig=elig is not None)
 
     def nspec():
         return pl.BlockSpec((Wb, N), lambda w: (w, 0), memory_space=pltpu.VMEM)
@@ -317,21 +429,30 @@ def build_slot_tables(
     def cspec():
         return pl.BlockSpec((Wb, C, M), lambda w: (w, 0, 0), memory_space=pltpu.VMEM)
 
-    partner, slot_act, count, count_close = pl.pallas_call(
+    def espec():
+        return pl.BlockSpec((Wb, M, M), lambda w: (w, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [nspec()] * 7 + [mspec(), vspec(), vspec()] + [mspec()] * 5
+    operands = [posx, posy, ang, velx, vely, responds, moves,
+                cbody, vlx, vly, radius, layer, lmask, active, sensor]
+    if elig is not None:
+        in_specs.append(espec())
+        operands.append(elig)
+
+    partner, slot_act, count, count_close, budget = pl.pallas_call(
         kernel,
         grid=(W // Wb,),
-        in_specs=[nspec()] * 7 + [mspec(), vspec(), vspec()] + [mspec()] * 5,
-        out_specs=(cspec(), cspec(), mspec(), mspec()),
+        in_specs=in_specs,
+        out_specs=(cspec(), cspec(), mspec(), mspec(), mspec()),
         out_shape=(
             jax.ShapeDtypeStruct((W, C, M), i32),
             jax.ShapeDtypeStruct((W, C, M), f32),
             jax.ShapeDtypeStruct((W, M), i32),
             jax.ShapeDtypeStruct((W, M), i32),
+            jax.ShapeDtypeStruct((W, M), f32),
         ),
         compiler_params=None if interpret else _params(),
         interpret=interpret,
-    )(
-        posx, posy, ang, velx, vely, responds, moves,
-        cbody, vlx, vly, radius, layer, lmask, active, sensor,
-    )
-    return partner, slot_act, count, count_close
+    )(*operands)
+    return partner, slot_act, count, count_close, budget

@@ -148,32 +148,58 @@ def _sweep_bounds(worlds: World, cfg: SolverConfig, K: int) -> jax.Array:
     gmag = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True))  # [W, 1]
     dyn = (b.inv_mass > 0).astype(jnp.float32)
     speed = jnp.sqrt(jnp.sum(b.vel**2, axis=-1))
-    return speed + (gmag * (K * cfg.dt) + cfg.broadphase_speed_slack) * dyn
+    bound = speed + (gmag * (K * cfg.dt) + cfg.broadphase_speed_slack) * dyn
+    # headroom covers window-long impulse accumulation (see config.py);
+    # only dynamic bodies get it — kinematic velocity is constant, so its
+    # raw bound is already exact
+    return bound * (1.0 + (cfg.broadphase_budget_headroom - 1.0) * dyn)
+
+
+def frame2_elig(worlds: World, cfg: SolverConfig, interpret: bool = False):
+    """Static pair-eligibility mask ``[W, M, M] i8`` for table builds —
+    constant across a rollout (topology/layers/flags only), so rollouts
+    compute it once and every rebuild inside the scan skips that work."""
+    body, col = _frame2_arrays(worlds, cfg)
+    from .pallas.slots import build_elig_mask
+
+    return build_elig_mask(
+        col["cbody"], col["layer"], col["lmask"], col["active"],
+        col["sensor"], body["responds"], body["moves"], interpret=interpret)
 
 
 def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
-                  interpret: bool = False):
+                  interpret: bool = False, return_budget: bool = False,
+                  elig=None):
     """Slot-table broadphase for a world batch. With ``frames > 1`` the
     swept AABBs are inflated to stay a valid candidate superset for that
     many frames (per-body SPEED sweep over ``frames * dt`` plus the speed
     gravity can add over the window, applied on both axes so impulse-rotated
-    velocity stays covered), so rollouts can amortize this kernel across
-    frames (FUTURE.md broadphase-reuse lever). Returns
-    (partner, slot_act, count, count_close)."""
+    velocity stays covered), AND further inflated per collider to the max
+    budget over its phase-1 candidate partners (partner-aware two-phase
+    build, see build_slot_tables) so momentum exchange inside the window
+    stays in-table. Rollouts amortize this kernel across frames (FUTURE.md
+    broadphase-reuse lever). Returns (partner, slot_act, count,
+    count_close); with ``return_budget=True``, ``(tables, budget [W, M])``
+    where budget is the positional inflation each collider actually got
+    (what the rollout's staleness guard must check displacement against)."""
     body, col = _frame2_arrays(worlds, cfg)
     vx, vy = body["velx"], body["vely"]
     if frames > 1:
         vx = vy = _sweep_bounds(worlds, cfg, frames)
     from .pallas.slots import build_slot_tables
 
-    return build_slot_tables(
+    *tables, budget = build_slot_tables(
         body["posx"], body["posy"], body["ang"], vx, vy,
         body["responds"], body["moves"],
         col["cbody"], col["vlx"], col["vly"], col["radius"],
         col["layer"], col["lmask"], col["active"], col["sensor"],
+        elig,
         C=cfg.slot_capacity, margin=cfg.contact_margin,
         dt=cfg.dt * frames, interpret=interpret,
+        partner_aware=frames > 1,
     )
+    tables = tuple(tables)
+    return (tables, budget) if return_budget else tables
 
 
 def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
@@ -373,16 +399,62 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
 
     kernel_path = (frame2_shapes_ok(worlds, cfg) if interpret
                    else use_pallas_frame2(worlds, cfg))
+    if kernel_path and cfg.frames_per_broadphase <= 1:
+        # K=1: fresh tables every frame, built INLINE with no lax.cond and no
+        # staleness guard (none is needed — there is nothing to go stale).
+        # This is deliberately not the K>1 path with K=1: a conditional whose
+        # branch is taken every frame costs ~8 ms/frame of branch disruption
+        # on this workload (measured r3; the scalar core's run-ahead dies on
+        # a vector-reduction predicate), while the straight-line build is
+        # ~2 ms and fuses into the scan body. Contact-rich scenes whose
+        # impulse exchange trips the K>1 positional guard nearly every frame
+        # should prefer this path: same freshness, none of the branch tax.
+        C = cfg.slot_capacity
+        elig = frame2_elig(worlds, cfg, interpret=interpret)
+
+        def body(carry, _):
+            w, ovf, spec, jovf = carry
+            tables = frame2_tables(w, cfg, frames=1, interpret=interpret,
+                                   elig=elig)
+            w2, _, _, (count, count_close), j_ovf = frame2_step(
+                w, cfg, interpret=interpret, tables=tables)
+            ovf = jnp.maximum(ovf, jnp.max(count_close) - C)
+            spec = jnp.maximum(spec, jnp.max(count) - C)
+            jovf = jnp.maximum(jovf, j_ovf)
+            return (w2, ovf, spec, jovf), record(w2)
+
+        neg = jnp.int32(-(2**31))
+        (final, ovf, spec, jovf), traj = jax.lax.scan(
+            body, (worlds, neg, neg, jnp.int32(0)), None, length=n_frames)
+        diag = dict(slot_overflow=jnp.maximum(ovf, 0),
+                    spec_dropped=jnp.maximum(spec, 0),
+                    joint_overflow=jovf, forced_rebuilds=jnp.int32(0))
+        return final, traj, diag
+
     if kernel_path:
         K = max(cfg.frames_per_broadphase, 1)
         C = cfg.slot_capacity
+        elig = frame2_elig(worlds, cfg, interpret=interpret)
 
         def build(w):
             # position budget per body: the swept-AABB inflation the tables
-            # are built with = speed bound x window (per axis, symmetric)
-            sweep = _sweep_bounds(w, cfg, K) * (K * cfg.dt)
-            return (frame2_tables(w, cfg, frames=K, interpret=interpret),
-                    w.bodies.pos, sweep)
+            # were ACTUALLY built with (partner-aware, reported per collider
+            # by the builder), reduced to per body as the min over the
+            # body's active colliders — a body staying inside that budget
+            # keeps every one of its colliders inside its build-time box
+            tables, budget_col = frame2_tables(
+                w, cfg, frames=K, interpret=interpret, return_budget=True,
+                elig=elig)
+            from .state import COL_ACTIVE
+
+            act = (w.colliders.flags & COL_ACTIVE) != 0
+            big = jnp.float32(3.0e38)
+            bc = jnp.where(act, budget_col, big)
+            n = w.bodies.pos.shape[-2]
+            budget = jax.vmap(
+                lambda cb, bv: jnp.full((n,), big, jnp.float32).at[cb].min(bv)
+            )(w.colliders.body_idx, bc)
+            return tables, w.bodies.pos, budget
 
         def body(carry, _):
             w, tables, pos0, sweep, age, ovf, spec, jovf, rebuilds = carry

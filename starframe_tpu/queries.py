@@ -245,15 +245,19 @@ def shape_cast(world: World, verts, nverts, radius, angle, origin,
     t_min = t_all[idx]
     hit = jnp.isfinite(t_min)
     n = n_all[idx]
-    # contact point: support of the cast shape at t_min along n
-    va = base + t_min * d[None, :]
+    # contact point: support of the cast shape at t_min along n. On a miss
+    # t_min is inf — clamp before the lerp (inf * 0 is NaN, and the miss
+    # fields below must stay NaN-free so jax_debug_nans sessions run clean;
+    # misses report point=inf, not NaN).
+    t_pt = jnp.where(hit, t_min, 0.0)
+    va = base + t_pt * d[None, :]
     proj = (va * n[None, :]).sum(-1)
     vmax = jnp.argmax(jnp.where(jnp.arange(va.shape[0]) < nverts, proj, -jnp.inf))
     point = va[vmax] + n * radius
     return ShapeCastHit(
         hit=hit,
         t=jnp.where(hit, t_min, jnp.inf),
-        point=jnp.where(hit, point, jnp.full(2, jnp.nan)),
+        point=jnp.where(hit, point, jnp.full(2, jnp.inf)),
         normal=jnp.where(hit, n, jnp.zeros(2)),
         collider=jnp.where(hit, idx, -1).astype(jnp.int32),
         body=jnp.where(hit, c.body_idx[idx], -1).astype(jnp.int32),

@@ -84,7 +84,7 @@ def test_slot_tables_match_bruteforce_oracle():
     worlds = replicate_world(world, 2)
     body, col = _frame2_arrays(worlds, cfg)
     C = cfg.slot_capacity
-    partner, slot_act, count, count_close = jax.tree.map(
+    partner, slot_act, count, count_close, _budget = jax.tree.map(
         np.asarray,
         build_slot_tables(
             body["posx"], body["posy"], body["ang"], body["velx"], body["vely"],
@@ -418,8 +418,14 @@ def test_lane_gather_debug_oob_poisons():
 
     lanegather.DEBUG_OOB = True
     try:
-        bad = lanegather.lane_gather(src, idx)
-        assert np.isnan(np.asarray(bad)).all()
+        # The poison check below INTENDS to produce NaN; suspend the suite's
+        # jax_debug_nans guard (tests/conftest.py) around just that call.
+        jax.config.update("jax_debug_nans", False)
+        try:
+            bad = lanegather.lane_gather(src, idx)
+            assert np.isnan(np.asarray(bad)).all()
+        finally:
+            jax.config.update("jax_debug_nans", True)
 
         # representative frame under poison mode: no NaN may escape
         world, cap = _scene(n=128, seed=2)

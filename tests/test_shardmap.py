@@ -181,20 +181,34 @@ def test_joint_overflow_surfaces_in_rollout_diag():
 
 
 def _projectile_scene(n=128):
-    """Momentum-transfer adversary: a fast projectile slams into a resting
-    ball which then flies toward a third resting ball several diameters away.
-    At table-build time the middle ball is at rest, so a K-frame sweep bound
-    built from its (zero) velocity can NEVER cover its post-impact flight —
-    without the guard the middle-far candidate pair is missed for the rest
-    of the window."""
+    """Momentum-transfer adversary for the K-frame staleness guard, tuned to
+    beat the builder's partner-aware inflation (r3): a simple equal-mass
+    transfer is now COVERED by the tables (the victim's swept box inherits
+    its phase-1 candidates' budgets), so this scene uses the two mechanisms
+    single-hop inflation cannot cover:
+
+    - mass-ratio amplification: a HEAVY projectile (density 50) at 40 u/s
+      gives the light mid ball ~2x its own speed (~78 u/s) — the mid ball's
+      inherited budget (the projectile's 40 u/s sweep) undershoots its real
+      flight by ~2x;
+    - a second hop: the relay ball at x=7 sits outside the projectile's
+      swept box (reach ~5.5 at K=12), so its budget stays ~0; when the mid
+      ball slams into it (~frame 7.8) it acquires ~78 u/s from a standing
+      start and escapes immediately.
+
+    Without the guard, the relay->far pair (far at x=9.5, outside every
+    build-time box) is missed for the rest of the window and the far ball
+    is never hit."""
     b = WorldBuilder(gravity=(0.0, 0.0))
     proj = b.add_body(pos=(-3.0, 0.0), vel=(40.0, 0.0))
-    b.add_collider(proj, Shape.circle(0.45), restitution=1.0)
+    b.add_collider(proj, Shape.circle(0.45), restitution=1.0, density=50.0)
     mid = b.add_body(pos=(0.0, 0.0))
     b.add_collider(mid, Shape.circle(0.45), restitution=1.0)
-    far = b.add_body(pos=(2.4, 0.0))
+    relay = b.add_body(pos=(7.0, 0.0))
+    b.add_collider(relay, Shape.circle(0.45), restitution=1.0)
+    far = b.add_body(pos=(9.5, 0.0))
     b.add_collider(far, Shape.circle(0.45), restitution=1.0)
-    for i in range(n - 3):
+    for i in range(n - 4):
         body = b.add_body(pos=(200.0 + 10.0 * i, 0.0))
         b.add_collider(body, Shape.circle(0.3))
     cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
@@ -209,7 +223,7 @@ def test_kframe_guard_catches_momentum_transfer():
     n_frames = 12
 
     cfg1 = SolverConfig(substeps=4, slot_capacity=8, frames_per_broadphase=1)
-    cfgK = SolverConfig(substeps=4, slot_capacity=8, frames_per_broadphase=6)
+    cfgK = SolverConfig(substeps=4, slot_capacity=8, frames_per_broadphase=12)
 
     ref, _, _ = jax.jit(
         lambda w: par.batched_rollout(w, cfg1, cap.max_pairs, n_frames,
@@ -218,14 +232,14 @@ def test_kframe_guard_catches_momentum_transfer():
         lambda w: par.batched_rollout(w, cfgK, cap.max_pairs, n_frames,
                                       interpret=True))(worlds)
 
-    # the guard must have fired (the mid ball's impulse-acquired speed blows
-    # past its build-time bound) ...
+    # the guard must have fired (amplified / second-hop speeds blow past the
+    # partner-aware build-time budgets) ...
     assert int(np.asarray(diag["forced_rebuilds"])) > 0
     # ... and with it, the K-frame rollout reproduces the per-frame-tables
     # trajectory: the far ball gets hit instead of being tunneled past
     np.testing.assert_allclose(
-        np.asarray(out.bodies.pos[:, :3]), np.asarray(ref.bodies.pos[:, :3]),
+        np.asarray(out.bodies.pos[:, :4]), np.asarray(ref.bodies.pos[:, :4]),
         atol=1e-3)
     # physical sanity: the far ball is actually moving at the end
-    far_speed = float(np.linalg.norm(np.asarray(out.bodies.vel[0, 2])))
+    far_speed = float(np.linalg.norm(np.asarray(out.bodies.vel[0, 3])))
     assert far_speed > 1.0, "momentum never reached the far ball"

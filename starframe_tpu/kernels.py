@@ -445,10 +445,16 @@ def bullet_advance_scale(pose0: PairPose, pose1: PairPose, pd,
 
 
 def solve_contacts_b(pose: PairPose, pose0: PairPose, pd, cb_: ContactsB,
-                     h: float, contact_compliance: float):
+                     h: float, contact_compliance: float, kin0=None):
     """XPBD contact projection, P-last. Returns (vals_a[4,P], vals_b[4,P],
     lam_n[2,P]) where vals rows are (dpos_x, dpos_y, dang, count) ready for
-    the one-hot accumulation matmul."""
+    the one-hot accumulation matmul.
+
+    ``kin0``: optional precomputed substep-start anchor world positions
+    ``(wax0, way0, wbx0, wby0)`` (the static-friction reference). When given,
+    ``pose0`` may be None and its kinematics are not recomputed — frame2's
+    substep loop carries the previous velocity pass's kinematics here (the
+    end-of-substep pose IS the next substep's start pose)."""
     im_a = pd.inv_mass_a[None]  # [1, P]
     im_b = pd.inv_mass_b[None]
     ii_a = pd.inv_inertia_a[None]
@@ -472,7 +478,10 @@ def solve_contacts_b(pose: PairPose, pose0: PairPose, pd, cb_: ContactsB,
     p_y = dlam * nyp
 
     # static friction at position level
-    _, _, _, _, _, _, wax0, way0, wbx0, wby0 = _pair_kinematics(cb_, pose0)
+    if kin0 is not None:
+        wax0, way0, wbx0, wby0 = kin0
+    else:
+        _, _, _, _, _, _, wax0, way0, wbx0, wby0 = _pair_kinematics(cb_, pose0)
     dpx = (wax - wax0) - (wbx - wbx0)
     dpy = (way - way0) - (wby - wby0)
     dpn = dpx * nxp + dpy * nyp
@@ -508,16 +517,19 @@ def solve_contacts_b(pose: PairPose, pose0: PairPose, pd, cb_: ContactsB,
 
 def velocity_contacts_b(pose: PairPose, pvel: PairVel, pvel0: PairVel,
                         pd, cb_: ContactsB, lam_n, h: float,
-                        restitution_threshold: float):
+                        restitution_threshold: float, kin=None):
     """Restitution + dynamic friction velocity impulses, P-last.
     Returns (vals_a[4,P], vals_b[4,P]) for accumulation (rows: dvx, dvy,
-    dang, count)."""
+    dang, count). ``kin``: optional precomputed ``_pair_kinematics(cb_,
+    pose)`` (callers that also need the world anchor positions compute it
+    once and share it)."""
     im_a = pd.inv_mass_a[None]
     im_b = pd.inv_mass_b[None]
     ii_a = pd.inv_inertia_a[None]
     ii_b = pd.inv_inertia_b[None]
 
-    nx, ny, rax, ray, rbx, rby, *_ = _pair_kinematics(cb_, pose)
+    nx, ny, rax, ray, rbx, rby, *_ = (
+        kin if kin is not None else _pair_kinematics(cb_, pose))
     nxp, nyp = nx[None], ny[None]
 
     def point_vel(vx, vy, om, rx, ry):

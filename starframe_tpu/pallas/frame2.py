@@ -54,6 +54,7 @@ from ..kernels import (
     TOUCH_SLOP,
     PairPose,
     PairVel,
+    _pair_kinematics,
     manifold_batch,
     solve_contacts_b,
     solve_joints_b,
@@ -309,12 +310,14 @@ def _frame2_kernel(
         )
 
     # ---- substep loop --------------------------------------------------------
+    # The static-friction reference (substep-start anchor world positions) is
+    # CARRIED from the previous substep's velocity-pass kinematics: the
+    # end-of-substep pose IS the next substep's start pose, so recomputing a
+    # slot_pose (8 lane gathers) + _pair_kinematics (~16 [2, P] passes) per
+    # substep would be pure duplication (measured r3: the kernel is
+    # VPU-pass-bound).
     def substep(_, carry):
-        px, py, an, vx, vy, om, touched = carry
-        ca0b, sa0b = jnp.cos(an), jnp.sin(an)
-
-        # substep-start pair poses (static-friction reference)
-        pose0 = slot_pose(ca0b, sa0b, px, py)
+        px, py, an, vx, vy, om, touched, wax0, way0, wbx0, wby0 = carry
 
         # integrate (semi-implicit Euler)
         vx = vx + gx * h * dyn
@@ -332,7 +335,8 @@ def _frame2_kernel(
             cab, sab = jnp.cos(an), jnp.sin(an)
             pose = slot_pose(cab, sab, px, py)
             vals_a, _, lam_i = solve_contacts_b(
-                pose, pose0, pd_, cb_, h, compliance)
+                pose, None, pd_, cb_, h, compliance,
+                kin0=(wax0, way0, wbx0, wby0))
             lam_n = lam_n + lam_i
             ab = to_bodies(sum_c(vals_a))  # [4, Wb, N]
             if jpack is not None and joint_solver == "jacobi":
@@ -390,6 +394,7 @@ def _frame2_kernel(
         # velocity pass: restitution + dynamic friction + motors/damping
         cab, sab = jnp.cos(an), jnp.sin(an)
         pose_v = slot_pose(cab, sab, px, py)
+        kin_v = _pair_kinematics(cb_, pose_v)
         pvel = PairVel(
             tile_c(lane_gather(vx, cbody)), tile_c(lane_gather(vy, cbody)),
             tile_c(lane_gather(om, cbody)),
@@ -401,7 +406,8 @@ def _frame2_kernel(
             lane_gather(vtx, pb), lane_gather(vty, pb), lane_gather(vtom, pb),
         )
         cv_a, _ = velocity_contacts_b(
-            pose_v, pvel, pvel0, pd_, cb_, lam_n, h, rest_threshold)
+            pose_v, pvel, pvel0, pd_, cb_, lam_n, h, rest_threshold,
+            kin=kin_v)
         abv = to_bodies(sum_c(cv_a))
         tk = jnp.max((lam_n > 0.0).astype(f32) * cb_.pmask, axis=0)
         touched = jnp.maximum(touched, tk)
@@ -422,10 +428,17 @@ def _frame2_kernel(
             vy = vy * sdamp
         if ang_damp > 0.0:
             om = om * (1.0 / (1.0 + h * ang_damp))
-        return px, py, an, vx, vy, om, touched
+        # kin_v's anchor world positions are exactly the NEXT substep's
+        # static-friction reference (positions don't move after the
+        # velocity pass)
+        return (px, py, an, vx, vy, om, touched,
+                kin_v[6], kin_v[7], kin_v[8], kin_v[9])
 
-    carry = (px, py, an, vx, vy, om, touch0)
-    px, py, an, vx, vy, om, touched = jax.lax.fori_loop(
+    ca0b, sa0b = jnp.cos(an), jnp.sin(an)
+    kin00 = _pair_kinematics(cb_, slot_pose(ca0b, sa0b, px, py))
+    carry = (px, py, an, vx, vy, om, touch0,
+             kin00[6], kin00[7], kin00[8], kin00[9])
+    px, py, an, vx, vy, om, touched, *_ = jax.lax.fori_loop(
         0, substeps, substep, carry)
     oposx_r[:] = px
     oposy_r[:] = py

@@ -54,7 +54,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             # parallel.batched_rollout docstring)
             ovf = jnp.maximum(diag["slot_overflow"], diag["joint_overflow"])
             return w, jnp.sum(w.bodies.pos), jnp.stack(
-                [ovf, diag["spec_dropped"]])
+                [ovf, diag["spec_dropped"], diag["forced_rebuilds"]])
 
         from starframe_tpu.tiled import tiled_rollout, use_tiled
 
@@ -65,7 +65,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             ovf = (d["slot_overflow"] + d["window_overflow"]
                    + d["large_overflow"])
             return w, jnp.sum(w.bodies.pos), jnp.stack(
-                [ovf, d["spec_dropped"]])
+                [ovf, d["spec_dropped"], d["forced_rebuilds"]])
 
         def body(carry, _):
             w, ovf = carry
@@ -74,7 +74,8 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
             return (w2, ovf), ()
 
         (w, ovf), _ = jax.lax.scan(body, (w, jnp.int32(0)), None, length=n_frames)
-        return w, jnp.sum(w.bodies.pos), jnp.stack([ovf, jnp.int32(0)])
+        return w, jnp.sum(w.bodies.pos), jnp.stack(
+            [ovf, jnp.int32(0), jnp.int32(0)])
 
     return jax.jit(chunk)
 
@@ -94,20 +95,21 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         f"{time.perf_counter() - t0:.1f}s (checksum {cs_v:.3f})")
 
     times = []
-    overflow, spec = (int(x) for x in np.asarray(ovf))
+    overflow, spec, rebuilds = (int(x) for x in np.asarray(ovf))
     for _ in range(reps):
         t0 = time.perf_counter()
         w, cs, ovf = run(w)
         float(np.asarray(cs))  # force completion
         times.append(time.perf_counter() - t0)
-        o, s = (int(x) for x in np.asarray(ovf))
+        o, s, r = (int(x) for x in np.asarray(ovf))
         overflow = max(overflow, o)
         spec = max(spec, s)
+        rebuilds = max(rebuilds, r)
     per_frame = min(times) / frames
     bps = n_body_per_frame / per_frame
     log(f"[bench] best of {reps}: {per_frame * 1e3:.3f} ms/frame | "
         f"{bps:.3e} body-steps/s | slot_overflow={overflow} "
-        f"spec_dropped={spec}")
+        f"spec_dropped={spec} forced_rebuilds={rebuilds}")
     if overflow > 0:
         log("[bench] WARNING: capacity overflow detected — physics truncated "
             "LIVE contacts; raise slot/pair capacity (SURVEY.md §4.6)")
@@ -147,7 +149,8 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         with jax.profiler.trace(profile_dir):
             w, cs, _ = run(w)
             float(np.asarray(cs))
-    pcts = dict(pcts, slot_overflow=overflow, spec_dropped=spec)
+    pcts = dict(pcts, slot_overflow=overflow, spec_dropped=spec,
+                forced_rebuilds=rebuilds)
     return bps, per_frame, pcts
 
 

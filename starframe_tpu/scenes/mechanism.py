@@ -8,7 +8,7 @@ import numpy as np
 from ..config import Capacity, SolverConfig
 from ..shapes import Shape
 from ..state import WorldBuilder
-from .base import Scene, add_ground
+from .base import Scene, add_ground, tighten_joint_colors
 
 
 def mechanism(
@@ -75,6 +75,7 @@ def mechanism(
     # see more candidates than the default 8 (measured overflow of 3 on
     # the 1024-world batch; counters guard the margin)
     cfg = SolverConfig(dt=1 / 60, substeps=substeps, slot_capacity=12)
+    cfg = tighten_joint_colors(world, cfg)
     scene = Scene("mechanism", world, cap, cfg)
     scene.wheel = wheel
     return scene

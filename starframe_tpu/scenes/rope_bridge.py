@@ -9,7 +9,7 @@ from ..config import Capacity, SolverConfig
 from ..ropes import attach_rope
 from ..shapes import Shape
 from ..state import WorldBuilder
-from .base import Scene
+from .base import Scene, tighten_joint_colors
 
 
 def rope_bridge(
@@ -82,6 +82,7 @@ def rope_bridge(
     )
     world, cap = b.build(cap)
     cfg = SolverConfig(dt=1 / 60, substeps=substeps)
+    cfg = tighten_joint_colors(world, cfg)
     scene = Scene("rope_bridge", world, cap, cfg)
     scene.rope = rope
     scene.hang = hang

@@ -60,11 +60,15 @@ def _scene(n=128, seed=0, sensor_idx=None):
         row, col = divmod(i, cols)
         pos = (-(cols - 1) * 0.55 + col * 1.1 + rng.uniform(-0.05, 0.05),
                0.7 + row * 1.1)
+        is_sensor = sensor_idx is not None and i == sensor_idx
+        # a body whose only collider is a sensor gets no mass from it
         body = b.add_body(pos=pos, vel=rng.normal(scale=0.3, size=2),
-                          ang_vel=float(rng.normal(scale=0.2)))
+                          ang_vel=float(rng.normal(scale=0.2)),
+                          mass=1.0 if is_sensor else None,
+                          inertia=0.1 if is_sensor else None)
         shape = Shape.circle(0.45) if i % 2 == 0 else Shape.box(0.4, 0.35)
         b.add_collider(body, shape, friction=0.5, restitution=0.2,
-                       sensor=(sensor_idx is not None and i == sensor_idx))
+                       sensor=is_sensor)
     cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
                    max_joints=0, max_verts=4)
     world, cap = b.build(cap)
@@ -437,3 +441,40 @@ def test_lane_gather_debug_oob_poisons():
         assert np.isfinite(np.asarray(w2.bodies.vel)).all()
     finally:
         lanegather.DEBUG_OOB = False
+
+
+def test_precomputed_elig_matches_inkernel():
+    """The rollout-amortized static eligibility mask (build_elig_mask) must
+    reproduce the slot tables bit-for-bit vs the builder's in-kernel
+    eligibility path — including the partner-aware K-frame mode and with a
+    sensor in the scene (row-ownership rules differ for sensors)."""
+    from starframe_tpu.parallel import frame2_elig, frame2_tables
+
+    world, cap = _scene(n=128, seed=5, sensor_idx=3)
+    cfg = SolverConfig(slot_capacity=8, frames_per_broadphase=4)
+    worlds = replicate_world(world, 2)
+    elig = frame2_elig(worlds, cfg, interpret=True)
+    for frames in (1, 4):
+        a = frame2_tables(worlds, cfg, frames=frames, interpret=True)
+        b = frame2_tables(worlds, cfg, frames=frames, interpret=True,
+                          elig=elig)
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_tighten_joint_colors_clamps_and_preserves_physics():
+    """Scenes clamp max_joint_colors to the actual chromatic count; running
+    the colored solver with the tight bound matches the loose default
+    exactly (the dropped passes are all-masked no-ops)."""
+    from starframe_tpu.scenes import rope_bridge
+    from starframe_tpu.step import step
+
+    scene = rope_bridge(n_particles=12, n_loads=1)
+    assert scene.config.max_joint_colors < 8
+    loose = dataclasses.replace(scene.config, max_joint_colors=8)
+    wa = wb = scene.world
+    for _ in range(5):
+        wa, _, _ = step(wa, scene.config, scene.capacity.max_pairs)
+        wb, _, _ = step(wb, loose, scene.capacity.max_pairs)
+    np.testing.assert_allclose(np.asarray(wa.bodies.pos),
+                               np.asarray(wb.bodies.pos), atol=1e-6)

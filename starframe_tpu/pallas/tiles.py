@@ -167,6 +167,7 @@ def _tables_kernel(
     pidx_o, act_o, count_o, cntc_o, winover_o, sweep_o,
     *, C: int, V: int, margin: float, dt: float, n_tiles: int,
     sort_axis: int, sweep_frames: int, sweep_slack: float, sweep_cap: float,
+    sweep_floor: float,
 ):
     """Candidate slot tables, valid while every body stays within its sweep
     budget (``sweep_o``, in position units). With ``sweep_frames = K > 1``
@@ -244,7 +245,8 @@ def _tables_kernel(
         # quarter-extent displacement floor: settled bodies' speeds GROW
         # between builds (impulse jitter), and a pure speed-based budget
         # makes the any-body escape guard fire constantly at settle
-        sw = jnp.minimum((spd + gmag * dt + sweep_slack) * kdt + 0.25 * ext,
+        sw = jnp.minimum((spd + gmag * dt + sweep_slack) * kdt
+                         + sweep_floor * ext,
                          sweep_cap * ext) * (c_part > 0)
         swx = swy = sw
     else:
@@ -884,11 +886,12 @@ def _manifold_specs(n_tiles, C, V):
 @functools.partial(
     jax.jit,
     static_argnames=("C", "V", "margin", "dt", "sort_axis", "sweep_frames",
-                     "sweep_slack", "sweep_cap", "interpret"),
+                     "sweep_slack", "sweep_cap", "sweep_floor", "interpret"),
 )
 def build_tile_tables(
     state, consts, large, gravity,
     *, C, V, margin, dt, sort_axis=0, sweep_frames=1, sweep_slack=0.0,
+    sweep_floor=0.25,
     sweep_cap=1e30, interpret=False,
 ):
     """Slot tables for the tile layout. Returns ``(pidx [Nt, C, T] i32,
@@ -916,7 +919,8 @@ def build_tile_tables(
     kernel = functools.partial(
         _tables_kernel, C=C, V=V, margin=margin, dt=dt, n_tiles=Nt,
         sort_axis=sort_axis, sweep_frames=sweep_frames,
-        sweep_slack=sweep_slack, sweep_cap=sweep_cap)
+        sweep_slack=sweep_slack, sweep_cap=sweep_cap,
+        sweep_floor=sweep_floor)
     return pl.pallas_call(
         kernel,
         grid=(Nt,),

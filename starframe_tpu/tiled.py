@@ -416,12 +416,15 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             C=Cs, V=V, margin=cfg.contact_margin, dt=cfg.dt,
             sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
             sweep_frames=K, sweep_slack=cfg.broadphase_speed_slack,
-            # cap fast bodies' budget at 2 extents: in a DENSE pile,
-            # candidate count grows ~quadratically with sweep inflation, so
-            # capping (adaptive rebuild cadence via the positional guard)
-            # beats a large always-valid sweep; slow bodies' budgets are
-            # speed-based and unaffected
-            sweep_cap=1.0,
+            # budget floor/cap trade rebuild frequency against speculative
+            # slot pressure (the guard keeps ANY values sound). Swept on the
+            # settling 10k pile (r3): floor 0.25/cap 1.0 forced 38/50
+            # rebuilds; 0.4/1.5 forces 18/50 at 2.43 vs 2.68 ms/frame with
+            # only soft (speculative) drops and hard counters still 0 —
+            # impulse jitter at settle needs more headroom than a pure
+            # speed-based budget gives, same finding as the batched path's
+            # broadphase_budget_headroom
+            sweep_floor=0.4, sweep_cap=1.5,
             interpret=interpret)
         pos0 = {"px": state["px"], "py": state["py"]}
         bovf = jnp.sum(jnp.maximum(count_close - Cs, 0))

@@ -36,7 +36,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _chunk_runner(scene, n_frames: int, batched: bool):
+def _chunk_runner(scene, n_frames: int, batched: bool,
+                  with_events: bool = False):
     import starframe_tpu as sf
     from starframe_tpu.step import step as step_fn
 
@@ -61,10 +62,19 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
         if use_tiled(scene.world, cfg):
             # tile-resident rollout: one sort in/out, re-sorts amortized
             # over cfg.frames_per_broadphase frames with a staleness guard
-            w, d = tiled_rollout(w, cfg, n_frames)
+            if with_events:
+                # VERDICT r2 item 8 acceptance: pair-level contact events at
+                # pile scale on the fast path — checksum the per-frame touch
+                # keys so the event computation cannot be DCE'd
+                w, d, keys = tiled_rollout(w, cfg, n_frames, with_events=True)
+                cs = (jnp.sum(w.bodies.pos)
+                      + jnp.sum((keys >= 0).astype(jnp.float32)) * 1e-6)
+            else:
+                w, d = tiled_rollout(w, cfg, n_frames)
+                cs = jnp.sum(w.bodies.pos)
             ovf = (d["slot_overflow"] + d["window_overflow"]
                    + d["large_overflow"])
-            return w, jnp.sum(w.bodies.pos), jnp.stack(
+            return w, cs, jnp.stack(
                 [ovf, d["spec_dropped"], d["forced_rebuilds"]])
 
         def body(carry, _):
@@ -81,13 +91,14 @@ def _chunk_runner(scene, n_frames: int, batched: bool):
 
 
 def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
-                profile_dir: str = None, latency_reps: int = 0):
+                profile_dir: str = None, latency_reps: int = 0,
+                with_events: bool = False):
     flags = np.asarray(jax.device_get(scene.world.bodies.flags))
     n_body_per_frame = int(((flags & 1) != 0).sum())
     log(f"[bench] scene={scene.name} bodies/frame={n_body_per_frame} "
         f"max_pairs={scene.capacity.max_pairs} substeps={scene.config.substeps}")
 
-    run = _chunk_runner(scene, frames, batched)
+    run = _chunk_runner(scene, frames, batched, with_events=with_events)
     t0 = time.perf_counter()
     w, cs, ovf = run(scene.world)
     cs_v = float(np.asarray(cs))
@@ -157,8 +168,9 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="batched",
-                    choices=["batched", "pile", "box_stack", "rope_bridge",
-                             "mechanism", "batched_rope", "batched_mechanism"])
+                    choices=["batched", "pile", "pile_events", "box_stack",
+                             "rope_bridge", "mechanism", "batched_rope",
+                             "batched_mechanism"])
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the XLA path (A/B against the slot kernels)")
     ap.add_argument("--frames", type=int, default=30)
@@ -221,17 +233,19 @@ def main():
             "vs_baseline": round(bps / per_chip_target, 4),
             **pcts,
         }
-    elif args.config == "pile":
+    elif args.config in ("pile", "pile_events"):
         scene = sf.scenes.pile(n_bodies=args.pile_bodies)
         lat = args.latency_reps if args.latency_reps is not None else 0
         # 30-frame chunks: the tile-resident rollout runs ~8 ms/frame, so a
         # chunk is ~0.25 s — far below the relay's execution ceiling — and
         # the per-dispatch round trip + entry/exit sort amortize away
+        ev = args.config == "pile_events"
         bps, per_frame, pcts = bench_scene(scene, 30, batched=False,
                                            profile_dir=args.profile,
-                                           latency_reps=lat)
+                                           latency_reps=lat, with_events=ev)
+        tag = " with contact events" if ev else ""
         out = {
-            "metric": f"body-steps/sec ({args.pile_bodies}-body pile)",
+            "metric": f"body-steps/sec ({args.pile_bodies}-body pile{tag})",
             "value": round(bps, 1),
             "unit": "body-steps/s",
             "vs_baseline": round(bps / per_chip_target, 4),

@@ -330,19 +330,17 @@ def _exit_tiles(world: World, state: dict, consts: dict, prev: dict,
         world, bodies=new_bodies, step_count=world.step_count + n_frames)
 
 
-def touch_keys(touched, pidx, body_id, large_cols, n_colliders: int):
-    """Canonical contact-pair keys from the tile engine's touch tables
-    (VERDICT r2 item 8: events on the fast paths).
+def slot_pair_keys(pidx, body_id, large_cols, n_colliders: int):
+    """Canonical pair key per slot CANDIDATE [Nt, C, T] i32 (``min*M+max``).
 
-    ``touched``/``pidx`` are the frame outputs [Nt, C, T]; ``pidx`` is the
-    candidate-local partner index (< 3T: window tile row; >= 3T: large-set
-    slot). Returns int32 keys ``min*M + max`` of the same shape, -1 where
-    not touching — feed to :func:`starframe_tpu.events.key_event_masks` or
-    compare as sets (a dynamic-dynamic pair appears in both rows with the
-    same canonical key)."""
+    Depends only on the slot tables and the sort permutation — both change
+    only at (amortized) rebuild time, never per frame — so rollouts compute
+    this once per build and per-frame event keys reduce to one ``where``
+    against ``touched`` (the XLA gathers here cost ~3.6 ms/frame at 10k if
+    run per frame, measured r3)."""
     from .pallas.tiles import T, WIN
 
-    Nt, C, _ = touched.shape
+    Nt, C, _ = pidx.shape
     Mp = body_id.shape[0]
     start = jnp.clip(jnp.arange(Nt) - 1, 0, Nt - WIN)  # [Nt]
     in_win = pidx < WIN * T
@@ -352,11 +350,27 @@ def touch_keys(touched, pidx, body_id, large_cols, n_colliders: int):
     partner_col = jnp.where(in_win, win_col, lrg_col)
     own_row = (jnp.arange(Nt)[:, None, None] * T
                + jnp.arange(T)[None, None, :])
-    own_col = body_id[jnp.broadcast_to(own_row, touched.shape)]
+    own_col = body_id[jnp.broadcast_to(own_row, pidx.shape)]
     a = jnp.minimum(own_col, partner_col)
     b = jnp.maximum(own_col, partner_col)
-    key = a * jnp.int32(n_colliders) + b
-    return jnp.where(touched > 0, key, -1)
+    return a * jnp.int32(n_colliders) + b
+
+
+def touch_keys(touched, pidx, body_id, large_cols, n_colliders: int,
+               pair_keys=None):
+    """Canonical contact-pair keys from the tile engine's touch tables
+    (VERDICT r2 item 8: events on the fast paths).
+
+    ``touched``/``pidx`` are the frame outputs [Nt, C, T]; ``pidx`` is the
+    candidate-local partner index (< 3T: window tile row; >= 3T: large-set
+    slot). Returns int32 keys ``min*M + max`` of the same shape, -1 where
+    not touching — feed to :func:`starframe_tpu.events.key_event_masks` or
+    compare as sets (a dynamic-dynamic pair appears in both rows with the
+    same canonical key). Pass ``pair_keys`` (from :func:`slot_pair_keys`,
+    computed once per table build) to skip the per-frame gathers."""
+    if pair_keys is None:
+        pair_keys = slot_pair_keys(pidx, body_id, large_cols, n_colliders)
+    return jnp.where(touched > 0, pair_keys, -1)
 
 
 def tiled_step(world: World, cfg: SolverConfig, gravity=None,
@@ -401,7 +415,7 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
 
     from .pallas.tiles import build_tile_tables
 
-    def build(state, consts):
+    def build(state, consts, body_id):
         """K-frame slot tables + the positional-guard budget (pos0, sweep).
 
         The sweep cap bounds slot pressure during fast phases (a falling
@@ -430,10 +444,15 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         bovf = jnp.sum(jnp.maximum(count_close - Cs, 0))
         bspec = jnp.sum(jnp.maximum(count - Cs, 0))
         bwovf = jnp.sum(winover)
-        return (pidx, act), pos0, sweep, bovf, bspec, bwovf
+        # per-candidate canonical pair keys are table/sort-derived: compute
+        # them HERE (amortized) so per-frame event keys are one `where`
+        # (the gathers cost ~3.6 ms/frame at 10k when run per frame)
+        pk = (slot_pair_keys(pidx, body_id, large["cols"], world.colliders.m)
+              if with_events else jnp.int32(0))
+        return (pidx, act), pos0, sweep, pk, bovf, bspec, bwovf
 
     def body(carry, _):
-        (state, consts, body_id, tables, pos0, sweep, age,
+        (state, consts, body_id, tables, pos0, sweep, pkeys, age,
          ovf, spec, wovf, resorts, rebuilds) = carry
         _, _, stale = _edge_rows(state, consts, cfg)
         # scheduled re-sorts are pointless while nothing moves (a fully
@@ -465,11 +484,11 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             do_sort, lambda op: _resort(*op, axis_key=ak), lambda op: op,
             (state, consts, body_id))
         do = do_sort | esc
-        tables, pos0, sweep, bovf, bspec, bwovf = jax.lax.cond(
-            do, lambda op: build(op[0], op[1]),
-            lambda op: (op[2], op[3], op[4], jnp.int32(0), jnp.int32(0),
-                        jnp.int32(0)),
-            (state, consts, tables, pos0, sweep))
+        tables, pos0, sweep, pkeys, bovf, bspec, bwovf = jax.lax.cond(
+            do, lambda op: build(op[0], op[1], op[5]),
+            lambda op: (op[2], op[3], op[4], op[6], jnp.int32(0),
+                        jnp.int32(0), jnp.int32(0)),
+            (state, consts, tables, pos0, sweep, body_id, pkeys))
         ovf = jnp.maximum(ovf, bovf)
         spec = jnp.maximum(spec, bspec)
         wovf = jnp.maximum(wovf, bwovf)
@@ -501,17 +520,20 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         age = jnp.where(do_sort, 1, age + 1) % K
         out = prev
         if with_events:
-            # per-frame canonical touch keys [Nt, C, T] (-1 = empty slot)
+            # per-frame canonical touch keys [Nt, C, T] (-1 = empty slot);
+            # one `where` against the build-time pair keys
             out = (prev, touch_keys(diag["touched"], diag["pidx"], body_id,
-                                    large["cols"], world.colliders.m))
-        return (state, consts, body_id, tables, pos0, sweep, age,
+                                    large["cols"], world.colliders.m,
+                                    pair_keys=pkeys))
+        return (state, consts, body_id, tables, pos0, sweep, pkeys, age,
                 ovf, spec, wovf, resorts, rebuilds), out
 
     zero = jnp.int32(0)
-    tables0, pos00, sweep0, bovf0, bspec0, bwovf0 = build(state, consts)
-    carry0 = (state, consts, body_id, tables0, pos00, sweep0,
+    tables0, pos00, sweep0, pk0, bovf0, bspec0, bwovf0 = build(
+        state, consts, body_id)
+    carry0 = (state, consts, body_id, tables0, pos00, sweep0, pk0,
               jnp.int32(1 % K), bovf0, bspec0, bwovf0, zero, zero)
-    (state, consts, body_id, _, _, _, _, ovf, spec, wovf, resorts,
+    (state, consts, body_id, _, _, _, _, _, ovf, spec, wovf, resorts,
      rebuilds), ys = jax.lax.scan(body, carry0, None, length=n_frames)
     if with_events:
         prevs, keys = ys

@@ -356,11 +356,16 @@ def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True):
 
 
 def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
-                    n_frames: int, record=None, interpret: bool = False):
+                    n_frames: int, record=None, interpret: bool = False,
+                    with_keys: bool = False):
     """On-device N-frame rollout of a world batch via ``lax.scan`` — the
     RL-workload shape (BASELINE.json:11): one host round trip for the whole
     trajectory. ``record(worlds) -> pytree`` picks what to stack per frame
-    (default: poses).
+    (default: poses). With ``with_keys=True`` (slot-kernel path only) each
+    trajectory entry becomes ``(record(w), keys [W, C, M] i32)`` — the
+    frame's canonical contact-pair keys straight from the kernel's touch
+    tables (diff consecutive frames with
+    :func:`starframe_tpu.events.key_event_masks`).
 
     Returns ``(final, traj, diag)``; ``diag`` carries the rollout's
     correctness counters (silent truncation is the #1 hazard of the
@@ -397,8 +402,24 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     if record is None:
         record = lambda w: (w.bodies.pos, w.bodies.angle)
 
+    def record_k(w2, touched, partner):
+        # with_keys: per-frame canonical contact-pair keys at kernel speed
+        # (VERDICT r2 item 8) alongside the caller's record
+        if not with_keys:
+            return record(w2)
+        from .events import touching_keys_from_slots
+
+        return (record(w2),
+                touching_keys_from_slots(touched, partner,
+                                         worlds.colliders.m))
+
     kernel_path = (frame2_shapes_ok(worlds, cfg) if interpret
                    else use_pallas_frame2(worlds, cfg))
+    if not kernel_path and with_keys:
+        raise ValueError(
+            "with_keys needs the slot-kernel rollout path; this batch/config "
+            "is not eligible (see frame2_shapes_ok) — use "
+            "step(with_contacts=True) per frame instead")
     if kernel_path and cfg.frames_per_broadphase <= 1:
         # K=1: fresh tables every frame, built INLINE with no lax.cond and no
         # staleness guard (none is needed — there is nothing to go stale).
@@ -416,12 +437,12 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
             w, ovf, spec, jovf = carry
             tables = frame2_tables(w, cfg, frames=1, interpret=interpret,
                                    elig=elig)
-            w2, _, _, (count, count_close), j_ovf = frame2_step(
+            w2, touched, partner, (count, count_close), j_ovf = frame2_step(
                 w, cfg, interpret=interpret, tables=tables)
             ovf = jnp.maximum(ovf, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
             jovf = jnp.maximum(jovf, j_ovf)
-            return (w2, ovf, spec, jovf), record(w2)
+            return (w2, ovf, spec, jovf), record_k(w2, touched, partner)
 
         neg = jnp.int32(-(2**31))
         (final, ovf, spec, jovf), traj = jax.lax.scan(
@@ -474,7 +495,7 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
                 do, lambda op: build(op[0]),
                 lambda op: (op[1], op[2], op[3]),
                 (w, tables, pos0, sweep))
-            w2, _, _, (count, count_close), j_ovf = frame2_step(
+            w2, touched, partner, (count, count_close), j_ovf = frame2_step(
                 w, cfg, interpret=interpret, tables=tables)
             ovf = jnp.maximum(ovf, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
@@ -482,7 +503,7 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
             rebuilds = rebuilds + (viol & (age != 0)).astype(jnp.int32)
             age = jnp.where(do, 1, age + 1) % K
             return (w2, tables, pos0, sweep, age, ovf, spec, jovf,
-                    rebuilds), record(w2)
+                    rebuilds), record_k(w2, touched, partner)
 
         tables0, pos00, sweep0 = build(worlds)
         zero = jnp.int32(0)

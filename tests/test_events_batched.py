@@ -146,3 +146,39 @@ def test_kernel_event_masks_match_xla_diffs():
             assert k_ended == x_ended, f"frame {frame}: ended differ"
         prev_keys = keys
         prev_contacts = jax.tree.map(lambda x: np.asarray(x), contacts)
+
+
+def test_batched_rollout_with_keys_matches_per_step_events():
+    """batched_rollout(with_keys=True) stacks the same canonical touch keys
+    per frame (as SETS — slot ordering may differ across table builds) that
+    batched_step_events produces step by step, on both the K=1 inline path
+    and the K>1 guarded path."""
+    import jax
+
+    from starframe_tpu.config import SolverConfig
+    from starframe_tpu.events import keys_to_set
+    from starframe_tpu.parallel import (batched_rollout, batched_step_events,
+                                        replicate_world)
+
+    from test_frame2 import _scene
+
+    world, cap = _scene(n=128, seed=11)
+    worlds = replicate_world(world, 2)
+    M = world.colliders.m
+    n_frames = 4
+    for K in (1, 3):
+        cfg = SolverConfig(substeps=4, slot_capacity=8,
+                           manifold_refresh="frame", frames_per_broadphase=K)
+        final, traj, diag = jax.jit(
+            lambda w: batched_rollout(w, cfg, cap.max_pairs, n_frames,
+                                      interpret=True, with_keys=True))(worlds)
+        (_, keys) = traj
+        assert keys.shape[0] == n_frames
+        w_s = worlds
+        for f in range(n_frames):
+            w_s, keys_s, dg = batched_step_events(w_s, cfg, interpret=True)
+            assert int(np.asarray(dg["slot_overflow"])) == 0
+            for wi in range(2):
+                roll_set = keys_to_set(np.asarray(keys[f][wi]), M)
+                step_set = keys_to_set(np.asarray(keys_s[wi]), M)
+                assert roll_set == step_set, (K, f, wi)

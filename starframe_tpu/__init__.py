@@ -18,7 +18,7 @@ Quick start::
 
     scene = sf.scenes.box_stack()
     world = scene.world
-    step = sf.make_step(scene.config)
+    step = scene.make_step()  # = sf.make_step(scene.config, scene.capacity.max_pairs)
     for _ in range(600):
         world = step(world)
 """

@@ -139,6 +139,21 @@ class SolverConfig:
     # at a modest speculative-slot-pressure cost; the guard stays the exact
     # correctness backstop either way.
     broadphase_budget_headroom: float = 1.3
+    # Tile-engine K-frame sweep budget shape (pallas/tiles.py build_tile_
+    # tables; the single-world analogue of broadphase_budget_headroom). Each
+    # body's slot tables stay valid while it moves less than
+    #   min((speed + g*dt + slack) * K * dt + floor * extent, cap * extent)
+    # — the FLOOR buys settled bodies headroom against impulse jitter
+    # (their speeds GROW between builds, so a pure speed budget trips the
+    # positional guard constantly at settle), the CAP bounds a fast faller's
+    # speculative slot pressure. Any values are SOUND: the rollout's
+    # positional guard forces a table rebuild the moment a body escapes its
+    # budget; these only trade rebuild frequency against slot pressure.
+    # Swept on the settling 10k pile (r3): floor 0.25 / cap 1.0 forced 38/50
+    # rebuilds; 0.4 / 1.5 forces 18/50 at 2.43 vs 2.68 ms/frame with only
+    # soft (speculative) drops and hard counters 0.
+    tile_sweep_floor: float = 0.4
+    tile_sweep_cap: float = 1.5
     # Continuous collision detection for bodies flagged ``bullet=True``
     # (state.BODY_BULLET): each substep, a bullet's integrated advance is
     # clamped at its earliest time of impact against the frame's speculative

@@ -29,10 +29,12 @@ ground slab touching hundreds of bodies costs nothing.
 
 **Joints** ride the same design: each body owns JC joint slots (slots.py
 ``build_joint_slots``), canonicalized so the own body is endpoint A
-(kernels.solve_joints_b). Joint corrections solve as averaged Jacobi fused
-with the contact accumulation — the kernel's joint tier maps to the XLA
-path's ``joint_solver='jacobi'`` mode (graph-colored Gauss-Seidel stays on
-the XLA path; batched jointed worlds opt into the kernel via that config).
+(kernels.solve_joints_b). With ``joint_solver='colored'`` (the default) the
+kernel runs graph-colored Gauss-Seidel IN-KERNEL: one masked sequential pass
+per color (colors computed host-side at build time, clamped to the scene's
+true chromatic count by scenes.base.tighten_joint_colors), matching the XLA
+path's colored solve; ``joint_solver='jacobi'`` keeps the averaged-Jacobi
+fallback fused with the contact accumulation.
 
 Batch-uniformity: the collider->body reduction uses world 0's topology for
 the whole block (worlds built by ``replicate_world``/same-shape builders

@@ -106,18 +106,25 @@ def build_elig_mask(cbody, layer, lmask, active, sensor, responds, moves,
 
 def _slot_kernel(
     # body-level [Wb, N]
-    posx_r, posy_r, ang_r, velx_r, vely_r, responds_r, moves_r,
+    posx_r, posy_r, ang_r, velx_r, vely_r,
     # collider-level [Wb, M] (verts [Wb, V, M])
-    cbody_r, vlx_r, vly_r, radius_r, layer_r, lmask_r, active_r, sensor_r,
+    cbody_r, vlx_r, vly_r, radius_r,
+    # then EITHER elig [Wb, M, M] i8 (has_elig) OR the six flag inputs the
+    # in-kernel eligibility needs (responds/moves body rows + layer/lmask/
+    # active/sensor collider rows) — the unused set is not even streamed
+    # into VMEM (they cost real bandwidth every grid step)
     *rest,
     C: int, margin: float, dt: float, partner_aware: bool, has_elig: bool,
 ):
     if has_elig:
         elig_r = rest[0]
         partner_o, slot_act_o, count_o, count_close_o, budget_o = rest[1:]
+        responds_r = moves_r = layer_r = lmask_r = active_r = sensor_r = None
     else:
         elig_r = None
-        partner_o, slot_act_o, count_o, count_close_o, budget_o = rest
+        (responds_r, moves_r, layer_r, lmask_r, active_r,
+         sensor_r) = rest[:6]
+        partner_o, slot_act_o, count_o, count_close_o, budget_o = rest[6:]
     posx, posy, ang = posx_r[:], posy_r[:], ang_r[:]
     velx, vely = velx_r[:], vely_r[:]
     cbody = cbody_r[:]
@@ -210,10 +217,11 @@ def _slot_kernel(
         # frame in contact-rich scenes — measured r3). Phase 1's mask says
         # who can REACH collider i within the window at current speeds;
         # inflate i's box by the max positional budget over those partners
-        # (sweeps are symmetric in K-frame mode: sweep_x == sweep_y ==
-        # positional budget) and redo the swept-overlap test. Post-impulse
-        # motion at up-to-neighborhood-max speed then stays inside the
-        # table's budget, which budget_o reports for the guard to check.
+        # (sweeps MUST be symmetric in this mode: sweep_x == sweep_y ==
+        # positional budget — enforced host-side in build_slot_tables) and
+        # redo the swept-overlap test. Post-impulse motion at up-to-
+        # neighborhood-max speed then stays inside the table's budget, which
+        # budget_o reports for the guard to check.
         sweep = sweep_x
         ps = jnp.max(jnp.where(mask > 0, as_j(sweep), 0.0), axis=1)
         ns = jnp.maximum(sweep, ps)
@@ -407,7 +415,22 @@ def build_slot_tables(
     that budget also covers the max budget over phase-1 candidate partners,
     so impulse-acquired velocity stays in-table and the rollout's staleness
     guard (which checks displacement against this budget) fires rarely.
+
+    ``partner_aware=True`` requires SYMMETRIC sweeps: pass the positional
+    budget as ``velx`` and leave ``vely=None`` (it is reused for both axes).
+    The two-phase inflation uses the x sweep for both axes; an asymmetric
+    pair would silently under-inflate y, so asymmetric input is rejected
+    statically (``vely`` is a static-None check, valid under jit — an ``is``
+    identity test on traced arrays is not).
     """
+    if partner_aware and vely is not None:
+        raise ValueError(
+            "build_slot_tables(partner_aware=True) needs symmetric sweeps: "
+            "pass the positional-budget array as velx and vely=None "
+            "(K-frame mode); asymmetric per-axis sweeps would silently "
+            "under-inflate the y axis")
+    if vely is None:
+        vely = velx
     W, N = posx.shape
     M = cbody.shape[1]
     V = vlx.shape[1]
@@ -433,12 +456,17 @@ def build_slot_tables(
         return pl.BlockSpec((Wb, M, M), lambda w: (w, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [nspec()] * 7 + [mspec(), vspec(), vspec()] + [mspec()] * 5
-    operands = [posx, posy, ang, velx, vely, responds, moves,
-                cbody, vlx, vly, radius, layer, lmask, active, sensor]
+    in_specs = [nspec()] * 5 + [mspec(), vspec(), vspec(), mspec()]
+    operands = [posx, posy, ang, velx, vely, cbody, vlx, vly, radius]
     if elig is not None:
+        # precomputed eligibility: the six flag inputs are NOT passed at all
+        # (streaming them into VMEM every grid step costs bandwidth on the
+        # very path the precompute exists to cheapen)
         in_specs.append(espec())
         operands.append(elig)
+    else:
+        in_specs += [nspec()] * 2 + [mspec()] * 4
+        operands += [responds, moves, layer, lmask, active, sensor]
 
     partner, slot_act, count, count_close, budget = pl.pallas_call(
         kernel,

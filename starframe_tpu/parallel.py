@@ -185,7 +185,9 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
     body, col = _frame2_arrays(worlds, cfg)
     vx, vy = body["velx"], body["vely"]
     if frames > 1:
-        vx = vy = _sweep_bounds(worlds, cfg, frames)
+        # symmetric positional budget: one operand, reused for both axes
+        # (build_slot_tables rejects an explicit vely in partner_aware mode)
+        vx, vy = _sweep_bounds(worlds, cfg, frames), None
     from .pallas.slots import build_slot_tables
 
     *tables, budget = build_slot_tables(
@@ -336,20 +338,57 @@ def batched_step_events(worlds: World, cfg: SolverConfig,
     return w2, keys, diag
 
 
-def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int) -> World:
+def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int,
+                 with_diag: bool = False, interpret: bool = False):
     """Frame step over the leading world axis (un-jitted).
 
     Contact-only world batches on TPU take the slot-table Pallas kernels
     (pallas/slots.py + pallas/frame2.py); everything else is vmap(step).
-    """
-    if use_pallas_frame2(worlds, cfg):
-        return frame2_step(worlds, cfg)[0]
-    return jax.vmap(lambda w: step(w, cfg, max_pairs)[0])(worlds)
+
+    With ``with_diag=True`` returns ``(worlds, diag)`` where ``diag`` is the
+    same overflow-counter dict the rollout carries (SURVEY.md §4.6: silent
+    truncation is the #1 hazard of the fixed-capacity design, so the
+    frame-by-frame API must surface it too): ``slot_overflow`` (truncated
+    LIVE contacts — must be 0 for trustworthy physics), ``spec_dropped``
+    (truncated SPECULATIVE swept-margin candidates — bounded staleness), and
+    ``joint_overflow``. On the vmap path ``slot_overflow`` maps to the pair-
+    buffer overflow and ``cell_overflow`` is additionally reported.
+
+    ``interpret=True`` runs the slot kernels in Pallas interpret mode on any
+    backend (how the CPU tests exercise the kernel path's counters)."""
+    kernel_path = (frame2_shapes_ok(worlds, cfg) if interpret
+                   else use_pallas_frame2(worlds, cfg))
+    if kernel_path:
+        w2, _, _, (count, count_close), jovf = frame2_step(
+            worlds, cfg, interpret=interpret)
+        if not with_diag:
+            return w2
+        C = cfg.slot_capacity
+        diag = dict(
+            slot_overflow=jnp.maximum(jnp.max(count_close) - C, 0),
+            spec_dropped=jnp.maximum(jnp.max(count) - C, 0),
+            joint_overflow=jovf,
+        )
+        return w2, diag
+    w2, _, d = jax.vmap(lambda w: step(w, cfg, max_pairs))(worlds)
+    if not with_diag:
+        return w2
+    diag = dict(
+        slot_overflow=jnp.max(d.pair_overflow),
+        spec_dropped=jnp.int32(0),
+        joint_overflow=jnp.int32(0),
+        cell_overflow=jnp.max(d.cell_overflow),
+    )
+    return w2, diag
 
 
-def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True):
-    """Jitted ``worlds -> worlds`` over a leading world axis."""
-    fn = partial(batched_step, cfg=cfg, max_pairs=max_pairs)
+def make_batched_step(cfg: SolverConfig, max_pairs: int, donate: bool = True,
+                      with_diag: bool = False):
+    """Jitted ``worlds -> worlds`` over a leading world axis (or
+    ``worlds -> (worlds, diag)`` with ``with_diag=True`` — the overflow
+    counters of :func:`batched_step`)."""
+    fn = partial(batched_step, cfg=cfg, max_pairs=max_pairs,
+                 with_diag=with_diag)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
@@ -431,6 +470,11 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         # impulse exchange trips the K>1 positional guard nearly every frame
         # should prefer this path: same freshness, none of the branch tax.
         C = cfg.slot_capacity
+        # INVARIANT: elig is hoisted out of the scan on the premise that
+        # collider active/layer/sensor flags and body responds/moves flags
+        # never change INSIDE a rollout (nothing in frame2_step mutates
+        # them; spawn/despawn/flag edits happen between rollouts on host).
+        # Any future in-scan flag mutation must rebuild elig in-scan too.
         elig = frame2_elig(worlds, cfg, interpret=interpret)
 
         def body(carry, _):
@@ -455,6 +499,8 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     if kernel_path:
         K = max(cfg.frames_per_broadphase, 1)
         C = cfg.slot_capacity
+        # hoisted on the same flags-constant-inside-a-rollout invariant as
+        # the K=1 path above
         elig = frame2_elig(worlds, cfg, interpret=interpret)
 
         def build(w):

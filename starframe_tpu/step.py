@@ -148,9 +148,12 @@ def _sleep_branches(world, cfg, max_pairs, g, allow_tiled):
 
     def live(world):
         if tiled:
-            # the tiled path keeps true masses (sleepers would otherwise be
-            # misclassified into the static large-set); sleeping there is
-            # velocity-zeroing + the all-asleep skip below
+            # the tiled path keeps true masses here (sleepers would otherwise
+            # be misclassified into the static large-set at _enter_tiles);
+            # the freeze happens inside tiled._run_frame, which zeroes
+            # sleepers' EFFECTIVE inverse masses for the frame (exact freeze,
+            # same semantics as the XLA branch below) and skips tiles whose
+            # whole 3-tile window is asleep
             return _live_step(world, cfg, max_pairs, g, allow_tiled)
         bw = world.bodies
         awake_f = 1.0 - asleep.astype(jnp.float32)

@@ -431,14 +431,9 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
             sweep_frames=K, sweep_slack=cfg.broadphase_speed_slack,
             # budget floor/cap trade rebuild frequency against speculative
-            # slot pressure (the guard keeps ANY values sound). Swept on the
-            # settling 10k pile (r3): floor 0.25/cap 1.0 forced 38/50
-            # rebuilds; 0.4/1.5 forces 18/50 at 2.43 vs 2.68 ms/frame with
-            # only soft (speculative) drops and hard counters still 0 —
-            # impulse jitter at settle needs more headroom than a pure
-            # speed-based budget gives, same finding as the batched path's
-            # broadphase_budget_headroom
-            sweep_floor=0.4, sweep_cap=1.5,
+            # slot pressure (the guard keeps ANY values sound) — tunable per
+            # scene via SolverConfig (r3 sweep study in its docstring)
+            sweep_floor=cfg.tile_sweep_floor, sweep_cap=cfg.tile_sweep_cap,
             interpret=interpret)
         pos0 = {"px": state["px"], "py": state["py"]}
         bovf = jnp.sum(jnp.maximum(count_close - Cs, 0))

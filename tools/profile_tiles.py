@@ -155,6 +155,17 @@ def main():
             continue
         timeit(f"frame_s{s}", lambda i, s=s: run_s(i, s), args.frames)
 
+    if "floor" in want:
+        # the relay's fixed per-scan-iteration cost: trivial body
+        timeit("floor", lambda i: i * 1.0001 + jnp.sum(state["px"][0]) * 0.0,
+               args.frames)
+
+    if "perturb" in want:
+        # perturb + a reduction over the perturbed state (the probe harness
+        # itself): anything above `floor` here is harness cost shared by all
+        # frame_s variants
+        timeit("perturb", lambda i: jnp.sum(perturb(i)["px"][0]), args.frames)
+
     if "build" in want:
         def bl(i):
             out = build(perturb(i))

@@ -55,7 +55,8 @@ def _chunk_runner(scene, n_frames: int, batched: bool,
             # parallel.batched_rollout docstring)
             ovf = jnp.maximum(diag["slot_overflow"], diag["joint_overflow"])
             return w, jnp.sum(w.bodies.pos), jnp.stack(
-                [ovf, diag["spec_dropped"], diag["forced_rebuilds"]])
+                [ovf, diag["margin_dropped"], diag["spec_dropped"],
+                 diag["forced_rebuilds"]])
 
         from starframe_tpu.tiled import tiled_rollout, use_tiled
 
@@ -75,7 +76,8 @@ def _chunk_runner(scene, n_frames: int, batched: bool,
             ovf = (d["slot_overflow"] + d["window_overflow"]
                    + d["large_overflow"])
             return w, cs, jnp.stack(
-                [ovf, d["spec_dropped"], d["forced_rebuilds"]])
+                [ovf, d["margin_dropped"], d["spec_dropped"],
+                 d["forced_rebuilds"]])
 
         def body(carry, _):
             w, ovf = carry
@@ -85,7 +87,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool,
 
         (w, ovf), _ = jax.lax.scan(body, (w, jnp.int32(0)), None, length=n_frames)
         return w, jnp.sum(w.bodies.pos), jnp.stack(
-            [ovf, jnp.int32(0), jnp.int32(0)])
+            [ovf, jnp.int32(0), jnp.int32(0), jnp.int32(0)])
 
     return jax.jit(chunk)
 
@@ -106,28 +108,31 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         f"{time.perf_counter() - t0:.1f}s (checksum {cs_v:.3f})")
 
     times = []
-    overflow, spec, rebuilds = (int(x) for x in np.asarray(ovf))
+    overflow, marg, spec, rebuilds = (int(x) for x in np.asarray(ovf))
     for _ in range(reps):
         t0 = time.perf_counter()
         w, cs, ovf = run(w)
         float(np.asarray(cs))  # force completion
         times.append(time.perf_counter() - t0)
-        o, s, r = (int(x) for x in np.asarray(ovf))
+        o, m, s, r = (int(x) for x in np.asarray(ovf))
         overflow = max(overflow, o)
+        marg = max(marg, m)
         spec = max(spec, s)
         rebuilds = max(rebuilds, r)
     per_frame = min(times) / frames
     bps = n_body_per_frame / per_frame
     log(f"[bench] best of {reps}: {per_frame * 1e3:.3f} ms/frame | "
         f"{bps:.3e} body-steps/s | slot_overflow={overflow} "
-        f"spec_dropped={spec} forced_rebuilds={rebuilds}")
+        f"margin_dropped={marg} spec_dropped={spec} "
+        f"forced_rebuilds={rebuilds}")
     if overflow > 0:
         log("[bench] WARNING: capacity overflow detected — physics truncated "
-            "LIVE contacts; raise slot/pair capacity (SURVEY.md §4.6)")
-    elif spec > 0:
-        log("[bench] note: some rows dropped SPECULATIVE candidates only "
-            "(bounded staleness <= K-1 frames; no live contact truncated — "
-            "see parallel.batched_rollout)")
+            "LIVE (touching) contacts; raise slot/pair capacity "
+            "(SURVEY.md §4.6)")
+    elif marg > 0 or spec > 0:
+        log("[bench] note: some rows dropped margin/speculative candidates "
+            "only (bounded staleness <= K-1 frames; no touching contact "
+            "truncated — see parallel.batched_rollout)")
 
     pcts = {}
     if latency_reps:
@@ -160,17 +165,17 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         with jax.profiler.trace(profile_dir):
             w, cs, _ = run(w)
             float(np.asarray(cs))
-    pcts = dict(pcts, slot_overflow=overflow, spec_dropped=spec,
-                forced_rebuilds=rebuilds)
+    pcts = dict(pcts, slot_overflow=overflow, margin_dropped=marg,
+                spec_dropped=spec, forced_rebuilds=rebuilds)
     return bps, per_frame, pcts
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="batched",
-                    choices=["batched", "pile", "pile_events", "box_stack",
-                             "rope_bridge", "mechanism", "batched_rope",
-                             "batched_mechanism"])
+                    choices=["batched", "pile", "pile_events", "pile_joints",
+                             "box_stack", "rope_bridge", "mechanism",
+                             "batched_rope", "batched_mechanism"])
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the XLA path (A/B against the slot kernels)")
     ap.add_argument("--frames", type=int, default=30)
@@ -234,8 +239,10 @@ def main():
             "vs_baseline": round(bps / per_chip_target, 4),
             **pcts,
         }
-    elif args.config in ("pile", "pile_events"):
-        scene = sf.scenes.pile(n_bodies=args.pile_bodies)
+    elif args.config in ("pile", "pile_events", "pile_joints"):
+        scene = (sf.scenes.pile_joints(n_bodies=args.pile_bodies)
+                 if args.config == "pile_joints"
+                 else sf.scenes.pile(n_bodies=args.pile_bodies))
         lat = args.latency_reps if args.latency_reps is not None else 0
         # 240-frame chunks (4 s of sim): measured r4, the relay costs ~34 ms
         # PER CHUNK dispatch regardless of content — at the r3 chunk length
@@ -247,7 +254,9 @@ def main():
         bps, per_frame, pcts = bench_scene(scene, 240, batched=False,
                                            profile_dir=args.profile,
                                            latency_reps=lat, with_events=ev)
-        tag = " with contact events" if ev else ""
+        tag = (" with contact events" if ev
+               else " with distance-joint dumbbells"
+               if args.config == "pile_joints" else "")
         out = {
             "metric": f"body-steps/sec ({args.pile_bodies}-body pile{tag})",
             "value": round(bps, 1),

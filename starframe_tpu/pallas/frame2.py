@@ -73,7 +73,7 @@ i32 = jnp.int32
 def _frame2_kernel(
     # body-level [Wb, N]
     posx_r, posy_r, ang_r, velx_r, vely_r, angvel_r,
-    invm_r, invi_r, dyn_r, kin_r,
+    invm_r, invi_r, dyn_r, kin_r, bullet_r,
     # collider-level [Wb, M] (verts [Wb, V, M])
     cbody_r, vlx_r, vly_r, nverts_r, radius_r, fric_r, rest_r, sensor_r,
     # contact slot tables [Wb, C, M]
@@ -85,7 +85,7 @@ def _frame2_kernel(
     h: float, dt: float, margin: float, compliance: float, relaxation: float,
     max_dpos: float, rest_threshold: float, lin_damp: float, ang_damp: float,
     joint_solver: str = "jacobi", n_colors: int = 1,
-    max_dpos_joint: float = 1e3,
+    max_dpos_joint: float = 1e3, ccd: bool = False, ccd_slop: float = 0.005,
 ):
     if has_joints:
         (jtype_r, jba_r, jbb_r, jaax_r, jaay_r, jabx_r, jaby_r, jrest_r,
@@ -101,6 +101,7 @@ def _frame2_kernel(
     vx, vy, om = velx_r[:], vely_r[:], angvel_r[:]
     invm, invi = invm_r[:], invi_r[:]
     dyn, kin = dyn_r[:], kin_r[:]
+    bullet = bullet_r[:]
     cbody = cbody_r[:]
     nverts = nverts_r[:]
     radius = radius_r[:]
@@ -127,6 +128,14 @@ def _frame2_kernel(
         acc = x[..., 0:M]
         for c in range(1, C):
             acc = acc + x[..., c * M:(c + 1) * M]
+        return acc
+
+    def min_c(x):  # [..., C*M] -> [..., M]: min over packed slots (CCD TOI)
+        if C == 1:
+            return x
+        acc = x[..., 0:M]
+        for c in range(1, C):
+            acc = jnp.minimum(acc, x[..., c * M:(c + 1) * M])
         return acc
 
     # ---- frame constants ----------------------------------------------------
@@ -318,8 +327,16 @@ def _frame2_kernel(
     # slot_pose (8 lane gathers) + _pair_kinematics (~16 [2, P] passes) per
     # substep would be pure duplication (measured r3: the kernel is
     # VPU-pass-bound).
+    # CCD frame constant: own collider's body is bullet-flagged ([Wb, C*M])
+    blt_t = tile_c(lane_gather(bullet, cbody)) if ccd else None
+
     def substep(_, carry):
-        px, py, an, vx, vy, om, touched, wax0, way0, wbx0, wby0 = carry
+        if ccd:
+            (px, py, an, vx, vy, om, touched,
+             nx0, ny0, wax0, way0, wbx0, wby0) = carry
+        else:
+            px, py, an, vx, vy, om, touched, wax0, way0, wbx0, wby0 = carry
+        px0, py0, an0 = px, py, an  # substep-start pose (CCD reference)
 
         # integrate (semi-implicit Euler)
         vx = vx + gx * h * dyn
@@ -328,6 +345,42 @@ def _frame2_kernel(
         py = py + vy * h
         an = an + om * h
         vtx, vty, vtom = vx, vy, om  # v_tilde
+
+        if ccd:
+            # continuous collision (cfg.ccd): clamp flagged bullets'
+            # integrated advance at their earliest TOI against the frame
+            # manifolds — the slot-form twin of kernels.bullet_advance_scale
+            # (see its docstring; solver.substep:317 is the XLA caller).
+            # Velocities are NOT scaled: restitution must see the true
+            # approach speed at the clamped pose. The substep-start anchor
+            # kinematics (wax0.., nx0/ny0) are carried from the previous
+            # velocity pass, so only the integrated pose costs new gathers.
+            cab1, sab1 = jnp.cos(an), jnp.sin(an)
+            kin1 = _pair_kinematics(cb_, slot_pose(cab1, sab1, px, py))
+            wax1, way1, wbx1, wby1 = kin1[6], kin1[7], kin1[8], kin1[9]
+            nxp, nyp = nx0[None], ny0[None]  # [1, Wb, C*M] frame-start side
+            c0 = (wbx0 - wax0) * nxp + (wby0 - way0) * nyp  # [2, Wb, C*M]
+            c1 = (wbx1 - wax1) * nxp + (wby1 - way1) * nyp
+            advance = c0 - c1  # > 0 where the pair closes this substep
+            allowed = jnp.maximum(c0, 0.0) + ccd_slop
+            need = (advance > allowed) & (cb_.solve_mask > 0.0)
+            f_pt = jnp.where(need, allowed / jnp.maximum(advance, 1e-10), 1.0)
+            # min over the 2 points, then this row's C slots -> [Wb, M];
+            # only bullet-owned rows clamp
+            f_slot = jnp.where(blt_t > 0, jnp.minimum(f_pt[0], f_pt[1]), 1.0)
+            f_col = min_c(f_slot)
+            # collider -> body: sum of (1 - f) over a body's colliders upper-
+            # bounds max(1 - f), so the clamp is EXACT for single-collider
+            # bullets (the projectile case) and conservative (stops earlier,
+            # never later) for compound bullets
+            neg = jax.lax.dot_general(
+                1.0 - f_col, oh_bc, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)  # [Wb, N]
+            f_body = jnp.clip(1.0 - neg, 0.0, 1.0)
+            hit = f_body < 1.0  # where() keeps unclamped bodies bitwise same
+            px = jnp.where(hit, px0 + f_body * (px - px0), px)
+            py = jnp.where(hit, py0 + f_body * (py - py0), py)
+            an = jnp.where(hit, an0 + f_body * (an - an0), an)
 
         dxx = jnp.zeros_like(px)
         dxy = jnp.zeros_like(py)
@@ -432,14 +485,22 @@ def _frame2_kernel(
             om = om * (1.0 / (1.0 + h * ang_damp))
         # kin_v's anchor world positions are exactly the NEXT substep's
         # static-friction reference (positions don't move after the
-        # velocity pass)
+        # velocity pass); with CCD the normals there double as the next
+        # substep's frame-start TOI side convention
+        if ccd:
+            return (px, py, an, vx, vy, om, touched, kin_v[0], kin_v[1],
+                    kin_v[6], kin_v[7], kin_v[8], kin_v[9])
         return (px, py, an, vx, vy, om, touched,
                 kin_v[6], kin_v[7], kin_v[8], kin_v[9])
 
     ca0b, sa0b = jnp.cos(an), jnp.sin(an)
     kin00 = _pair_kinematics(cb_, slot_pose(ca0b, sa0b, px, py))
-    carry = (px, py, an, vx, vy, om, touch0,
-             kin00[6], kin00[7], kin00[8], kin00[9])
+    if ccd:
+        carry = (px, py, an, vx, vy, om, touch0, kin00[0], kin00[1],
+                 kin00[6], kin00[7], kin00[8], kin00[9])
+    else:
+        carry = (px, py, an, vx, vy, om, touch0,
+                 kin00[6], kin00[7], kin00[8], kin00[9])
     px, py, an, vx, vy, om, touched, *_ = jax.lax.fori_loop(
         0, substeps, substep, carry)
     oposx_r[:] = px
@@ -469,7 +530,7 @@ def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):
     static_argnames=(
         "C", "JC", "substeps", "iterations", "h", "dt", "margin", "compliance",
         "relaxation", "max_dpos", "rest_threshold", "lin_damp", "ang_damp",
-        "joint_solver", "n_colors", "max_dpos_joint",
+        "joint_solver", "n_colors", "max_dpos_joint", "ccd", "ccd_slop",
         "worlds_per_program", "interpret",
     ),
 )
@@ -479,10 +540,11 @@ def run_frame2(
     partner, slot_act,  # [W, C, M]
     joints=None,  # dict of [W, Jp] param arrays + [W, JC, N] slot tables
     gravity=None,  # [W, 2]
+    bullet=None,  # [W, N] f32 0/1 (required when ccd=True)
     *, C, JC=0, substeps, iterations, h, dt, margin, compliance, relaxation,
     max_dpos, rest_threshold, lin_damp, ang_damp,
     joint_solver: str = "jacobi", n_colors: int = 1,
-    max_dpos_joint: float = 1e3,
+    max_dpos_joint: float = 1e3, ccd: bool = False, ccd_slop: float = 0.005,
     worlds_per_program: int = 0, interpret: bool = False,
 ):
     """Run one frame's XPBD substeps for a world batch. Returns
@@ -492,6 +554,8 @@ def run_frame2(
     V = vlx.shape[1]
     has_joints = joints is not None
     Wb = worlds_per_program or pick_frame_worlds(W, M, C)
+    if bullet is None:
+        bullet = jnp.zeros_like(invm)
 
     kernel = functools.partial(
         _frame2_kernel, C=C, JC=JC, has_joints=has_joints, substeps=substeps,
@@ -499,6 +563,7 @@ def run_frame2(
         relaxation=relaxation, max_dpos=max_dpos, rest_threshold=rest_threshold,
         lin_damp=lin_damp, ang_damp=ang_damp, joint_solver=joint_solver,
         n_colors=n_colors, max_dpos_joint=max_dpos_joint,
+        ccd=ccd, ccd_slop=ccd_slop,
     )
 
     def nspec():
@@ -516,12 +581,12 @@ def run_frame2(
     gspec = pl.BlockSpec((Wb, 2), lambda w: (w, 0), memory_space=pltpu.VMEM)
 
     in_specs = (
-        [nspec()] * 10
+        [nspec()] * 11
         + [mspec(), vspec(), vspec()] + [mspec()] * 5
         + [cspec(), cspec()]
     )
     args = [
-        posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin,
+        posx, posy, ang, velx, vely, angvel, invm, invi, dyn, kin, bullet,
         cbody, vlx, vly, nverts, radius, fric, rest, sensor,
         partner, slot_act,
     ]

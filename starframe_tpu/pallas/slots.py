@@ -118,13 +118,15 @@ def _slot_kernel(
 ):
     if has_elig:
         elig_r = rest[0]
-        partner_o, slot_act_o, count_o, count_close_o, budget_o = rest[1:]
+        (partner_o, slot_act_o, count_o, count_touch_o, count_close_o,
+         budget_o) = rest[1:]
         responds_r = moves_r = layer_r = lmask_r = active_r = sensor_r = None
     else:
         elig_r = None
         (responds_r, moves_r, layer_r, lmask_r, active_r,
          sensor_r) = rest[:6]
-        partner_o, slot_act_o, count_o, count_close_o, budget_o = rest[6:]
+        (partner_o, slot_act_o, count_o, count_touch_o, count_close_o,
+         budget_o) = rest[6:]
     posx, posy, ang = posx_r[:], posy_r[:], ang_r[:]
     velx, vely = velx_r[:], vely_r[:]
     cbody = cbody_r[:]
@@ -153,9 +155,17 @@ def _slot_kernel(
         hiy = wy if hiy is None else jnp.maximum(hiy, wy)
     sweep_x = jnp.abs(vx) * dt
     sweep_y = jnp.abs(vy) * dt
+    # touch boxes: shape AABBs (incl. rounding radius) + a jitter slop —
+    # candidates overlapping these are touching/penetrating NOW; dropping
+    # one means a live contact goes unsolved (the hard overflow)
+    tpad = radius + 0.1 * margin
+    tlox = lox - tpad
+    thix = hix + tpad
+    tloy = loy - tpad
+    thiy = hiy + tpad
     pad = radius + 0.5 * margin
-    # close boxes: no velocity sweep — candidates overlapping these are
-    # touching/penetrating NOW and must win slots over speculative ones
+    # close boxes: no velocity sweep — within the speculative contact margin
+    # (imminent; forms within ~a frame at closing speed)
     clox = lox - pad
     chix = hix + pad
     cloy = loy - pad
@@ -202,9 +212,16 @@ def _slot_kernel(
         elig = (diff_body & layer_ok & both_active & row_ok
                 & (pair_moves | sensorish))
     mask = (ov & elig).astype(f32)
-    # close subset: overlapping without the velocity sweep — these are
-    # touching/penetrating and take slots FIRST, so an overflowed row drops
-    # only speculative (swept-margin) candidates, not live contacts
+    # tier subsets (touch ⊂ close ⊂ swept): touching/penetrating candidates
+    # take slots FIRST, then margin-imminent ones, then swept-speculative
+    # ones — an overflowed row degrades gracefully, dropping the most
+    # speculative candidates first. Only a TOUCH drop corrupts physics (a
+    # live contact goes unsolved); close/spec drops are bounded staleness
+    # (the pair re-enters at the next rebuild, forming its contact late).
+    ov_touch = (
+        (as_j(tlox) <= as_i(thix)) & (as_i(tlox) <= as_j(thix))
+        & (as_j(tloy) <= as_i(thiy)) & (as_i(tloy) <= as_j(thiy))
+    )
     ov_close = (
         (as_j(clox) <= as_i(chix)) & (as_i(clox) <= as_j(chix))
         & (as_j(cloy) <= as_i(chiy)) & (as_i(cloy) <= as_j(chiy))
@@ -237,10 +254,12 @@ def _slot_kernel(
         budget_o[:] = ns
     else:
         budget_o[:] = jnp.minimum(sweep_x, sweep_y)
+    mask_touch = (ov_touch & elig).astype(f32) * mask
     mask_close = (ov_close & elig).astype(f32) * mask
+    mask_mid = mask_close - mask_touch
     mask_far = mask - mask_close
 
-    # ---- rank partners within each row (close first, then speculative) ----
+    # ---- rank partners within each row (touch, then close, then swept) ----
     # rank[w, j, i] = #{j' < j : mask[w, j', i]} = (LT @ mask_w)[j, i]
     jj = jax.lax.broadcasted_iota(i32, (M, M), 0)
     kk = jax.lax.broadcasted_iota(i32, (M, M), 1)
@@ -253,12 +272,16 @@ def _slot_kernel(
             for w in range(Wb)
         ])  # [Wb, M, M]
 
-    rank_c = ranks(mask_close)
+    rank_t = ranks(mask_touch)
+    rank_m = ranks(mask_mid)
     rank_f = ranks(mask_far)
-    cnt_c = jnp.sum(mask_close, axis=1, keepdims=True)  # [Wb, 1, M]
-    # one combined priority rank: close candidates keep their close rank,
-    # speculative ones queue after all close ones (disjoint by construction)
-    crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
+    cnt_t = jnp.sum(mask_touch, axis=1, keepdims=True)  # [Wb, 1, M]
+    cnt_m = jnp.sum(mask_mid, axis=1, keepdims=True)
+    # one combined priority rank: tiers are disjoint by construction, each
+    # queues after all candidates of the tiers above it
+    crank = jnp.where(mask_touch > 0, rank_t,
+                      jnp.where(mask_mid > 0, cnt_t + rank_m,
+                                cnt_t + cnt_m + rank_f))
 
     # ---- rank-select the first C partners per row ----
     # (iota must be integer-typed for Mosaic; convert after)
@@ -272,10 +295,11 @@ def _slot_kernel(
     partner_o[:] = jnp.concatenate(parts, axis=1).astype(i32)
     slot_act_o[:] = jnp.concatenate(acts, axis=1)
     count_o[:] = jnp.sum(mask, axis=1).astype(i32)
-    # close candidates are touching/imminent contacts: rows where THESE
-    # exceed C have dropped live physics (hard overflow); rows where only
-    # the total exceeds C dropped speculative (swept-margin) candidates,
-    # which re-enter at the next table rebuild (soft, bounded staleness)
+    # touch candidates are live contacts: rows where THESE exceed C have
+    # dropped live physics (hard overflow). Rows where only count_close or
+    # the total exceeds C dropped imminent/speculative candidates, which
+    # re-enter at the next table rebuild (soft, bounded staleness)
+    count_touch_o[:] = cnt_t[:, 0, :].astype(i32)
     count_close_o[:] = jnp.sum(mask_close, axis=1).astype(i32)
 
 
@@ -405,12 +429,15 @@ def build_slot_tables(
     """Build per-collider partner slot tables for a world batch.
 
     Returns ``(partner [W, C, M] i32, slot_active [W, C, M] f32,
-    count [W, M] i32, count_close [W, M] i32, budget [W, M] f32)``.
-    Overflowed rows (count > C) keep their first C partners in rank order,
-    close (touching/imminent) candidates first — ``count_close > C`` is the
-    hard overflow (live contacts dropped); ``count > C >= count_close`` only
-    drops speculative candidates (bounded staleness: they re-enter at the
-    next rebuild). ``budget`` is the positional inflation each collider's
+    count [W, M] i32, count_touch [W, M] i32, count_close [W, M] i32,
+    budget [W, M] f32)``. Overflowed rows (count > C) keep their first C
+    partners in rank order: TOUCHING (shape AABBs overlapping now)
+    candidates first, then margin-close (imminent) ones, then swept-
+    speculative ones — ``count_touch > C`` is the hard overflow (a live
+    contact went unsolved); ``count_close > C`` or ``count > C`` alone only
+    drop imminent/speculative candidates (bounded staleness: they re-enter
+    at the next rebuild, forming their contact late at the pair's closing
+    speed). ``budget`` is the positional inflation each collider's
     swept box actually used — with ``partner_aware=True`` (K-frame mode)
     that budget also covers the max budget over phase-1 candidate partners,
     so impulse-acquired velocity stays in-table and the rollout's staleness
@@ -468,14 +495,15 @@ def build_slot_tables(
         in_specs += [nspec()] * 2 + [mspec()] * 4
         operands += [responds, moves, layer, lmask, active, sensor]
 
-    partner, slot_act, count, count_close, budget = pl.pallas_call(
+    partner, slot_act, count, count_touch, count_close, budget = pl.pallas_call(
         kernel,
         grid=(W // Wb,),
         in_specs=in_specs,
-        out_specs=(cspec(), cspec(), mspec(), mspec(), mspec()),
+        out_specs=(cspec(), cspec(), mspec(), mspec(), mspec(), mspec()),
         out_shape=(
             jax.ShapeDtypeStruct((W, C, M), i32),
             jax.ShapeDtypeStruct((W, C, M), f32),
+            jax.ShapeDtypeStruct((W, M), i32),
             jax.ShapeDtypeStruct((W, M), i32),
             jax.ShapeDtypeStruct((W, M), i32),
             jax.ShapeDtypeStruct((W, M), f32),
@@ -483,4 +511,4 @@ def build_slot_tables(
         compiler_params=None if interpret else _params(),
         interpret=interpret,
     )(*operands)
-    return partner, slot_act, count, count_close, budget
+    return partner, slot_act, count, count_touch, count_close, budget

@@ -34,10 +34,12 @@ Windows are expressed as three (1, T)-block input specs with clamped index
 maps (no manual DMA); all cross-tile communication rides HBM between the
 per-substep pallas_calls, which a ``lax.scan`` sequences inside one jit.
 
-Requirements (gated statically in step.use_pallas_tiled): single world,
+Requirements (gated statically in tiled.use_tiled): single world,
 ``colliders == bodies`` (one collider per body, ``body_idx == iota``; the
-pile satisfies this), no joints, ``iterations == 1``, contact events not
-consumed (the XLA path serves ``with_contacts=True``).
+pile satisfies this), ``iterations == 1``, contact events not consumed (the
+XLA path serves ``with_contacts=True``). Joints ride an XLA-side colored-GS
+pass between substeps (``_tile_joint_pass``); bullets a per-substep TOI
+kernel (``_ccd_kernel``) — both zero-cost when absent (static gates).
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ from ..kernels import (
     TOUCH_SLOP,
     PairPose,
     PairVel,
+    _pair_kinematics,
     manifold_batch,
     solve_contacts_b,
     velocity_contacts_b,
@@ -164,7 +167,7 @@ def _tables_kernel(
     edge_lo, edge_hi,  # [n_tiles, 1] window sort-axis bounds rows (own spec)
     grav_r,  # [1, 2]
     # outputs
-    pidx_o, act_o, count_o, cntc_o, winover_o, sweep_o,
+    pidx_o, act_o, count_o, cntt_o, cntc_o, winover_o, sweep_o,
     *, C: int, V: int, margin: float, dt: float, n_tiles: int,
     sort_axis: int, sweep_frames: int, sweep_slack: float, sweep_cap: float,
     sweep_floor: float,
@@ -252,8 +255,16 @@ def _tables_kernel(
     else:
         swx = jnp.abs(c_vx) * dt
         swy = jnp.abs(c_vy) * dt
-    # close boxes (no velocity sweep): touching/penetrating candidates take
-    # slots before speculative swept-margin ones (graceful overflow)
+    # touch boxes: shape AABBs + jitter slop — overlapping candidates are
+    # touching/penetrating NOW (dropping one is the hard overflow); close
+    # boxes add the speculative contact margin (imminent); swept boxes add
+    # the K-frame sweep (speculative). Ranked in that order (graceful
+    # overflow: most-speculative candidates drop first).
+    tpad = c_rad + 0.1 * margin
+    tlox = lox - tpad
+    thix = hix + tpad
+    tloy = loy - tpad
+    thiy = hiy + tpad
     clox = lox - pad
     chix = hix + pad
     cloy = loy - pad
@@ -272,6 +283,10 @@ def _tables_kernel(
     o_chix = own_slice(chix)
     o_cloy = own_slice(cloy)
     o_chiy = own_slice(chiy)
+    o_tlox = own_slice(tlox)
+    o_thix = own_slice(thix)
+    o_tloy = own_slice(tloy)
+    o_thiy = own_slice(thiy)
     o_lay = own_slice(c_lay)
     o_msk = own_slice(c_msk)
     # per-body position budget the tables stay valid for (window rows only)
@@ -288,6 +303,10 @@ def _tables_kernel(
     ov_close = (
         (as_j(clox) <= o_chix) & (o_clox <= as_j(chix))
         & (as_j(cloy) <= o_chiy) & (o_cloy <= as_j(chiy))
+    )
+    ov_touch = (
+        (as_j(tlox) <= o_thix) & (o_tlox <= as_j(thix))
+        & (as_j(tloy) <= o_thiy) & (o_tloy <= as_j(thiy))
     )
     # global ids: same body <-> same id (iota worlds: collider == body)
     own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
@@ -316,8 +335,10 @@ def _tables_kernel(
     winover = ((ax_lo < edge_lo[0]) | (ax_hi > edge_hi[0])).astype(i32)
     winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
 
-    # ---- rank-select C partners per own body (close first) ----------------
+    # ---- rank-select C partners per own body (touch, close, then swept) ---
+    mask_touch = ov_touch.astype(f32) * mask
     mask_close = ov_close.astype(f32) * mask
+    mask_mid = mask_close - mask_touch
     mask_far = mask - mask_close
     jj = jax.lax.broadcasted_iota(i32, (S, S), 0)
     kk = jax.lax.broadcasted_iota(i32, (S, S), 1)
@@ -329,10 +350,14 @@ def _tables_kernel(
         return jax.lax.dot_general(lt, m, (((1,), (0,)), ((), ())),
                                    preferred_element_type=f32)  # [S, T]
 
-    rank_c = rank_of(mask_close)
+    rank_t = rank_of(mask_touch)
+    rank_m = rank_of(mask_mid)
     rank_f = rank_of(mask_far)
-    cnt_c = jnp.sum(mask_close, axis=0, keepdims=True)  # [1, T]
-    crank = jnp.where(mask_close > 0, rank_c, cnt_c + rank_f)
+    cnt_t = jnp.sum(mask_touch, axis=0, keepdims=True)  # [1, T]
+    cnt_m = jnp.sum(mask_mid, axis=0, keepdims=True)
+    crank = jnp.where(mask_touch > 0, rank_t,
+                      jnp.where(mask_mid > 0, cnt_t + rank_m,
+                                cnt_t + cnt_m + rank_f))
     j_iota = jax.lax.broadcasted_iota(i32, (S, T), 0).astype(f32)
     pidx, acts = [], []
     for c in range(C):
@@ -340,9 +365,10 @@ def _tables_kernel(
         pidx.append(jnp.sum(oh * j_iota, axis=0, keepdims=True))  # [1, T]
         acts.append(jnp.sum(oh, axis=0, keepdims=True))
     count_o[0] = jnp.sum(mask, axis=0, keepdims=True).astype(i32)
-    # close candidates = touching/imminent contacts: the HARD overflow
-    # signal (count > C with count_close <= C only drops speculative
-    # candidates — bounded staleness, the positional guard re-admits them)
+    # touch candidates = live contacts: the HARD overflow signal. Margin-
+    # close or swept candidates dropped beyond C are bounded staleness (the
+    # positional guard / scheduled rebuild re-admits them, close-first)
+    cntt_o[0] = cnt_t.astype(i32)
     cntc_o[0] = jnp.sum(mask_close, axis=0, keepdims=True).astype(i32)
     pidx_o[:] = jnp.concatenate(pidx, axis=0)[None].astype(i32)  # [1, C, T]
     act_o[:] = jnp.concatenate(acts, axis=0)[None]
@@ -371,7 +397,7 @@ def _manifold_kernel(
     pidx_r, act_r,  # [1, C, T]
     tile_live,  # [n_tiles, 1, T] 0/1: any awake body in this tile's window
     # outputs
-    cc_o, c2_o, wake_o, pen_o,
+    cc_o, c2_o, wake_o, pen_o, npts_o,
     *, C: int, V: int, margin: float, dt: float, n_tiles: int,
     sleep_velocity: float,
 ):
@@ -386,6 +412,7 @@ def _manifold_kernel(
     c2_o[:] = jnp.zeros_like(c2_o)
     wake_o[0] = jnp.zeros((1, T), f32)
     pen_o[0] = jnp.zeros((1, T), f32)
+    npts_o[0] = jnp.zeros((1, T), f32)
 
     @pl.when(live)
     def _manifold_body():
@@ -456,6 +483,7 @@ def _manifold_kernel(
         c_spd2 = c_vx * c_vx + c_vy * c_vy + c_om * c_om
         wake_acc = jnp.zeros((1, T), f32)
         pen_acc = jnp.zeros((1, T), f32)
+        npts_acc = jnp.zeros((1, T), f32)
         for gi in range(C // SG):
             pc = pidx_all[gi * SG:(gi + 1) * SG].astype(i32)  # [SG, T]
             act = acts_all[gi * SG:(gi + 1) * SG]
@@ -505,6 +533,12 @@ def _manifold_kernel(
             pen_acc = jnp.maximum(pen_acc, jnp.max(
                 jnp.max(jnp.maximum(-m.sep, 0.0) * pmask, axis=0),
                 axis=0, keepdims=True))
+            # undirected manifold-point count (cross-tier Diagnostics
+            # parity, VERDICT r3 item 8): dyn-dyn pairs appear in both rows
+            # (weight 0.5); large-set partners only in this row (weight 1)
+            pt_w = jnp.where(pc < WIN * T, 0.5, 1.0)
+            npts_acc = npts_acc + jnp.sum(
+                jnp.sum(pmask, axis=0) * pt_w, axis=0, keepdims=True)
             if sleep_velocity > 0.0:
                 # wake on a fast DYNAMIC partner inside the speculative
                 # margin (pmask): manifolds are frame-start snapshots, and a
@@ -520,6 +554,7 @@ def _manifold_kernel(
                     jnp.max(prox * fast, axis=0, keepdims=True))
         wake_o[0] = wake_acc
         pen_o[0] = pen_acc
+        npts_o[0] = npts_acc
         # k-major layouts: row k*C + slot — group slices stay 8-aligned
         cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
                             )[None].reshape(1, KC * C, T)
@@ -560,6 +595,106 @@ def _unpack_group(cc, c2, gi, C):
 
 
 # ===========================================================================
+# kernel 1c: per-substep CCD TOI factors (only built when cfg.ccd) — the
+# tile twin of kernels.bullet_advance_scale: each body's integrated advance
+# factor f in [0, 1], computed from ITS OWN slot rows (dyn-dyn pairs appear
+# in both rows, so each side clamps itself; statics ride the large channel
+# and never move). project/apply then integrate own AND partner poses with
+# the same f field, keeping the synchronous-Jacobi derivation consistent.
+# ===========================================================================
+
+
+def _ccd_kernel(
+    px0r, px1r, px2r, py0r, py1r, py2r, an0, an1, an2,
+    vx0, vx1, vx2, vy0, vy1, vy2, om0, om1, om2,
+    o_dynb, o_blt,
+    l_px, l_py, l_an,
+    pidx_r, cc_r, c2_r, grav_r, tile_live,
+    f_o,
+    *, C: int, h: float, ccd_slop: float, n_tiles: int,
+):
+    t = pl.program_id(0)
+    start = _win_start(t, n_tiles)
+    own = t - start
+    live = jnp.max(tile_live[0]) > 0.0
+
+    f_o[0] = jnp.ones((1, T), f32)
+
+    @pl.when(live & (jnp.max(o_blt[0]) > 0.0))
+    def _ccd_body():
+        def wl(a, b, c, lg):
+            return jnp.concatenate([a[0], b[0], c[0], lg], axis=-1)
+
+        zl = jnp.zeros_like(l_px[:])
+        c_px = wl(px0r, px1r, px2r, l_px[:])
+        c_py = wl(py0r, py1r, py2r, l_py[:])
+        c_an = wl(an0, an1, an2, l_an[:])
+        c_vx = wl(vx0, vx1, vx2, zl)
+        c_vy = wl(vy0, vy1, vy2, zl)
+        c_om = wl(om0, om1, om2, zl)
+        gx = grav_r[0, 0]
+        gy = grav_r[0, 1]
+
+        c_ca = jnp.cos(c_an)
+        c_sa = jnp.sin(c_an)
+        own_slice = lambda x: _own_lane_slice(x, own)
+        o_px = own_slice(c_px)
+        o_py = own_slice(c_py)
+        o_an = own_slice(c_an)
+        o_ca = own_slice(c_ca)
+        o_sa = own_slice(c_sa)
+        o_vx = own_slice(c_vx)
+        o_vy = own_slice(c_vy)
+        o_om = own_slice(c_om)
+        dyn = o_dynb[0]
+
+        # unclamped integrated own pose (same derivation as project)
+        opx_t = o_px + (o_vx + gx * h * dyn) * h
+        opy_t = o_py + (o_vy + gy * h * dyn) * h
+        oa_t = o_an + o_om * h
+        oca_t = jnp.cos(oa_t)
+        osa_t = jnp.sin(oa_t)
+
+        cc = cc_r[:]
+        c2 = c2_r[:]
+        pidx = pidx_r[:]
+        f_acc = jnp.ones((1, T), f32)
+        for gi in range(C // SG):
+            s = _unpack_group(cc, c2, gi, C)
+            pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
+
+            def g(src):
+                return _lg8(src, pc)
+
+            p_dyn = s.p_dyn
+            p_px0 = g(c_px)
+            p_py0 = g(c_py)
+            p_an0 = g(c_an)
+            pose0 = PairPose(o_px, o_py, o_ca, o_sa,
+                             p_px0, p_py0, g(c_ca), g(c_sa))
+            p_px_t = p_px0 + (g(c_vx) + gx * h * p_dyn) * h
+            p_py_t = p_py0 + (g(c_vy) + gy * h * p_dyn) * h
+            p_an_t = p_an0 + g(c_om) * h
+            pose1 = PairPose(opx_t, opy_t, oca_t, osa_t,
+                             p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
+            nx0, ny0, *_, wax0, way0, wbx0, wby0 = _pair_kinematics(s.cb,
+                                                                    pose0)
+            _, _, _, _, _, _, wax1, way1, wbx1, wby1 = _pair_kinematics(
+                s.cb, pose1)
+            nxp = nx0[None]
+            nyp = ny0[None]
+            c0 = (wbx0 - wax0) * nxp + (wby0 - way0) * nyp  # [2, SG, T]
+            c1 = (wbx1 - wax1) * nxp + (wby1 - way1) * nyp
+            advance = c0 - c1
+            allowed = jnp.maximum(c0, 0.0) + ccd_slop
+            need = (advance > allowed) & (s.cb.solve_mask > 0.0)
+            f_pt = jnp.where(need, allowed / jnp.maximum(advance, 1e-10), 1.0)
+            f_acc = jnp.minimum(
+                f_acc, jnp.min(jnp.min(f_pt, axis=0), axis=0, keepdims=True))
+        f_o[0] = jnp.where(o_blt[0] > 0, f_acc, 1.0)
+
+
+# ===========================================================================
 # kernel 2: project (one substep's integrate + XPBD position projection)
 # ===========================================================================
 
@@ -570,9 +705,15 @@ def _project_kernel(
     o_invm, o_invi, o_dynb,
     l_px, l_py, l_an,
     pidx_r, cc_r, c2_r, grav_r, touch_r, tile_live,
-    dxx_o, dxy_o, dth_o, cnt_o, lam_o, touch_o,
-    *, C: int, h: float, compliance: float, n_tiles: int,
+    *rest,
+    C: int, h: float, compliance: float, n_tiles: int, ccd: bool = False,
 ):
+    if ccd:  # per-body TOI factors from _ccd_kernel, window rows
+        f0w, f1w, f2w = rest[:3]
+        dxx_o, dxy_o, dth_o, cnt_o, lam_o, touch_o = rest[3:]
+    else:
+        f0w = f1w = f2w = None
+        dxx_o, dxy_o, dth_o, cnt_o, lam_o, touch_o = rest
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
     own = t - start
@@ -614,17 +755,25 @@ def _project_kernel(
         o_vy = own_slice(c_vy)
         o_om = own_slice(c_om)
         dyn = o_dynb[0]
+        if ccd:  # TOI advance factors: own + per-candidate (large: f = 1)
+            c_f = wl(f0w, f1w, f2w, jnp.ones_like(l_px[:]))
+            o_f = own_slice(c_f)
+        else:
+            c_f = None
+            o_f = 1.0
 
         cc = cc_r[:]
         c2 = c2_r[:]
         pidx = pidx_r[:]
 
-        # integrated own state (v_tilde + pose), derived algebraically
+        # integrated own state (v_tilde + pose), derived algebraically;
+        # with ccd the POSE advance is TOI-clamped (velocities are not —
+        # restitution must see the true approach speed, cfg.ccd docs)
         ovx_t = o_vx + gx * h * dyn
         ovy_t = o_vy + gy * h * dyn
-        opx_t = o_px + ovx_t * h
-        opy_t = o_py + ovy_t * h
-        oa_t = o_an + o_om * h
+        opx_t = o_px + ovx_t * h * o_f
+        opy_t = o_py + ovy_t * h * o_f
+        oa_t = o_an + o_om * h * o_f
 
         # slot-group loop: 8 slots per iteration as [SG, T] — own-side [1, T]
         # rows broadcast against the group inside the solver math
@@ -651,11 +800,12 @@ def _project_kernel(
             p_om0 = g(c_om)
             pose0 = PairPose(o_px, o_py, o_ca, o_sa,
                              p_px0, p_py0, g(c_ca), g(c_sa))
+            p_f = g(c_f) if ccd else 1.0
             pvx_t = p_vx0 + gx * h * p_dyn
             pvy_t = p_vy0 + gy * h * p_dyn
-            p_px_t = p_px0 + pvx_t * h
-            p_py_t = p_py0 + pvy_t * h
-            p_an_t = p_an0 + p_om0 * h
+            p_px_t = p_px0 + pvx_t * h * p_f
+            p_py_t = p_py0 + pvy_t * h * p_f
+            p_an_t = p_an0 + p_om0 * h * p_f
             pose = PairPose(opx_t, opy_t, oca_t, osa_t,
                             p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
             vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
@@ -688,10 +838,17 @@ def _apply_kernel(
     o_invm, o_invi, o_dynb, o_kin,
     l_px, l_py, l_an,
     pidx_r, cc_r, c2_r, lam_r, grav_r, tile_live,
-    npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o,
-    *, C: int, h: float, relaxation: float, max_dpos: float,
+    *rest,
+    C: int, h: float, relaxation: float, max_dpos: float,
     rest_threshold: float, lin_damp: float, ang_damp: float, n_tiles: int,
+    ccd: bool = False,
 ):
+    if ccd:  # per-body TOI factors from _ccd_kernel, window rows
+        f0w, f1w, f2w = rest[:3]
+        npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o = rest[3:]
+    else:
+        f0w = f1w = f2w = None
+        npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o = rest
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
     own = t - start
@@ -742,16 +899,23 @@ def _apply_kernel(
         own_slice = lambda x: _own_lane_slice(x, own)
         dyn = o_dynb[0]
         kin = o_kin[0]
+        if ccd:
+            c_f = wl(f0w, f1w, f2w, jnp.ones_like(l_px[:]))
+            o_f = own_slice(c_f)
+        else:
+            c_f = None
+            o_f = 1.0
 
-        # integrate own (same derivation as project)
+        # integrate own (same derivation as project; ccd clamps the pose
+        # advance only — the velocity reconstruction below keeps full speed)
         o_vx = own_slice(c_vx)
         o_vy = own_slice(c_vy)
         o_om = own_slice(c_om)
         ovx_t = o_vx + gx * h * dyn
         ovy_t = o_vy + gy * h * dyn
-        opx_t = own_slice(c_px) + ovx_t * h
-        opy_t = own_slice(c_py) + ovy_t * h
-        oa_t = own_slice(c_an) + o_om * h
+        opx_t = own_slice(c_px) + ovx_t * h * o_f
+        opy_t = own_slice(c_py) + ovy_t * h * o_f
+        oa_t = own_slice(c_an) + o_om * h * o_f
         o_ddx = own_slice(c_ddx)
         o_ddy = own_slice(c_ddy)
         o_dda = own_slice(c_dda)
@@ -783,6 +947,7 @@ def _apply_kernel(
                 return _lg8(src, pc)
 
             p_dyn = s.p_dyn
+            p_f = g(c_f) if ccd else 1.0
             p_vx0 = g(c_vx)
             p_vy0 = g(c_vy)
             p_om0 = g(c_om)
@@ -791,9 +956,9 @@ def _apply_kernel(
             p_ddx = g(c_ddx)
             p_ddy = g(c_ddy)
             p_dda = g(c_dda)
-            p_px_n = g(c_px) + pvx_t * h + p_ddx
-            p_py_n = g(c_py) + pvy_t * h + p_ddy
-            p_an_n = g(c_an) + p_om0 * h + p_dda
+            p_px_n = g(c_px) + pvx_t * h * p_f + p_ddx
+            p_py_n = g(c_py) + pvy_t * h * p_f + p_ddy
+            p_an_n = g(c_an) + p_om0 * h * p_f + p_dda
             # partner velocity reconstruction mirrors the partner's own apply —
             # kinematic partners keep velocity (their ddx is 0 anyway)
             p_nvx = pvx_t + p_ddx / h
@@ -828,6 +993,84 @@ def _apply_kernel(
         nvx_o[0] = nvx
         nvy_o[0] = nvy
         nom_o[0] = nom
+
+
+# ===========================================================================
+# XLA-side joint pass for tile-layout state (single BIG worlds keep joints
+# at any scale — VERDICT r3 item 3; SURVEY.md §3.2 step 4 ticks joints in
+# the same substep). Joints are body-PAIR constraints with frame-static
+# topology, so no slot tables and no overflow: the pass gathers both
+# endpoints from the flattened [Nt*T] tile state by row index (canonical ->
+# row map rebuilt at resort time), solves graph-colored exact Gauss-Seidel
+# with the SAME row-major math as the XLA tier (solver.solve_joint_positions
+# — shared code, not a twin), scatter-accumulates, and reconstructs
+# velocity from the applied deltas. At J << N this is a handful of [J]-sized
+# ops per substep against the kernels' [Nt*T] work.
+# ===========================================================================
+
+
+def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos):
+    """One substep's joint solve on tile-layout state. Runs AFTER the
+    contact apply kernel, mirroring solver.substep's colored branch: one
+    masked exact-GS pass per color (corrections applied with relaxation 1,
+    clipped by the raw max_dpos — joints are constraint maintenance, not
+    depenetration), pose refreshed between colors, velocity updated by the
+    applied deltas / h, then the motor/damping velocity rows.
+
+    Ordering difference vs the XLA tier (documented, pinned loosely by
+    tests/test_tiled_joints.py): the tile engine's restitution/friction
+    velocity pass runs inside the apply kernel BEFORE this pass — the kernel
+    cannot see joint corrections that have not happened yet — so contact
+    restitution reads velocities without the current substep's joint
+    delta/h. Plain distance/pin/weld/range joints contribute no velocity
+    rows, so scenes without motors/damping match the XLA tier up to Jacobi
+    summation order."""
+    from ..solver import (
+        BodyState,
+        _accumulate,
+        solve_joint_positions,
+        velocity_joints,
+    )
+
+    Nt, _, Tl = st["px"].shape
+    Mp = Nt * Tl
+
+    def flat(x):
+        return x.reshape(Mp)
+
+    pos = jnp.stack([flat(st["px"]), flat(st["py"])], axis=-1)
+    vel = jnp.stack([flat(st["vx"]), flat(st["vy"])], axis=-1)
+    s = BodyState(pos, flat(st["an"]), vel, flat(st["om"]))
+    bodies = SimpleNamespace(inv_mass=jp["invm"], inv_inertia=jp["invi"])
+    joints = SimpleNamespace(
+        body_a=jp["row_a"], body_b=jp["row_b"], jtype=jp["jtype"],
+        anchor_a=jp["anchor_a"], anchor_b=jp["anchor_b"], rest=jp["rest"],
+        lo=jp["lo"], hi=jp["hi"], compliance=jp["compliance"],
+        damping=jp["damping"], motor_speed=jp["motor_speed"],
+        motor_max=jp["motor_max"], color=jp["color"], active=jp["active"],
+    )
+    for color in range(n_colors):
+        last = color == n_colors - 1
+        msk = (joints.color >= color) if last else (joints.color == color)
+        contrib = solve_joint_positions(s, bodies, joints, h, mask=msk)
+        acc = _accumulate(Mp, False, *contrib)
+        cnt = jnp.maximum(acc.count, 1.0)
+        dpos = jnp.clip(acc.dpos / cnt[:, None], -max_dpos, max_dpos)
+        dang = jnp.clip(acc.dang / cnt, -max_dpos, max_dpos)
+        s = BodyState(s.pos + dpos, s.angle + dang,
+                      s.vel + dpos / h, s.ang_vel + dang / h)
+    jv = velocity_joints(s, bodies, joints, h)
+    accv = _accumulate(Mp, False, *jv)
+    cntv = jnp.maximum(accv.count, 1.0)
+    vel = s.vel + accv.dpos / cntv[:, None]
+    om = s.ang_vel + accv.dang / cntv
+
+    def tile(x):
+        return x.reshape(Nt, 1, Tl)
+
+    return dict(px=tile(s.pos[:, 0]), py=tile(s.pos[:, 1]),
+                an=tile(s.angle), vx=tile(vel[:, 0]), vy=tile(vel[:, 1]),
+                om=tile(om))
 
 
 # ===========================================================================
@@ -895,11 +1138,13 @@ def build_tile_tables(
     sweep_cap=1e30, interpret=False,
 ):
     """Slot tables for the tile layout. Returns ``(pidx [Nt, C, T] i32,
-    act [Nt, C, T] f32, count [Nt, 1, T] i32, count_close [Nt, 1, T] i32,
-    winover [Nt, 1, T] i32, sweep [Nt, 1, T] f32)`` — ``sweep`` is each
-    body's position budget (tiled.py's rollout guards displacement against
-    it); ``count_close > C`` is the hard overflow (live contacts dropped),
-    ``count > C`` alone only drops speculative candidates."""
+    act [Nt, C, T] f32, count [Nt, 1, T] i32, count_touch [Nt, 1, T] i32,
+    count_close [Nt, 1, T] i32, winover [Nt, 1, T] i32,
+    sweep [Nt, 1, T] f32)`` — ``sweep`` is each body's position budget
+    (tiled.py's rollout guards displacement against it);
+    ``count_touch > C`` is the hard overflow (a live contact went
+    unsolved); ``count_close > C`` / ``count > C`` alone only drop
+    imminent/speculative candidates (bounded staleness)."""
     Nt = state["px"].shape[0]
     params = None if interpret else pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT_TILES)
@@ -926,10 +1171,11 @@ def build_tile_tables(
         grid=(Nt,),
         in_specs=_tables_specs(Nt, C, V),
         out_specs=(_own3(C), _own3(C), _own_spec(), _own_spec(), _own_spec(),
-                   _own_spec()),
+                   _own_spec(), _own_spec()),
         out_shape=(
             jax.ShapeDtypeStruct((Nt, C, T), i32),
             jax.ShapeDtypeStruct((Nt, C, T), f32),
+            jax.ShapeDtypeStruct((Nt, 1, T), i32),
             jax.ShapeDtypeStruct((Nt, 1, T), i32),
             jax.ShapeDtypeStruct((Nt, 1, T), i32),
             jax.ShapeDtypeStruct((Nt, 1, T), i32),
@@ -946,25 +1192,35 @@ def build_tile_tables(
     jax.jit,
     static_argnames=("C", "V", "substeps", "h", "dt", "margin", "compliance",
                      "relaxation", "max_dpos", "rest_threshold", "lin_damp",
-                     "ang_damp", "sleep_velocity", "sort_axis", "interpret"),
+                     "ang_damp", "sleep_velocity", "sort_axis", "ccd",
+                     "ccd_slop", "joint_colors", "max_dpos_joint",
+                     "interpret"),
 )
 def run_tiled_frame(
     state,  # dict of [Nt, T] f32: px py an vx vy om
     consts,  # dict of [Nt, T]: rad nv fric rst sen act mov invm invi lay msk
              # responds dynb kin + verts vlx/vly [Nt, V, T] + edge_lo/edge_hi
+             # (+ blt when ccd=True)
     large,  # dict of [1, L] (+ verts [1, V, L]): px py an rad nv fric rst
             # sen act lay msk
     gravity,  # [1, 2]
     tables=None,  # optional (pidx, act) from build_tile_tables — reuse a
                   # K-frame broadphase; None builds per-frame tables here
+    joints=None,  # optional row-indexed joint pytree (tiled._joint_rows):
+                  # an XLA joint pass runs per substep after the apply kernel
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
     rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
+    ccd=False, ccd_slop=0.005, joint_colors=1, max_dpos_joint=1e3,
     interpret=False,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
-    touched [Nt, C, T], count [Nt, T], winover [Nt, T], wake [Nt, 1, T],
-    pen [Nt, 1, T], pidx [Nt, C, T] — touched+pidx back the pair-event API
-    in tiled.py). ``C`` must be a multiple of SG=8 (slots are processed
+    touched [Nt, C, T], (count, count_touch, count_close) [Nt, 1, T] each,
+    winover [Nt, T], wake [Nt, 1, T],
+    pen [Nt, 1, T], pidx [Nt, C, T], act [Nt, C, T],
+    npts [Nt, 1, T] — touched+pidx back the pair-event API in tiled.py;
+    act+npts back the unified cross-tier Diagnostics (npts is the
+    UNDIRECTED manifold-point count: dyn-dyn points weighted 0.5 per row).
+    ``C`` must be a multiple of SG=8 (slots are processed
     as sublane groups; tiled.py rounds the configured capacity up).
     ``consts['tile_live']`` gates per-tile work: a tile whose whole 3-tile
     window is asleep skips all compute (island-granular sleeping);
@@ -984,13 +1240,15 @@ def run_tiled_frame(
     tile_live = consts["tile_live"]
 
     if tables is None:
-        pidx, act, count, count_close, winover, _sweep = build_tile_tables(
+        (pidx, act, count, count_touch, count_close, winover,
+         _sweep) = build_tile_tables(
             {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
             consts, large, gravity, C=C, V=V, margin=margin, dt=dt,
             sort_axis=sort_axis, interpret=interpret)
     else:
         pidx, act = tables
         count = jnp.zeros((Nt, 1, T), i32)  # caller tracks counts at build
+        count_touch = jnp.zeros((Nt, 1, T), i32)
         count_close = jnp.zeros((Nt, 1, T), i32)
         winover = jnp.zeros((Nt, 1, T), i32)
 
@@ -1003,14 +1261,16 @@ def run_tiled_frame(
     manifold = functools.partial(
         _manifold_kernel, C=C, V=V, margin=margin, dt=dt, n_tiles=Nt,
         sleep_velocity=sleep_velocity)
-    cc, c2, wake, pen = pl.pallas_call(
+    cc, c2, wake, pen, npts = pl.pallas_call(
         manifold,
         grid=(Nt,),
         in_specs=_manifold_specs(Nt, C, V),
-        out_specs=(_own3(C * KC), _own3(C * K2), _own_spec(), _own_spec()),
+        out_specs=(_own3(C * KC), _own3(C * K2), _own_spec(), _own_spec(),
+                   _own_spec()),
         out_shape=(
             jax.ShapeDtypeStruct((Nt, C * KC, T), f32),
             jax.ShapeDtypeStruct((Nt, C * K2, T), f32),
+            jax.ShapeDtypeStruct((Nt, 1, T), f32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
         ),
@@ -1021,21 +1281,32 @@ def run_tiled_frame(
         + mani_large + [pidx, act, tile_live]))
 
     project = functools.partial(_project_kernel, C=C, h=h,
-                                compliance=compliance, n_tiles=Nt)
+                                compliance=compliance, n_tiles=Nt, ccd=ccd)
     apply_k = functools.partial(
         _apply_kernel, C=C, h=h, relaxation=relaxation, max_dpos=max_dpos,
         rest_threshold=rest_threshold, lin_damp=lin_damp, ang_damp=ang_damp,
-        n_tiles=Nt)
+        n_tiles=Nt, ccd=ccd)
+    ccd_k = functools.partial(_ccd_kernel, C=C, h=h, ccd_slop=ccd_slop,
+                              n_tiles=Nt)
 
     def w3s():
         return list(_window_specs(Nt))
 
+    fwin = w3s() if ccd else []
+    ccd_specs = (
+        sum([w3s() for _ in range(6)], [])
+        + [_own_spec()] * 2  # dynb blt
+        + [_bcast((1, L))] * 3  # large pose
+        + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)),
+           _own_spec()]  # + tile_live
+    )
     proj_specs = (
         sum([w3s() for _ in range(6)], [])
         + [_own_spec()] * 3  # invm invi dynb
         + [_bcast((1, L))] * 3  # large pose
         + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)), _own3(C),
            _own_spec()]  # + tile_live
+        + fwin  # ccd TOI factor window rows
     )
     apply_specs = (
         sum([w3s() for _ in range(10)], [])  # state 6 + corrections 4
@@ -1043,6 +1314,7 @@ def run_tiled_frame(
         + [_bcast((1, L))] * 3
         + [_own3(C), _own3(C * KC), _own3(C * K2), _own3(2 * C),
            _bcast((1, 2)), _own_spec()]  # + tile_live
+        + fwin
     )
 
     lpose = [large["px"], large["py"], large["an"]]
@@ -1051,6 +1323,20 @@ def run_tiled_frame(
         st, touched = carry
         sw = sum([wrows(st[k]) for k in ("px", "py", "an", "vx", "vy", "om")],
                  [])
+        if ccd:
+            f = pl.pallas_call(
+                ccd_k,
+                grid=(Nt,),
+                in_specs=ccd_specs,
+                out_specs=(_own_spec(),),
+                out_shape=(jax.ShapeDtypeStruct((Nt, 1, T), f32),),
+                compiler_params=params,
+                interpret=interpret,
+            )(*(sw + [consts["dynb"], consts["blt"]]
+                + lpose + [pidx, cc, c2, gravity, tile_live]))[0]
+            fargs = wrows(f)
+        else:
+            fargs = []
         dxx, dxy, dth, cnt, lam, touched = pl.pallas_call(
             project,
             grid=(Nt,),
@@ -1064,7 +1350,7 @@ def run_tiled_frame(
             compiler_params=params,
             interpret=interpret,
         )(*(sw + [consts["invm"], consts["invi"], consts["dynb"]]
-            + lpose + [pidx, cc, c2, gravity, touched, tile_live]))
+            + lpose + [pidx, cc, c2, gravity, touched, tile_live] + fargs))
 
         corr = wrows(dxx) + wrows(dxy) + wrows(dth) + wrows(cnt)
         npx, npy, nan_, nvx, nvy, nom = pl.pallas_call(
@@ -1077,14 +1363,18 @@ def run_tiled_frame(
             interpret=interpret,
         )(*(sw + corr
             + [consts["invm"], consts["invi"], consts["dynb"], consts["kin"]]
-            + lpose + [pidx, cc, c2, lam, gravity, tile_live]))
+            + lpose + [pidx, cc, c2, lam, gravity, tile_live] + fargs))
         st2 = dict(px=npx, py=npy, an=nan_, vx=nvx, vy=nvy, om=nom)
+        if joints is not None:
+            st2 = _tile_joint_pass(st2, joints, h=h, n_colors=joint_colors,
+                                   max_dpos=max_dpos_joint)
         return (st2, touched), ()
 
     touched0 = jnp.zeros((Nt, C, T), f32)
     (state, touched), _ = jax.lax.scan(
         substep, (state, touched0), None, length=substeps)
-    return state, touched, (count, count_close), winover, wake, pen, pidx
+    return state, touched, (count, count_touch, count_close), winover, wake, \
+        pen, pidx, act, npts
 
 
 _VMEM_LIMIT_TILES = 100 * 1024 * 1024

@@ -56,8 +56,10 @@ def frame2_shapes_ok(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> boo
     ``n_shards > 1`` the check applies to the per-device world count a
     ``shard_map`` over an ``n_shards``-device mesh would see.
     """
-    if cfg.use_pallas is False or not cfg.batch_uniform_topology or cfg.ccd:
+    if cfg.use_pallas is False or not cfg.batch_uniform_topology:
         return False
+    if cfg.ccd and cfg.manifold_refresh != "frame":
+        return False  # step.py raises on this combination anyway
     n, m = worlds.bodies.n, worlds.colliders.m
     w = worlds.bodies.pos.shape[0]
     if w % n_shards != 0:
@@ -98,7 +100,7 @@ def _frame2_arrays(worlds: World, cfg: SolverConfig):
     awake bodies' candidate rows (support contacts) and keep their own rows
     (wake detection)."""
     b, c = worlds.bodies, worlds.colliders
-    from .state import BODY_KINEMATIC, COL_ACTIVE, COL_SENSOR
+    from .state import BODY_BULLET, BODY_KINEMATIC, COL_ACTIVE, COL_SENSOR
 
     f32 = jnp.float32
     responds = ((b.inv_mass > 0) | (b.inv_inertia > 0)).astype(f32)
@@ -116,6 +118,7 @@ def _frame2_arrays(worlds: World, cfg: SolverConfig):
         invm=invm, invi=invi,
         dyn=(invm > 0).astype(f32), kin=kin,
         responds=responds, moves=moves,
+        bullet=((b.flags & BODY_BULLET) != 0).astype(f32),
     )
     col = dict(
         cbody=c.body_idx,
@@ -179,7 +182,8 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
     build, see build_slot_tables) so momentum exchange inside the window
     stays in-table. Rollouts amortize this kernel across frames (FUTURE.md
     broadphase-reuse lever). Returns (partner, slot_act, count,
-    count_close); with ``return_budget=True``, ``(tables, budget [W, M])``
+    count_touch, count_close); with ``return_budget=True``,
+    ``(tables, budget [W, M])``
     where budget is the positional inflation each collider actually got
     (what the rollout's staleness guard must check displacement against)."""
     body, col = _frame2_arrays(worlds, cfg)
@@ -208,9 +212,10 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
                 tables=None):
     """One batched frame through the slot kernels. Returns
     ``(new_worlds, touched [W, C, M], partner [W, C, M], counts,
-    joint_overflow i32)`` — ``counts = (count, count_close)`` [W, M] each:
-    ``max(count_close) - C`` must be <= 0 for trustworthy physics (live
-    contacts dropped); ``max(count) - C > 0`` only drops speculative
+    joint_overflow i32)`` — ``counts = (count, count_touch, count_close)``
+    [W, M] each: ``max(count_touch) - C`` must be <= 0 for trustworthy
+    physics (touching contacts dropped); ``max(count_close) - C > 0`` /
+    ``max(count) - C > 0`` only drop margin-imminent / swept-speculative
     candidates (bounded staleness, see build_slot_tables).
     ``joint_overflow`` is the joint-slot analogue, already reduced because
     joint topology is frame-static. Pass ``tables`` (from
@@ -224,7 +229,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     C = cfg.slot_capacity
     if tables is None:
         tables = frame2_tables(worlds, cfg, interpret=interpret)
-    partner, slot_act, count, count_close = tables
+    partner, slot_act, count, count_touch, count_close = tables
 
     joints = None
     JC = 0
@@ -264,14 +269,14 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         body["invm"], body["invi"], body["dyn"], body["kin"],
         col["cbody"], col["vlx"], col["vly"], col["nverts"], col["radius"],
         col["fric"], col["rest"], col["sensor"],
-        partner, slot_act, joints, gravity,
+        partner, slot_act, joints, gravity, body["bullet"],
         C=C, JC=JC, substeps=cfg.substeps, iterations=cfg.iterations,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
         max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
         joint_solver=cfg.joint_solver, n_colors=cfg.max_joint_colors,
-        max_dpos_joint=cfg.max_dpos,
+        max_dpos_joint=cfg.max_dpos, ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
         interpret=interpret,
     )
 
@@ -311,7 +316,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     new_worlds = dataclasses.replace(
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
-    return new_worlds, touched, partner, (count, count_close), joint_overflow
+    return new_worlds, touched, partner, (count, count_touch, count_close), joint_overflow
 
 
 def batched_step_events(worlds: World, cfg: SolverConfig,
@@ -327,11 +332,13 @@ def batched_step_events(worlds: World, cfg: SolverConfig,
         "eligible (see frame2_shapes_ok) — use step(with_contacts=True)")
     from .events import touching_keys_from_slots
 
-    w2, touched, partner, (count, count_close), jovf = frame2_step(
-        worlds, cfg, interpret=interpret, tables=tables)
+    w2, touched, partner, (count, count_touch, count_close), jovf = \
+        frame2_step(worlds, cfg, interpret=interpret, tables=tables)
     keys = touching_keys_from_slots(touched, partner, worlds.colliders.m)
     diag = dict(
-        slot_overflow=jnp.maximum(jnp.max(count_close) - cfg.slot_capacity, 0),
+        slot_overflow=jnp.maximum(jnp.max(count_touch) - cfg.slot_capacity, 0),
+        margin_dropped=jnp.maximum(
+            jnp.max(count_close) - cfg.slot_capacity, 0),
         spec_dropped=jnp.maximum(jnp.max(count) - cfg.slot_capacity, 0),
         joint_overflow=jovf,
     )
@@ -359,13 +366,14 @@ def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int,
     kernel_path = (frame2_shapes_ok(worlds, cfg) if interpret
                    else use_pallas_frame2(worlds, cfg))
     if kernel_path:
-        w2, _, _, (count, count_close), jovf = frame2_step(
+        w2, _, _, (count, count_touch, count_close), jovf = frame2_step(
             worlds, cfg, interpret=interpret)
         if not with_diag:
             return w2
         C = cfg.slot_capacity
         diag = dict(
-            slot_overflow=jnp.maximum(jnp.max(count_close) - C, 0),
+            slot_overflow=jnp.maximum(jnp.max(count_touch) - C, 0),
+            margin_dropped=jnp.maximum(jnp.max(count_close) - C, 0),
             spec_dropped=jnp.maximum(jnp.max(count) - C, 0),
             joint_overflow=jovf,
         )
@@ -375,6 +383,7 @@ def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int,
         return w2
     diag = dict(
         slot_overflow=jnp.max(d.pair_overflow),
+        margin_dropped=jnp.int32(0),
         spec_dropped=jnp.int32(0),
         joint_overflow=jnp.int32(0),
         cell_overflow=jnp.max(d.cell_overflow),
@@ -410,20 +419,21 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     correctness counters (silent truncation is the #1 hazard of the
     fixed-capacity design, SURVEY.md §4.6):
 
-    - ``slot_overflow``: max over frames of ``max(count_close) - C``
-      (<= 0 means no collider row ever truncated a touching/imminent
-      contact — the hard physics-corruption case);
-    - ``spec_dropped``: max over frames of ``max(count) - C`` — rows that
-      truncated only SPECULATIVE (swept-margin) candidates. Bounded
-      staleness, not corruption: a dropped speculative pair re-enters at
-      the next rebuild (<= K-1 frames), so the worst case is a contact
+    - ``slot_overflow``: max over frames of ``max(count_touch) - C``
+      (<= 0 means no collider row ever truncated a TOUCHING contact —
+      the hard physics-corruption case: a live contact went unsolved);
+    - ``margin_dropped`` / ``spec_dropped``: max over frames of
+      ``max(count_close) - C`` / ``max(count) - C`` — rows that truncated
+      only margin-imminent / swept-speculative candidates. Bounded
+      staleness, not corruption: a dropped not-yet-touching pair re-enters
+      at the next rebuild (<= K-1 frames), so the worst case is a contact
       forming up to K-1 frames late at the pair's closing speed, resolved
       by the solver's normal depenetration (the same contract Box2D-style
       speculative margins provide). Note the asymmetric case: the two rows
       of a dynamic-dynamic pair rank independently, so one row can drop the
       pair while the other keeps it — the contact then solves ONE-SIDED
       (half the correction) for those <= K-1 frames; once touching it is a
-      close candidate on both rows at the next rebuild and close-first
+      touch candidate on both rows at the next rebuild and touch-first
       ranking restores the symmetric solve (tests/test_staleness.py pins
       this bound);
     - ``joint_overflow``: joint-slot analogue of the hard counter;
@@ -484,20 +494,23 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         elig = frame2_elig(worlds, cfg, interpret=interpret)
 
         def body(carry, _):
-            w, ovf, spec, jovf = carry
+            w, ovf, marg, spec, jovf = carry
             tables = frame2_tables(w, cfg, frames=1, interpret=interpret,
                                    elig=elig)
-            w2, touched, partner, (count, count_close), j_ovf = frame2_step(
-                w, cfg, interpret=interpret, tables=tables)
-            ovf = jnp.maximum(ovf, jnp.max(count_close) - C)
+            w2, touched, partner, (count, count_touch, count_close), j_ovf = \
+                frame2_step(w, cfg, interpret=interpret, tables=tables)
+            ovf = jnp.maximum(ovf, jnp.max(count_touch) - C)
+            marg = jnp.maximum(marg, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
             jovf = jnp.maximum(jovf, j_ovf)
-            return (w2, ovf, spec, jovf), record_k(w2, touched, partner)
+            return (w2, ovf, marg, spec, jovf), record_k(w2, touched, partner)
 
         neg = jnp.int32(-(2**31))
-        (final, ovf, spec, jovf), traj = jax.lax.scan(
-            body, (worlds, neg, neg, jnp.int32(0)), None, length=n_frames)
+        (final, ovf, marg, spec, jovf), traj = jax.lax.scan(
+            body, (worlds, neg, neg, neg, jnp.int32(0)), None,
+            length=n_frames)
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
+                    margin_dropped=jnp.maximum(marg, 0),
                     spec_dropped=jnp.maximum(spec, 0),
                     joint_overflow=jovf, forced_rebuilds=jnp.int32(0))
         return final, traj, diag
@@ -530,7 +543,8 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
             return tables, w.bodies.pos, budget
 
         def body(carry, _):
-            w, tables, pos0, sweep, age, ovf, spec, jovf, rebuilds = carry
+            (w, tables, pos0, sweep, age, ovf, marg, spec, jovf,
+             rebuilds) = carry
             if K > 1:
                 b = w.bodies
                 # positional staleness guard: body must stay inside its
@@ -547,24 +561,26 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
                 do, lambda op: build(op[0]),
                 lambda op: (op[1], op[2], op[3]),
                 (w, tables, pos0, sweep))
-            w2, touched, partner, (count, count_close), j_ovf = frame2_step(
-                w, cfg, interpret=interpret, tables=tables)
-            ovf = jnp.maximum(ovf, jnp.max(count_close) - C)
+            w2, touched, partner, (count, count_touch, count_close), j_ovf \
+                = frame2_step(w, cfg, interpret=interpret, tables=tables)
+            ovf = jnp.maximum(ovf, jnp.max(count_touch) - C)
+            marg = jnp.maximum(marg, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
             jovf = jnp.maximum(jovf, j_ovf)
             rebuilds = rebuilds + (viol & (age != 0)).astype(jnp.int32)
             age = jnp.where(do, 1, age + 1) % K
-            return (w2, tables, pos0, sweep, age, ovf, spec, jovf,
+            return (w2, tables, pos0, sweep, age, ovf, marg, spec, jovf,
                     rebuilds), record_k(w2, touched, partner)
 
         tables0, pos00, sweep0 = build(worlds)
         zero = jnp.int32(0)
         neg = jnp.int32(-(2**31))
         carry0 = (worlds, tables0, pos00, sweep0, jnp.int32(1 % K),
-                  neg, neg, zero, zero)
-        (final, _, _, _, _, ovf, spec, jovf, rebuilds), traj = jax.lax.scan(
-            body, carry0, None, length=n_frames)
+                  neg, neg, neg, zero, zero)
+        (final, _, _, _, _, ovf, marg, spec, jovf, rebuilds), traj = \
+            jax.lax.scan(body, carry0, None, length=n_frames)
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
+                    margin_dropped=jnp.maximum(marg, 0),
                     spec_dropped=jnp.maximum(spec, 0),
                     joint_overflow=jovf, forced_rebuilds=rebuilds)
         return final, traj, diag
@@ -579,8 +595,8 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     zero = jnp.int32(0)
     (final, povf, covf), traj = jax.lax.scan(
         body, (worlds, zero, zero), None, length=n_frames)
-    diag = dict(slot_overflow=povf, spec_dropped=zero, joint_overflow=zero,
-                forced_rebuilds=zero, cell_overflow=covf)
+    diag = dict(slot_overflow=povf, margin_dropped=zero, spec_dropped=zero,
+                joint_overflow=zero, forced_rebuilds=zero, cell_overflow=covf)
     return final, traj, diag
 
 

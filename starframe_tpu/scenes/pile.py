@@ -68,3 +68,77 @@ def pile(
                        grid_cell_capacity=b.suggest_grid_cell_capacity(),
                        frames_per_broadphase=8, slot_capacity=16)
     return Scene("pile", world, cap, cfg)
+
+
+def pile_joints(
+    n_bodies: int = 10_000,
+    joint_fraction: float = 0.2,
+    body_half: float = 0.5,
+    friction: float = 0.5,
+    seed: int = 0,
+    substeps: int = 10,
+) -> Scene:
+    """Pile variant where ``joint_fraction`` of the bodies fall as
+    distance-jointed dumbbells (VERDICT r3 item 3 acceptance: jointed BIG
+    single worlds keep the tile-engine fast tier — reference ticks joints in
+    the same solve at any scale, SURVEY.md §3.2 step 4). Dumbbell pairs are
+    disjoint, so the joint graph is 1-colorable and the tile engine's XLA
+    joint pass costs one exact-GS sweep per substep."""
+    import dataclasses
+
+    from .base import tighten_joint_colors
+
+    rng = np.random.default_rng(seed)
+    b = WorldBuilder(gravity=(0.0, -9.81))
+
+    cols = int(np.ceil(np.sqrt(n_bodies * 4)))
+    rows = int(np.ceil(n_bodies / cols))
+    spacing = body_half * 2.2
+    container_half_width = cols * spacing / 2 + 2.0
+
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(container_half_width + 2.0, 0.5),
+                   friction=friction)
+    wl = b.add_static(pos=(-container_half_width, rows * spacing))
+    b.add_collider(wl, Shape.box(0.5, rows * spacing + 4.0), friction=friction)
+    wr = b.add_static(pos=(container_half_width, rows * spacing))
+    b.add_collider(wr, Shape.box(0.5, rows * spacing + 4.0), friction=friction)
+
+    x0 = -(cols - 1) * spacing / 2
+    count = 0
+    prev = None  # pending dumbbell partner (same grid row)
+    n_joints = 0
+    target_jointed = int(n_bodies * joint_fraction)
+    for row in range(rows):
+        prev = None
+        for col in range(cols):
+            if count >= n_bodies:
+                break
+            x = x0 + col * spacing + rng.uniform(-0.05, 0.05) * body_half
+            y = body_half * 1.5 + row * spacing
+            body = b.add_body(pos=(x, y), angle=float(rng.uniform(0, np.pi)))
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                b.add_collider(body, Shape.circle(body_half * 0.9),
+                               friction=friction)
+            elif kind == 1:
+                b.add_collider(body, Shape.box(body_half, body_half * 0.8),
+                               friction=friction)
+            else:
+                b.add_collider(body, Shape.hexagon(body_half),
+                               friction=friction)
+            count += 1
+            if 2 * n_joints < target_jointed:
+                if prev is None:
+                    prev = body
+                else:
+                    b.distance_joint(prev, body)
+                    prev = None
+                    n_joints += 1
+
+    world, cap = b.build()
+    cfg = SolverConfig(dt=1 / 60, substeps=substeps, broadphase="grid",
+                       grid_cell_capacity=b.suggest_grid_cell_capacity(),
+                       frames_per_broadphase=8, slot_capacity=16)
+    cfg = tighten_joint_colors(world, cfg)
+    return Scene("pile_joints", world, cap, cfg)

@@ -361,6 +361,12 @@ class WorldBuilder:
             motor_max=np.inf,
         )
         row.update(kw)
+        if row["anchor_a"] is None or row["anchor_b"] is None:
+            # a None anchor would np-convert to NaN and silently poison the
+            # whole solve — fail loudly at build time instead
+            raise ValueError(
+                "joint anchors must not be None — pass world_point or "
+                "explicit anchor_a/anchor_b")
         self._joints.append(row)
         return JointKey(len(self._joints) - 1)
 
@@ -408,7 +414,11 @@ class WorldBuilder:
     ) -> JointKey:
         """Point attachment (revolute joint): the two body-local anchors are
         constrained to coincide; rotation stays free. Give either a world
-        point (anchors derived from current poses) or explicit anchors."""
+        point (anchors derived from current poses) or explicit anchors;
+        with neither, the midpoint between the two bodies is used."""
+        if world_point is None and anchor_a is None and anchor_b is None:
+            world_point = 0.5 * (np.asarray(self._bodies[body_a]["pos"])
+                                 + np.asarray(self._bodies[body_b]["pos"]))
         if world_point is not None:
             anchor_a = self._local_anchor(body_a, world_point)
             anchor_b = self._local_anchor(body_b, world_point)
@@ -424,7 +434,12 @@ class WorldBuilder:
 
     def weld_joint(self, body_a, body_b, world_point=None, anchor_a=None,
                    anchor_b=None, compliance: float = 0.0) -> JointKey:
-        """Pin + relative angle locked at its build-time value."""
+        """Pin + relative angle locked at its build-time value. Give either
+        a world point or explicit anchors; with neither, the midpoint
+        between the two bodies is used."""
+        if world_point is None and anchor_a is None and anchor_b is None:
+            world_point = 0.5 * (np.asarray(self._bodies[body_a]["pos"])
+                                 + np.asarray(self._bodies[body_b]["pos"]))
         if world_point is not None:
             anchor_a = self._local_anchor(body_a, world_point)
             anchor_b = self._local_anchor(body_b, world_point)

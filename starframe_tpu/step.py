@@ -80,27 +80,33 @@ def _empty_contacts(max_pairs: int) -> Contacts:
 
 
 def _tiled_frame_step(world: World, cfg: SolverConfig, max_pairs: int,
-                      gravity) -> tuple[World, Contacts, Diagnostics]:
+                      gravity, interpret: bool = False,
+                      ) -> tuple[World, Contacts, Diagnostics]:
     """Big-single-world fast path (the 10k pile) via the sorted-sweep tile
     engine. Contact *events* are not produced on this path (the empty
     Contacts below) — build the step with ``with_contacts=True`` to force
     the XLA path when events are consumed."""
     from .tiled import tiled_step
 
-    new_world, tdiag = tiled_step(world, cfg, gravity)
+    new_world, tdiag = tiled_step(world, cfg, gravity, interpret=interpret)
     b = new_world.bodies
     mass = jnp.where(b.inv_mass > 0, 1.0 / jnp.maximum(b.inv_mass, 1e-12), 0.0)
     inertia = jnp.where(b.inv_inertia > 0,
                         1.0 / jnp.maximum(b.inv_inertia, 1e-12), 0.0)
     ke = 0.5 * jnp.sum(mass * jnp.sum(b.vel**2, axis=-1)) + 0.5 * jnp.sum(
         inertia * b.ang_vel**2)
+    # unified cross-tier semantics (VERDICT r3 item 8): all counts are
+    # UNDIRECTED (comparable with compute_diagnostics on the XLA tier) —
+    # pair_count = candidate pairs admitted to the solver, contact_count =
+    # manifold points generated, touching_count = pairs in actual contact.
+    # tests/test_diag_tiers.py pins the tiers against each other.
     diag = Diagnostics(
-        pair_count=jnp.sum(tdiag["slot_count"], dtype=jnp.int32),  # directed
+        pair_count=jnp.round(tdiag["pair_und"]).astype(jnp.int32),
         pair_overflow=(tdiag["slot_overflow"] + tdiag["window_overflow"]
                        + tdiag["large_overflow"]).astype(jnp.int32),
         cell_overflow=jnp.zeros((), jnp.int32),
-        contact_count=jnp.sum(tdiag["touched"] > 0, dtype=jnp.int32),
-        touching_count=jnp.sum(tdiag["touched"] > 0, dtype=jnp.int32),
+        contact_count=jnp.round(tdiag["contact_und"]).astype(jnp.int32),
+        touching_count=jnp.round(tdiag["touching_und"]).astype(jnp.int32),
         max_penetration=tdiag["max_penetration"],
         kinetic_energy=ke,
     )

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import SolverConfig
-from .state import BODY_KINEMATIC, COL_ACTIVE, COL_SENSOR, World
+from .state import BODY_BULLET, BODY_KINEMATIC, COL_ACTIVE, COL_SENSOR, World
 
 f32 = jnp.float32
 i32 = jnp.int32
@@ -41,12 +41,10 @@ def use_tiled(world: World, cfg: SolverConfig) -> bool:
     """Static gate for the tiled single-world path."""
     from .pallas.tiles import L, T
 
-    if cfg.use_pallas is False or cfg.iterations != 1 or cfg.ccd:
+    if cfg.use_pallas is False or cfg.iterations != 1:
         return False
     if cfg.manifold_refresh != "frame":
-        return False
-    if world.joints.j != 0:
-        return False
+        return False  # (also what cfg.ccd requires — step.py raises on it)
     n, m = world.bodies.n, world.colliders.m
     if n != m or n < 4 * T:  # small worlds: the XLA path is fine
         return False
@@ -132,6 +130,7 @@ def _enter_tiles(world: World, cfg: SolverConfig):
         kin=tile2(srt(kin)),
         ext=tile2(srt(ext)),
         sleep=tile2(srt(b.sleep_count)),
+        blt=tile2(srt(((b.flags & BODY_BULLET) != 0).astype(f32))),
         vlx=vlx.reshape(n_tiles, T, V).transpose(0, 2, 1),
         vly=vly.reshape(n_tiles, T, V).transpose(0, 2, 1),
     )
@@ -160,7 +159,7 @@ def _enter_tiles(world: World, cfg: SolverConfig):
 
 _RESORT_KEYS = ("rad", "nv", "fric", "rst", "sen", "act", "mov", "invm",
                 "invi", "lay", "msk", "responds", "dynb", "kin", "ext",
-                "sleep")
+                "sleep", "blt")
 
 
 def _resort(state: dict, consts: dict, body_id, axis_key: str = "px"):
@@ -190,6 +189,28 @@ def _resort(state: dict, consts: dict, body_id, axis_key: str = "px"):
         v = consts[k].transpose(0, 2, 1).reshape(Mp, V)[perm]
         new_consts[k] = v.reshape(Nt, T, V).transpose(0, 2, 1)
     return state, new_consts, body_id[perm]
+
+
+def _joint_rows(world: World, body_id, n_tiles: int):
+    """Row-indexed joint pytree for the tile engine's XLA joint pass
+    (pallas.tiles._tile_joint_pass): canonical endpoint ids mapped through
+    the current sort permutation (``body_id`` row -> canonical inverts to
+    canonical -> row with one scatter), plus the frame-static joint params.
+    Rebuilt whenever ``body_id`` may have changed (resorts); the effective
+    (sleep-frozen) inverse masses are filled per frame by _run_frame."""
+    from .pallas.tiles import T
+
+    j = world.joints
+    Mp = n_tiles * T
+    take = jnp.zeros((Mp,), i32).at[body_id].set(jnp.arange(Mp, dtype=i32))
+    return dict(
+        row_a=take[j.body_a], row_b=take[j.body_b],
+        jtype=j.jtype, anchor_a=j.anchor_a, anchor_b=j.anchor_b,
+        rest=j.rest, lo=j.lo, hi=j.hi, compliance=j.compliance,
+        damping=j.damping, motor_speed=j.motor_speed,
+        motor_max=jnp.nan_to_num(j.motor_max, posinf=3.4e38),
+        color=j.color, active=j.active,
+    )
 
 
 def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
@@ -228,7 +249,7 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
 
 
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
-               interpret: bool = False, tables=None):
+               interpret: bool = False, tables=None, jrows=None):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
     ``tables=(pidx, act)`` reuses a K-frame broadphase built by
     :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
@@ -266,10 +287,16 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
 
     V = consts["vlx"].shape[1]
     Cs = -(-cfg.slot_capacity // 8) * 8
-    new_state, touched, (count, count_close), winover, wake, pen, pidx = \
-        run_tiled_frame(
+    if jrows is not None:
+        # effective (sleep-frozen) inverse masses for the joint pass — same
+        # freeze the contact kernels see this frame
+        Mp = Nt * T
+        jrows = dict(jrows, invm=kc["invm"].reshape(Mp),
+                     invi=kc["invi"].reshape(Mp))
+    new_state, touched, (count, count_touch, count_close), winover, wake, \
+        pen, pidx, act, npts = run_tiled_frame(
         {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
-        kc, large, jnp.asarray(gravity, f32)[None], tables,
+        kc, large, jnp.asarray(gravity, f32)[None], tables, jrows,
         C=Cs, V=V, substeps=cfg.substeps,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
@@ -277,6 +304,8 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
         sleep_velocity=cfg.sleep_velocity,
         sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
+        ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
+        joint_colors=cfg.max_joint_colors, max_dpos_joint=cfg.max_dpos,
         interpret=interpret,
     )
     consts2 = dict(consts)
@@ -294,14 +323,25 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
             om=jnp.where(asleep2, 0.0, new_state["om"]),
         )
         consts2 = dict(consts2, sleep=sleep)
+    # unified cross-tier Diagnostics scalars (VERDICT r3 item 8): UNDIRECTED
+    # counts comparable with the XLA tier's compute_diagnostics — window
+    # (dyn-dyn) table entries appear in both rows (weight 0.5), large-set
+    # (static) partners once (weight 1); npts is weighted in-kernel
+    from .pallas.tiles import T as _T, WIN
+
+    und_w = jnp.where(pidx < WIN * _T, 0.5, 1.0)
     diag = dict(
         slot_count=count,
-        slot_overflow=jnp.sum(jnp.maximum(count_close - Cs, 0)),
+        slot_overflow=jnp.sum(jnp.maximum(count_touch - Cs, 0)),
+        margin_dropped=jnp.sum(jnp.maximum(count_close - Cs, 0)),
         spec_dropped=jnp.sum(jnp.maximum(count - Cs, 0)),
         window_overflow=jnp.sum(winover),
         max_penetration=jnp.max(pen),
         touched=touched,
         pidx=pidx,
+        pair_und=jnp.sum(act * und_w),
+        touching_und=jnp.sum((touched > 0) * und_w),
+        contact_und=jnp.sum(npts),
     )
     return new_state, consts2, diag
 
@@ -383,8 +423,10 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     g = world.gravity if gravity is None else gravity
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     prev = {k: state[k] for k in ("px", "py", "an")}
+    jrows = (_joint_rows(world, body_id, state["px"].shape[0])
+             if world.joints.j > 0 else None)
     new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
-                                         interpret=interpret)
+                                         interpret=interpret, jrows=jrows)
     diag["large_overflow"] = large_ovf
     diag["touch_keys"] = touch_keys(diag["touched"], diag.pop("pidx"),
                                     body_id, large["cols"], world.colliders.m)
@@ -400,9 +442,12 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     the staleness guard fires (some live body's swept AABB could reach x
     beyond its 3-tile window — computed from actual per-tile extrema, so it
     is valid however stale the ordering is). Returns
-    ``(final_world, diag)`` with scalar counters: ``slot_overflow``,
-    ``window_overflow`` (residual in-kernel misses — nonzero only for
-    vertical-slab configurations no x-sort can fix), ``forced_resorts``,
+    ``(final_world, diag)`` with scalar counters: ``slot_overflow`` (HARD:
+    touching candidates truncated), ``margin_dropped`` / ``spec_dropped``
+    (soft: margin-imminent / swept-speculative candidates deferred to the
+    next rebuild — bounded staleness), ``window_overflow`` (residual
+    in-kernel misses — nonzero only for vertical-slab configurations no
+    x-sort can fix), ``forced_resorts``, ``forced_rebuilds``,
     ``large_overflow``.
     """
     g = world.gravity
@@ -424,7 +469,8 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         V = consts["vlx"].shape[1]
         edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg)
         kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
-        pidx, act, count, count_close, winover, sweep = build_tile_tables(
+        (pidx, act, count, count_touch, count_close, winover,
+         sweep) = build_tile_tables(
             {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
             kc, large, jnp.asarray(g, f32)[None],
             C=Cs, V=V, margin=cfg.contact_margin, dt=cfg.dt,
@@ -436,7 +482,8 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             sweep_floor=cfg.tile_sweep_floor, sweep_cap=cfg.tile_sweep_cap,
             interpret=interpret)
         pos0 = {"px": state["px"], "py": state["py"]}
-        bovf = jnp.sum(jnp.maximum(count_close - Cs, 0))
+        bovf = jnp.sum(jnp.maximum(count_touch - Cs, 0))
+        bmarg = jnp.sum(jnp.maximum(count_close - Cs, 0))
         bspec = jnp.sum(jnp.maximum(count - Cs, 0))
         bwovf = jnp.sum(winover)
         # per-candidate canonical pair keys are table/sort-derived: compute
@@ -444,11 +491,11 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         # (the gathers cost ~3.6 ms/frame at 10k when run per frame)
         pk = (slot_pair_keys(pidx, body_id, large["cols"], world.colliders.m)
               if with_events else jnp.int32(0))
-        return (pidx, act), pos0, sweep, pk, bovf, bspec, bwovf
+        return (pidx, act), pos0, sweep, pk, bovf, bmarg, bspec, bwovf
 
     def body(carry, _):
         (state, consts, body_id, tables, pos0, sweep, pkeys, age,
-         ovf, spec, wovf, resorts, rebuilds) = carry
+         ovf, marg, spec, wovf, resorts, rebuilds) = carry
         _, _, stale = _edge_rows(state, consts, cfg)
         # scheduled re-sorts are pointless while nothing moves (a fully
         # sleeping world keeps a valid sort); the guard still forces one
@@ -479,19 +526,25 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             do_sort, lambda op: _resort(*op, axis_key=ak), lambda op: op,
             (state, consts, body_id))
         do = do_sort | esc
-        tables, pos0, sweep, pkeys, bovf, bspec, bwovf = jax.lax.cond(
+        tables, pos0, sweep, pkeys, bovf, bmarg, bspec, bwovf = jax.lax.cond(
             do, lambda op: build(op[0], op[1], op[5]),
             lambda op: (op[2], op[3], op[4], op[6], jnp.int32(0),
-                        jnp.int32(0), jnp.int32(0)),
+                        jnp.int32(0), jnp.int32(0), jnp.int32(0)),
             (state, consts, tables, pos0, sweep, body_id, pkeys))
         ovf = jnp.maximum(ovf, bovf)
+        marg = jnp.maximum(marg, bmarg)
         spec = jnp.maximum(spec, bspec)
         wovf = jnp.maximum(wovf, bwovf)
         prev = {k: state[k] for k in ("px", "py", "an")}
+        # joint endpoint rows track the current sort permutation; the
+        # scatter+gathers are [Mp]+[J]-sized — cheap to refresh per frame
+        jrows = (_joint_rows(world, body_id, state["px"].shape[0])
+                 if world.joints.j > 0 else None)
 
         def live_frame(op):
             return _run_frame(op[0], op[1], large, cfg, g,
-                              interpret=interpret, tables=op[2])
+                              interpret=interpret, tables=op[2],
+                              jrows=jrows)
 
         def skip_frame(op):
             # fully-asleep world: every tile would skip anyway, but the
@@ -499,12 +552,15 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             # tile-level skip alone leaves a ~3.4 ms DMA floor at 10k)
             st, co, _ = op
             zi = jnp.int32(0)
+            zf = jnp.float32(0)
             Nt2, _, T2 = st["px"].shape
             dg = dict(slot_count=jnp.zeros((Nt2, 1, T2), i32),
-                      slot_overflow=zi, spec_dropped=zi, window_overflow=zi,
-                      max_penetration=jnp.float32(0),
+                      slot_overflow=zi, margin_dropped=zi, spec_dropped=zi,
+                      window_overflow=zi,
+                      max_penetration=zf,
                       touched=jnp.zeros((Nt2, Cs, T2), f32),
-                      pidx=jnp.zeros((Nt2, Cs, T2), i32))
+                      pidx=jnp.zeros((Nt2, Cs, T2), i32),
+                      pair_und=zf, touching_und=zf, contact_und=zf)
             return st, co, dg
 
         state, consts, diag = jax.lax.cond(
@@ -521,14 +577,14 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
                                     large["cols"], world.colliders.m,
                                     pair_keys=pkeys))
         return (state, consts, body_id, tables, pos0, sweep, pkeys, age,
-                ovf, spec, wovf, resorts, rebuilds), out
+                ovf, marg, spec, wovf, resorts, rebuilds), out
 
     zero = jnp.int32(0)
-    tables0, pos00, sweep0, pk0, bovf0, bspec0, bwovf0 = build(
+    tables0, pos00, sweep0, pk0, bovf0, bmarg0, bspec0, bwovf0 = build(
         state, consts, body_id)
     carry0 = (state, consts, body_id, tables0, pos00, sweep0, pk0,
-              jnp.int32(1 % K), bovf0, bspec0, bwovf0, zero, zero)
-    (state, consts, body_id, _, _, _, _, _, ovf, spec, wovf, resorts,
+              jnp.int32(1 % K), bovf0, bmarg0, bspec0, bwovf0, zero, zero)
+    (state, consts, body_id, _, _, _, _, _, ovf, marg, spec, wovf, resorts,
      rebuilds), ys = jax.lax.scan(body, carry0, None, length=n_frames)
     if with_events:
         prevs, keys = ys
@@ -536,7 +592,8 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         prevs, keys = ys, None
     prev_last = jax.tree.map(lambda x: x[-1], prevs)
     final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
-    diag = dict(slot_overflow=ovf, spec_dropped=spec, window_overflow=wovf,
+    diag = dict(slot_overflow=ovf, margin_dropped=marg, spec_dropped=spec,
+                window_overflow=wovf,
                 forced_resorts=resorts, forced_rebuilds=rebuilds,
                 large_overflow=large_ovf)
     if with_events:

@@ -88,7 +88,7 @@ def test_slot_tables_match_bruteforce_oracle():
     worlds = replicate_world(world, 2)
     body, col = _frame2_arrays(worlds, cfg)
     C = cfg.slot_capacity
-    partner, slot_act, count, count_close, _budget = jax.tree.map(
+    partner, slot_act, count, _touch, count_close, _budget = jax.tree.map(
         np.asarray,
         build_slot_tables(
             body["posx"], body["posy"], body["ang"], body["velx"], body["vely"],
@@ -154,7 +154,7 @@ def _run_parity(n_frames=3, seed=0, interpret=True):
     w_ker = worlds
     count_max = 0
     for _ in range(n_frames):
-        w_ker, touched, partner, (count, _close), _ = frame2_step(
+        w_ker, touched, partner, (count, _t, _close), _ = frame2_step(
             w_ker, cfg, interpret=interpret)
         count_max = max(count_max, int(np.asarray(count).max()))
     assert count_max <= cfg.slot_capacity, "slot overflow during parity run"

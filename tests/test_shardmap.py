@@ -261,7 +261,8 @@ def test_batched_step_with_diag_surfaces_overflow():
         "deliberately tiny slot_capacity must surface in the per-step diag")
     # stepping again from the returned state keeps reporting
     _, diag2 = step_d(w2)
-    assert set(diag2) == {"slot_overflow", "spec_dropped", "joint_overflow"}
+    assert set(diag2) == {"slot_overflow", "margin_dropped", "spec_dropped",
+                          "joint_overflow"}
 
     cfg_ok = SolverConfig(substeps=2, slot_capacity=8)
     _, diag = jax.jit(lambda w: par.batched_step(

@@ -56,7 +56,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool,
             ovf = jnp.maximum(diag["slot_overflow"], diag["joint_overflow"])
             return w, jnp.sum(w.bodies.pos), jnp.stack(
                 [ovf, diag["margin_dropped"], diag["spec_dropped"],
-                 diag["forced_rebuilds"]])
+                 jnp.int32(0), diag["forced_rebuilds"]])
 
         from starframe_tpu.tiled import tiled_rollout, use_tiled
 
@@ -73,11 +73,11 @@ def _chunk_runner(scene, n_frames: int, batched: bool,
             else:
                 w, d = tiled_rollout(w, cfg, n_frames)
                 cs = jnp.sum(w.bodies.pos)
-            ovf = (d["slot_overflow"] + d["window_overflow"]
-                   + d["large_overflow"])
+            ovf = (d["slot_overflow"] + d["solve_overflow"]
+                   + d["window_overflow"] + d["large_overflow"])
             return w, cs, jnp.stack(
                 [ovf, d["margin_dropped"], d["spec_dropped"],
-                 d["forced_rebuilds"]])
+                 d["solve_dropped"], d["forced_rebuilds"]])
 
         def body(carry, _):
             w, ovf = carry
@@ -87,7 +87,7 @@ def _chunk_runner(scene, n_frames: int, batched: bool,
 
         (w, ovf), _ = jax.lax.scan(body, (w, jnp.int32(0)), None, length=n_frames)
         return w, jnp.sum(w.bodies.pos), jnp.stack(
-            [ovf, jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+            [ovf, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)])
 
     return jax.jit(chunk)
 
@@ -108,28 +108,29 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
         f"{time.perf_counter() - t0:.1f}s (checksum {cs_v:.3f})")
 
     times = []
-    overflow, marg, spec, rebuilds = (int(x) for x in np.asarray(ovf))
+    overflow, marg, spec, sdrp, rebuilds = (int(x) for x in np.asarray(ovf))
     for _ in range(reps):
         t0 = time.perf_counter()
         w, cs, ovf = run(w)
         float(np.asarray(cs))  # force completion
         times.append(time.perf_counter() - t0)
-        o, m, s, r = (int(x) for x in np.asarray(ovf))
+        o, m, s, sd, r = (int(x) for x in np.asarray(ovf))
         overflow = max(overflow, o)
         marg = max(marg, m)
         spec = max(spec, s)
+        sdrp = max(sdrp, sd)
         rebuilds = max(rebuilds, r)
     per_frame = min(times) / frames
     bps = n_body_per_frame / per_frame
     log(f"[bench] best of {reps}: {per_frame * 1e3:.3f} ms/frame | "
         f"{bps:.3e} body-steps/s | slot_overflow={overflow} "
         f"margin_dropped={marg} spec_dropped={spec} "
-        f"forced_rebuilds={rebuilds}")
+        f"solve_dropped={sdrp} forced_rebuilds={rebuilds}")
     if overflow > 0:
         log("[bench] WARNING: capacity overflow detected — physics truncated "
             "LIVE (touching) contacts; raise slot/pair capacity "
             "(SURVEY.md §4.6)")
-    elif marg > 0 or spec > 0:
+    elif marg > 0 or spec > 0 or sdrp > 0:
         log("[bench] note: some rows dropped margin/speculative candidates "
             "only (bounded staleness <= K-1 frames; no touching contact "
             "truncated — see parallel.batched_rollout)")
@@ -166,7 +167,8 @@ def bench_scene(scene, frames: int, batched: bool, reps: int = 3,
             w, cs, _ = run(w)
             float(np.asarray(cs))
     pcts = dict(pcts, slot_overflow=overflow, margin_dropped=marg,
-                spec_dropped=spec, forced_rebuilds=rebuilds)
+                spec_dropped=spec, solve_dropped=sdrp,
+                forced_rebuilds=rebuilds)
     return bps, per_frame, pcts
 
 

@@ -154,6 +154,26 @@ class SolverConfig:
     # soft (speculative) drops and hard counters 0.
     tile_sweep_floor: float = 0.4
     tile_sweep_cap: float = 1.5
+    # Tile-engine per-frame solve-slot compaction (pallas/tiles.py). The
+    # slot TABLES hold ``slot_capacity`` candidates per body so they stay a
+    # valid superset for K frames of speculative motion — but within ONE
+    # frame, manifolds are frame-frozen, so only candidates with a manifold
+    # point inside the speculative margin can contribute to ANY substep
+    # (the rest are exact zeros in every projection). The manifold kernel
+    # rank-selects those active candidates into this many solve slots and
+    # the 10-substep project/apply loop runs at this width instead of
+    # slot_capacity — measured on the settled 10k pile, live (touch+margin)
+    # candidates peak at 8/row while the K-frame tables need 16. Rounded up
+    # to a multiple of 8 (sublane groups) and clamped to slot_capacity;
+    # <= 0 disables compaction (solve width = slot_capacity). Selection is
+    # ranked by CURRENT min separation (closest first), so an overflowing
+    # row drops its most-speculative active manifolds first. Dropping a
+    # manifold that is merely inside the velocity-expanded margin is a
+    # one-frame-staleness soft drop (``solve_dropped`` — re-admitted at the
+    # next frame's manifold pass); dropping one with sep < contact_margin
+    # (imminent/touching) counts into ``solve_overflow`` — a HARD counter
+    # (tests and the bench assert it is 0; raise this knob if it fires).
+    tile_solve_capacity: int = 8
     # Continuous collision detection for bodies flagged ``bullet=True``
     # (state.BODY_BULLET): each substep, a bullet's integrated advance is
     # clamped at its earliest time of impact against the frame's speculative

@@ -18,9 +18,15 @@ Three kernels over a ``(n_tiles,)`` grid, composed per frame under one jit:
 1. ``setup``   (once/frame): swept AABBs, dense [3T+L, T] candidate mask,
    rank-select of C partner slots per body, manifolds at frame-start poses
    (velocity-expanded speculative margin), anchors stored body-local —
-   the tiled twin of slots.py + frame2.py's frame constants.
+   the tiled twin of slots.py + frame2.py's frame constants. The manifold
+   kernel then COMPACTS the C table slots into Cs <= C solve slots
+   (config.tile_solve_capacity): manifolds are frame-frozen, so a slot
+   whose manifold has no point inside the speculative margin is an exact
+   zero in every substep — only pmask-active slots enter the substep loop
+   (measured on the settled 10k pile: live candidates peak at 8/row while
+   the K-frame tables need 16, so the 10-substep loop runs at half width).
 2. ``project`` (per substep): integrate (derived), XPBD contact projection
-   per slot, own-row Jacobi sums -> per-body corrections + lambda.
+   per solve slot, own-row Jacobi sums -> per-body corrections + lambda.
 3. ``apply``   (per substep): apply count-normalized corrections, velocity
    reconstruction, restitution/friction velocity pass (partner post-apply
    state derived from the correction windows), write the new tile state.
@@ -397,10 +403,19 @@ def _manifold_kernel(
     pidx_r, act_r,  # [1, C, T]
     tile_live,  # [n_tiles, 1, T] 0/1: any awake body in this tile's window
     # outputs
-    cc_o, c2_o, wake_o, pen_o, npts_o,
-    *, C: int, V: int, margin: float, dt: float, n_tiles: int,
+    cc_o, c2_o, pidxc_o, src_o, nact_o, wake_o, pen_o, npts_o,
+    *, C: int, Cs: int, V: int, margin: float, dt: float, n_tiles: int,
     sleep_velocity: float,
 ):
+    """Per-frame manifolds + anchors for the C-slot tables, COMPACTED into
+    Cs <= C solve slots: with frame-frozen manifolds, a candidate with no
+    manifold point inside the speculative margin (pmask all-zero) is an
+    exact zero in every substep's projection and velocity pass, so only
+    pmask-active candidates are rank-selected (in table order, i.e.
+    touch > margin-close > speculative) into the Cs slots the per-substep
+    kernels actually iterate. ``nact_o`` counts active candidates per body;
+    rows with nact > Cs dropped their most-speculative active manifolds —
+    the caller surfaces that as the HARD ``solve_overflow`` counter."""
     t = pl.program_id(0)
     start = _win_start(t, n_tiles)
     live = jnp.max(tile_live[0]) > 0.0
@@ -410,6 +425,9 @@ def _manifold_kernel(
     # bodies are frozen so their manifolds would be unused anyway
     cc_o[:] = jnp.zeros_like(cc_o)
     c2_o[:] = jnp.zeros_like(c2_o)
+    pidxc_o[:] = jnp.zeros_like(pidxc_o)
+    src_o[:] = jnp.zeros_like(src_o)
+    nact_o[:] = jnp.zeros_like(nact_o)
     wake_o[0] = jnp.zeros((1, T), f32)
     pen_o[0] = jnp.zeros((1, T), f32)
     npts_o[0] = jnp.zeros((1, T), f32)
@@ -484,6 +502,9 @@ def _manifold_kernel(
         wake_acc = jnp.zeros((1, T), f32)
         pen_acc = jnp.zeros((1, T), f32)
         npts_acc = jnp.zeros((1, T), f32)
+        act_groups = []  # per group [SG, T]: any manifold point in-margin
+        sep_groups = []  # per group [SG, T]: min separation over in-margin
+        hard_groups = []  # per group [SG, T]: min sep < margin (imminent)
         for gi in range(C // SG):
             pc = pidx_all[gi * SG:(gi + 1) * SG].astype(i32)  # [SG, T]
             act = acts_all[gi * SG:(gi + 1) * SG]
@@ -517,6 +538,11 @@ def _manifold_kernel(
             n_ax = o_ca * m.n_x + o_sa * m.n_y  # [SG, T]
             n_ay = -o_sa * m.n_x + o_ca * m.n_y
             pmask = m.pmask * act
+            act_groups.append(
+                (jnp.maximum(pmask[0], pmask[1]) > 0.0).astype(f32))
+            minsep = jnp.min(jnp.where(pmask > 0.0, m.sep, 1e30), axis=0)
+            sep_groups.append(minsep)  # [SG, T]
+            hard_groups.append((minsep < margin).astype(f32))
             solvable = act * (1.0 - jnp.maximum(o_sen2, g(c_sen)))
             p_invm = g(c_invm)
             for k, v in enumerate([
@@ -555,11 +581,66 @@ def _manifold_kernel(
         wake_o[0] = wake_acc
         pen_o[0] = pen_acc
         npts_o[0] = npts_acc
-        # k-major layouts: row k*C + slot — group slices stay 8-aligned
-        cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
-                            )[None].reshape(1, KC * C, T)
-        c2_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in c2_q]
-                            )[None].reshape(1, K2 * C, T)
+        act_m = jnp.concatenate(act_groups, axis=0)  # [C, T]
+        hard_m = jnp.concatenate(hard_groups, axis=0)  # [C, T]
+        # row 0: pmask-active candidates; row 1: imminent (sep < margin).
+        # Compaction keeps closest-first, so a hard drop happens iff
+        # row 1 > Cs (solve_overflow); row 0 > Cs alone only drops
+        # fast-approach speculatives re-admitted NEXT FRAME (soft).
+        nact_o[0] = jnp.concatenate(
+            [jnp.sum(act_m, axis=0, keepdims=True),
+             jnp.sum(hard_m, axis=0, keepdims=True)], axis=0).astype(i32)
+        if Cs >= C:
+            # no compaction: k-major layouts, row k*C + slot (group slices
+            # stay 8-aligned); solve slots = table slots
+            cc_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in cc_k]
+                                )[None].reshape(1, KC * C, T)
+            c2_o[:] = jnp.stack([jnp.concatenate(r, axis=0) for r in c2_q]
+                                )[None].reshape(1, K2 * C, T)
+            pidxc_o[:] = pidx_r[:]
+            src_o[:] = jax.lax.broadcasted_iota(i32, (1, C, T), 1)
+        else:
+            # rank the pmask-active candidates by CURRENT min separation
+            # (closest first; inactive rank last) and select the first Cs
+            # into the solve slots the per-substep kernels iterate. Ranking
+            # by live sep — not build-time tier — keeps every penetrating/
+            # imminent manifold ahead of fast-approach speculatives.
+            full_cc = [jnp.concatenate(r, axis=0) for r in cc_k]  # [C, T]
+            full_c2 = [jnp.concatenate(r, axis=0) for r in c2_q]
+            sep_m = jnp.concatenate(sep_groups, axis=0)  # [C, T]
+            key = jnp.where(act_m > 0, sep_m, 1e30)
+            rank = jnp.zeros_like(key)
+            for k in range(C):
+                kr = key[k:k + 1]  # [1, T]
+                before = jnp.where(
+                    (kr < key)
+                    | ((kr == key)
+                       & (k < jax.lax.broadcasted_iota(i32, (C, T), 0))),
+                    1.0, 0.0)
+                rank = rank + before  # rank[j] = #slots preceding j
+            slot_iota = jax.lax.broadcasted_iota(
+                i32, (C, T), 0).astype(f32)
+            sel_cc = [[] for _ in range(KC)]
+            sel_c2 = [[] for _ in range(K2)]
+            sel_src = []
+            for c in range(Cs):
+                oh = jnp.where((rank == float(c)) & (act_m > 0), 1.0, 0.0)
+                for k in range(KC):
+                    sel_cc[k].append(jnp.sum(oh * full_cc[k], axis=0,
+                                             keepdims=True))
+                for q in range(K2):
+                    sel_c2[q].append(jnp.sum(oh * full_c2[q], axis=0,
+                                             keepdims=True))
+                sel_src.append(jnp.sum(oh * slot_iota, axis=0,
+                                       keepdims=True))
+            cc_o[:] = jnp.concatenate(
+                [jnp.concatenate(r, axis=0) for r in sel_cc], axis=0
+            )[None]  # [1, KC*Cs, T]
+            c2_o[:] = jnp.concatenate(
+                [jnp.concatenate(r, axis=0) for r in sel_c2], axis=0)[None]
+            # partner indices ride cc row 0 (pc as f32, exact below 2^24)
+            pidxc_o[:] = jnp.concatenate(sel_cc[0], axis=0)[None].astype(i32)
+            src_o[:] = jnp.concatenate(sel_src, axis=0)[None].astype(i32)
 
 
 
@@ -1190,7 +1271,8 @@ def build_tile_tables(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("C", "V", "substeps", "h", "dt", "margin", "compliance",
+    static_argnames=("C", "Cs", "V", "substeps", "h", "dt", "margin",
+                     "compliance",
                      "relaxation", "max_dpos", "rest_threshold", "lin_damp",
                      "ang_damp", "sleep_velocity", "sort_axis", "ccd",
                      "ccd_slop", "joint_colors", "max_dpos_joint",
@@ -1211,22 +1293,34 @@ def run_tiled_frame(
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
     rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
     ccd=False, ccd_slop=0.005, joint_colors=1, max_dpos_joint=1e3,
-    interpret=False,
+    Cs=None, interpret=False,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
-    touched [Nt, C, T], (count, count_touch, count_close) [Nt, 1, T] each,
+    touched [Nt, Cs, T], (count, count_touch, count_close) [Nt, 1, T] each,
     winover [Nt, T], wake [Nt, 1, T],
-    pen [Nt, 1, T], pidx [Nt, C, T], act [Nt, C, T],
-    npts [Nt, 1, T] — touched+pidx back the pair-event API in tiled.py;
-    act+npts back the unified cross-tier Diagnostics (npts is the
-    UNDIRECTED manifold-point count: dyn-dyn points weighted 0.5 per row).
-    ``C`` must be a multiple of SG=8 (slots are processed
-    as sublane groups; tiled.py rounds the configured capacity up).
+    pen [Nt, 1, T], pidx [Nt, C, T] (table partner indices),
+    pidx_c [Nt, Cs, T] (per-frame COMPACTED partner indices),
+    act [Nt, C, T] (table slot-valid flags), npts [Nt, 1, T],
+    src [Nt, Cs, T] (solve slot -> table slot, for per-frame event-key
+    selection), nact [Nt, 2, T] (row 0: pmask-active candidates per body,
+    row 1: imminent candidates with sep < margin; compaction keeps
+    closest-first, so row1 > Cs is the HARD solve_overflow and
+    row0 > Cs alone only drops fast-approach speculatives for one frame)
+    — touched+pidx_c back the pair-event API in tiled.py; act+npts back
+    the unified cross-tier Diagnostics (npts is the UNDIRECTED
+    manifold-point count: dyn-dyn points weighted 0.5 per row).
+    ``C`` (table slots) and ``Cs`` (per-frame compacted SOLVE slots,
+    default C — see config.tile_solve_capacity) must be multiples of SG=8
+    (slots are processed as sublane groups; tiled.py rounds up).
     ``consts['tile_live']`` gates per-tile work: a tile whose whole 3-tile
     window is asleep skips all compute (island-granular sleeping);
     ``sleep_velocity > 0`` enables the in-kernel wake-on-fast-contact
     signal; ``sort_axis`` picks which axis the window-miss check uses."""
     assert C % SG == 0, f"tile engine needs slot capacity % {SG} == 0, got {C}"
+    if Cs is None:
+        Cs = C
+    Cs = min(Cs, C)
+    assert Cs % SG == 0, f"solve capacity % {SG} != 0: {Cs}"
     Nt = state["px"].shape[0]
     params = None if interpret else pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT_TILES)
@@ -1259,17 +1353,20 @@ def run_tiled_frame(
                   large["rad"], large["nv"], large["fric"], large["rst"],
                   large["sen"]]
     manifold = functools.partial(
-        _manifold_kernel, C=C, V=V, margin=margin, dt=dt, n_tiles=Nt,
+        _manifold_kernel, C=C, Cs=Cs, V=V, margin=margin, dt=dt, n_tiles=Nt,
         sleep_velocity=sleep_velocity)
-    cc, c2, wake, pen, npts = pl.pallas_call(
+    cc, c2, pidx_c, src, nact, wake, pen, npts = pl.pallas_call(
         manifold,
         grid=(Nt,),
         in_specs=_manifold_specs(Nt, C, V),
-        out_specs=(_own3(C * KC), _own3(C * K2), _own_spec(), _own_spec(),
-                   _own_spec()),
+        out_specs=(_own3(Cs * KC), _own3(Cs * K2), _own3(Cs), _own3(Cs),
+                   _own3(2), _own_spec(), _own_spec(), _own_spec()),
         out_shape=(
-            jax.ShapeDtypeStruct((Nt, C * KC, T), f32),
-            jax.ShapeDtypeStruct((Nt, C * K2, T), f32),
+            jax.ShapeDtypeStruct((Nt, Cs * KC, T), f32),
+            jax.ShapeDtypeStruct((Nt, Cs * K2, T), f32),
+            jax.ShapeDtypeStruct((Nt, Cs, T), i32),
+            jax.ShapeDtypeStruct((Nt, Cs, T), i32),
+            jax.ShapeDtypeStruct((Nt, 2, T), i32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
             jax.ShapeDtypeStruct((Nt, 1, T), f32),
@@ -1280,13 +1377,14 @@ def run_tiled_frame(
         + [consts["sen"]]
         + mani_large + [pidx, act, tile_live]))
 
-    project = functools.partial(_project_kernel, C=C, h=h,
+    # the per-substep kernels run at the COMPACTED width Cs
+    project = functools.partial(_project_kernel, C=Cs, h=h,
                                 compliance=compliance, n_tiles=Nt, ccd=ccd)
     apply_k = functools.partial(
-        _apply_kernel, C=C, h=h, relaxation=relaxation, max_dpos=max_dpos,
+        _apply_kernel, C=Cs, h=h, relaxation=relaxation, max_dpos=max_dpos,
         rest_threshold=rest_threshold, lin_damp=lin_damp, ang_damp=ang_damp,
         n_tiles=Nt, ccd=ccd)
-    ccd_k = functools.partial(_ccd_kernel, C=C, h=h, ccd_slop=ccd_slop,
+    ccd_k = functools.partial(_ccd_kernel, C=Cs, h=h, ccd_slop=ccd_slop,
                               n_tiles=Nt)
 
     def w3s():
@@ -1297,22 +1395,22 @@ def run_tiled_frame(
         sum([w3s() for _ in range(6)], [])
         + [_own_spec()] * 2  # dynb blt
         + [_bcast((1, L))] * 3  # large pose
-        + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)),
+        + [_own3(Cs), _own3(Cs * KC), _own3(Cs * K2), _bcast((1, 2)),
            _own_spec()]  # + tile_live
     )
     proj_specs = (
         sum([w3s() for _ in range(6)], [])
         + [_own_spec()] * 3  # invm invi dynb
         + [_bcast((1, L))] * 3  # large pose
-        + [_own3(C), _own3(C * KC), _own3(C * K2), _bcast((1, 2)), _own3(C),
-           _own_spec()]  # + tile_live
+        + [_own3(Cs), _own3(Cs * KC), _own3(Cs * K2), _bcast((1, 2)),
+           _own3(Cs), _own_spec()]  # + tile_live
         + fwin  # ccd TOI factor window rows
     )
     apply_specs = (
         sum([w3s() for _ in range(10)], [])  # state 6 + corrections 4
         + [_own_spec()] * 4  # invm invi dynb kin
         + [_bcast((1, L))] * 3
-        + [_own3(C), _own3(C * KC), _own3(C * K2), _own3(2 * C),
+        + [_own3(Cs), _own3(Cs * KC), _own3(Cs * K2), _own3(2 * Cs),
            _bcast((1, 2)), _own_spec()]  # + tile_live
         + fwin
     )
@@ -1333,7 +1431,7 @@ def run_tiled_frame(
                 compiler_params=params,
                 interpret=interpret,
             )(*(sw + [consts["dynb"], consts["blt"]]
-                + lpose + [pidx, cc, c2, gravity, tile_live]))[0]
+                + lpose + [pidx_c, cc, c2, gravity, tile_live]))[0]
             fargs = wrows(f)
         else:
             fargs = []
@@ -1341,16 +1439,16 @@ def run_tiled_frame(
             project,
             grid=(Nt,),
             in_specs=proj_specs,
-            out_specs=([_own_spec()] * 4 + [_own3(2 * C), _own3(C)]),
+            out_specs=([_own_spec()] * 4 + [_own3(2 * Cs), _own3(Cs)]),
             out_shape=(
                 [jax.ShapeDtypeStruct((Nt, 1, T), f32)] * 4
-                + [jax.ShapeDtypeStruct((Nt, 2 * C, T), f32),
-                   jax.ShapeDtypeStruct((Nt, C, T), f32)]
+                + [jax.ShapeDtypeStruct((Nt, 2 * Cs, T), f32),
+                   jax.ShapeDtypeStruct((Nt, Cs, T), f32)]
             ),
             compiler_params=params,
             interpret=interpret,
         )(*(sw + [consts["invm"], consts["invi"], consts["dynb"]]
-            + lpose + [pidx, cc, c2, gravity, touched, tile_live] + fargs))
+            + lpose + [pidx_c, cc, c2, gravity, touched, tile_live] + fargs))
 
         corr = wrows(dxx) + wrows(dxy) + wrows(dth) + wrows(cnt)
         npx, npy, nan_, nvx, nvy, nom = pl.pallas_call(
@@ -1363,18 +1461,18 @@ def run_tiled_frame(
             interpret=interpret,
         )(*(sw + corr
             + [consts["invm"], consts["invi"], consts["dynb"], consts["kin"]]
-            + lpose + [pidx, cc, c2, lam, gravity, tile_live] + fargs))
+            + lpose + [pidx_c, cc, c2, lam, gravity, tile_live] + fargs))
         st2 = dict(px=npx, py=npy, an=nan_, vx=nvx, vy=nvy, om=nom)
         if joints is not None:
             st2 = _tile_joint_pass(st2, joints, h=h, n_colors=joint_colors,
                                    max_dpos=max_dpos_joint)
         return (st2, touched), ()
 
-    touched0 = jnp.zeros((Nt, C, T), f32)
+    touched0 = jnp.zeros((Nt, Cs, T), f32)
     (state, touched), _ = jax.lax.scan(
         substep, (state, touched0), None, length=substeps)
     return state, touched, (count, count_touch, count_close), winover, wake, \
-        pen, pidx, act, npts
+        pen, pidx, pidx_c, act, npts, src, nact
 
 
 _VMEM_LIMIT_TILES = 100 * 1024 * 1024

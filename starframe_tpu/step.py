@@ -102,7 +102,8 @@ def _tiled_frame_step(world: World, cfg: SolverConfig, max_pairs: int,
     # tests/test_diag_tiers.py pins the tiers against each other.
     diag = Diagnostics(
         pair_count=jnp.round(tdiag["pair_und"]).astype(jnp.int32),
-        pair_overflow=(tdiag["slot_overflow"] + tdiag["window_overflow"]
+        pair_overflow=(tdiag["slot_overflow"] + tdiag["solve_overflow"]
+                       + tdiag["window_overflow"]
                        + tdiag["large_overflow"]).astype(jnp.int32),
         cell_overflow=jnp.zeros((), jnp.int32),
         contact_count=jnp.round(tdiag["contact_und"]).astype(jnp.int32),

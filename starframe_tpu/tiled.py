@@ -55,6 +55,16 @@ def use_tiled(world: World, cfg: SolverConfig) -> bool:
     return dev.platform == "tpu" or "TPU" in getattr(dev, "device_kind", "")
 
 
+def _solve_cap(cfg: SolverConfig) -> int:
+    """Per-frame solve-slot width (config.tile_solve_capacity): rounded up
+    to a sublane group and clamped to the table capacity; <= 0 disables
+    compaction (solve width = table width)."""
+    Cs = -(-cfg.slot_capacity // 8) * 8
+    if cfg.tile_solve_capacity <= 0:
+        return Cs
+    return min(-(-cfg.tile_solve_capacity // 8) * 8, Cs)
+
+
 # ---------------------------------------------------------------------------
 # tile-layout entry/exit + re-sort
 # ---------------------------------------------------------------------------
@@ -287,6 +297,7 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
 
     V = consts["vlx"].shape[1]
     Cs = -(-cfg.slot_capacity // 8) * 8
+    Csol = _solve_cap(cfg)
     if jrows is not None:
         # effective (sleep-frozen) inverse masses for the joint pass — same
         # freeze the contact kernels see this frame
@@ -294,10 +305,10 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         jrows = dict(jrows, invm=kc["invm"].reshape(Mp),
                      invi=kc["invi"].reshape(Mp))
     new_state, touched, (count, count_touch, count_close), winover, wake, \
-        pen, pidx, act, npts = run_tiled_frame(
+        pen, pidx, pidx_c, act, npts, src, nact = run_tiled_frame(
         {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
         kc, large, jnp.asarray(gravity, f32)[None], tables, jrows,
-        C=Cs, V=V, substeps=cfg.substeps,
+        C=Cs, Cs=Csol, V=V, substeps=cfg.substeps,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
         max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
@@ -329,18 +340,29 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
     # (static) partners once (weight 1); npts is weighted in-kernel
     from .pallas.tiles import T as _T, WIN
 
-    und_w = jnp.where(pidx < WIN * _T, 0.5, 1.0)
+    und_w = jnp.where(pidx < WIN * _T, 0.5, 1.0)  # table slots [Nt, C, T]
+    und_ws = jnp.where(pidx_c < WIN * _T, 0.5, 1.0)  # solve slots
+    # compaction counters (config.tile_solve_capacity): solve slots keep
+    # the Csol CLOSEST active manifolds, so a hard drop means an imminent
+    # manifold (sep < margin) was cut; overflow of merely pmask-active
+    # (velocity-expanded margin) candidates is a one-frame-staleness soft
+    # drop, re-admitted at the next frame's manifold pass
+    hard_over = jnp.maximum(nact[:, 1:2] - Csol, 0)
+    soft_over = jnp.maximum(nact[:, 0:1] - Csol, 0) - hard_over
     diag = dict(
         slot_count=count,
         slot_overflow=jnp.sum(jnp.maximum(count_touch - Cs, 0)),
+        solve_overflow=jnp.sum(hard_over),
+        solve_dropped=jnp.sum(soft_over),
         margin_dropped=jnp.sum(jnp.maximum(count_close - Cs, 0)),
         spec_dropped=jnp.sum(jnp.maximum(count - Cs, 0)),
         window_overflow=jnp.sum(winover),
         max_penetration=jnp.max(pen),
         touched=touched,
-        pidx=pidx,
+        pidx=pidx_c,
+        slot_src=src,
         pair_und=jnp.sum(act * und_w),
-        touching_und=jnp.sum((touched > 0) * und_w),
+        touching_und=jnp.sum((touched > 0) * und_ws),
         contact_und=jnp.sum(npts),
     )
     return new_state, consts2, diag
@@ -443,17 +465,20 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     beyond its 3-tile window — computed from actual per-tile extrema, so it
     is valid however stale the ordering is). Returns
     ``(final_world, diag)`` with scalar counters: ``slot_overflow`` (HARD:
-    touching candidates truncated), ``margin_dropped`` / ``spec_dropped``
-    (soft: margin-imminent / swept-speculative candidates deferred to the
-    next rebuild — bounded staleness), ``window_overflow`` (residual
-    in-kernel misses — nonzero only for vertical-slab configurations no
-    x-sort can fix), ``forced_resorts``, ``forced_rebuilds``,
-    ``large_overflow``.
+    touching candidates truncated at table build), ``solve_overflow``
+    (HARD: a live manifold was compacted out of the per-frame solve slots —
+    raise ``cfg.tile_solve_capacity``), ``margin_dropped`` /
+    ``spec_dropped`` (soft: margin-imminent / swept-speculative candidates
+    deferred to the next rebuild — bounded staleness), ``window_overflow``
+    (residual in-kernel misses — nonzero only for vertical-slab
+    configurations no x-sort can fix), ``forced_resorts``,
+    ``forced_rebuilds``, ``large_overflow``.
     """
     g = world.gravity
     K = max(cfg.frames_per_broadphase, 1)
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     Cs = -(-cfg.slot_capacity // 8) * 8
+    Csol = _solve_cap(cfg)
     gmag = jnp.sqrt(jnp.sum(jnp.asarray(g, f32) ** 2))
 
     ak = "px" if cfg.tile_sort_axis == "x" else "py"
@@ -495,7 +520,7 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
 
     def body(carry, _):
         (state, consts, body_id, tables, pos0, sweep, pkeys, age,
-         ovf, marg, spec, wovf, resorts, rebuilds) = carry
+         ovf, sovf, sdrp, marg, spec, wovf, resorts, rebuilds) = carry
         _, _, stale = _edge_rows(state, consts, cfg)
         # scheduled re-sorts are pointless while nothing moves (a fully
         # sleeping world keeps a valid sort); the guard still forces one
@@ -555,45 +580,53 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             zf = jnp.float32(0)
             Nt2, _, T2 = st["px"].shape
             dg = dict(slot_count=jnp.zeros((Nt2, 1, T2), i32),
-                      slot_overflow=zi, margin_dropped=zi, spec_dropped=zi,
+                      slot_overflow=zi, solve_overflow=zi,
+                      solve_dropped=zi,
+                      margin_dropped=zi, spec_dropped=zi,
                       window_overflow=zi,
                       max_penetration=zf,
-                      touched=jnp.zeros((Nt2, Cs, T2), f32),
-                      pidx=jnp.zeros((Nt2, Cs, T2), i32),
+                      touched=jnp.zeros((Nt2, Csol, T2), f32),
+                      pidx=jnp.zeros((Nt2, Csol, T2), i32),
+                      slot_src=jnp.zeros((Nt2, Csol, T2), i32),
                       pair_und=zf, touching_und=zf, contact_und=zf)
             return st, co, dg
 
         state, consts, diag = jax.lax.cond(
             awake, live_frame, skip_frame, (state, consts, tables))
         wovf = jnp.maximum(wovf, diag["window_overflow"])
+        sovf = jnp.maximum(sovf, diag["solve_overflow"])
+        sdrp = jnp.maximum(sdrp, diag["solve_dropped"])
         resorts = resorts + (stale & (age != 0)).astype(i32)
         rebuilds = rebuilds + (esc & ~do_sort).astype(i32)
         age = jnp.where(do_sort, 1, age + 1) % K
         out = prev
         if with_events:
-            # per-frame canonical touch keys [Nt, C, T] (-1 = empty slot);
-            # one `where` against the build-time pair keys
-            out = (prev, touch_keys(diag["touched"], diag["pidx"], body_id,
-                                    large["cols"], world.colliders.m,
-                                    pair_keys=pkeys))
+            # per-frame canonical touch keys [Nt, Csol, T] (-1 = empty
+            # slot): build-time pair keys, selected through the manifold
+            # kernel's solve-slot compaction map (slot_src), one `where`
+            pk_sel = jnp.take_along_axis(pkeys, diag["slot_src"], axis=1)
+            out = (prev, jnp.where(diag["touched"] > 0, pk_sel, -1))
         return (state, consts, body_id, tables, pos0, sweep, pkeys, age,
-                ovf, marg, spec, wovf, resorts, rebuilds), out
+                ovf, sovf, sdrp, marg, spec, wovf, resorts, rebuilds), out
 
     zero = jnp.int32(0)
     tables0, pos00, sweep0, pk0, bovf0, bmarg0, bspec0, bwovf0 = build(
         state, consts, body_id)
     carry0 = (state, consts, body_id, tables0, pos00, sweep0, pk0,
-              jnp.int32(1 % K), bovf0, bmarg0, bspec0, bwovf0, zero, zero)
-    (state, consts, body_id, _, _, _, _, _, ovf, marg, spec, wovf, resorts,
-     rebuilds), ys = jax.lax.scan(body, carry0, None, length=n_frames)
+              jnp.int32(1 % K), bovf0, zero, zero, bmarg0, bspec0, bwovf0,
+              zero, zero)
+    (state, consts, body_id, _, _, _, _, _, ovf, sovf, sdrp, marg, spec,
+     wovf, resorts, rebuilds), ys = jax.lax.scan(body, carry0, None,
+                                                 length=n_frames)
     if with_events:
         prevs, keys = ys
     else:
         prevs, keys = ys, None
     prev_last = jax.tree.map(lambda x: x[-1], prevs)
     final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
-    diag = dict(slot_overflow=ovf, margin_dropped=marg, spec_dropped=spec,
-                window_overflow=wovf,
+    diag = dict(slot_overflow=ovf, solve_overflow=sovf,
+                solve_dropped=sdrp, margin_dropped=marg,
+                spec_dropped=spec, window_overflow=wovf,
                 forced_resorts=resorts, forced_rebuilds=rebuilds,
                 large_overflow=large_ovf)
     if with_events:

@@ -1,0 +1,146 @@
+"""Per-frame solve-slot compaction on the tile engine (r4).
+
+``config.tile_solve_capacity`` lets the 10-substep project/apply loop run
+at Cs < C slots: the C-slot TABLES stay a K-frame speculative superset,
+but within one frame manifolds are frame-frozen, so only candidates with a
+manifold point inside the velocity-expanded margin can contribute to any
+substep. The manifold kernel rank-selects those by CURRENT min separation
+(closest first) into Cs solve slots. Contracts tested here:
+
+- compaction is exact (up to summation order) when no row has more than Cs
+  pmask-active candidates — the common case the pile bench relies on;
+- dropping a merely-speculative candidate (sep > contact_margin, inside the
+  velocity-expanded margin) is a soft ``solve_dropped``, and because such a
+  manifold produces zero impulse the trajectory is UNCHANGED;
+- dropping an imminent candidate (sep < contact_margin) is the HARD
+  ``solve_overflow`` — forced here with a 12-around-1 touching ring, and
+  cleared by raising the knob (or disabling compaction with <= 0).
+"""
+
+import numpy as np
+
+import jax
+
+from starframe_tpu.config import Capacity, SolverConfig
+from starframe_tpu.events import keys_to_set
+from starframe_tpu.shapes import Shape
+from starframe_tpu.state import WorldBuilder
+from starframe_tpu.tiled import tiled_step
+
+
+def _ring_scene(gap, comoving=(0.0, 0.0), n_ring=12, R=1.5, r=0.25, n=520):
+    """One central circle with ``n_ring`` small circles at surface gap
+    ``gap``; the WHOLE formation (central + ring) translates rigidly at
+    ``comoving``. Zero relative motion means the pairs never touch, while a
+    fast co-motion inflates both the 1-frame swept candidate boxes and the
+    velocity-expanded pmask margin — 12 speculative-active partners on the
+    central row with zero imminent ones. 12 partners overflow an 8-slot
+    solve width while 16-slot tables hold everything. Far-away fillers pad
+    the world past the tile engine's 3-tile minimum (T=256)."""
+    b = WorldBuilder(gravity=(0.0, 0.0))
+    c = b.add_body(pos=(0.0, 0.0), vel=comoving)
+    b.add_collider(c, Shape.circle(R), friction=0.0, restitution=0.0)
+    for i in range(n_ring):
+        th = 2 * np.pi * i / n_ring
+        ca, sa = np.cos(th), np.sin(th)
+        d = R + r + gap
+        body = b.add_body(pos=(d * ca, d * sa), vel=comoving)
+        b.add_collider(body, Shape.circle(r), friction=0.0, restitution=0.0)
+    for i in range(n - n_ring - 1):
+        body = b.add_body(pos=(300.0 + 10.0 * i, 0.0))
+        b.add_collider(body, Shape.circle(0.3))
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
+                   max_joints=0, max_verts=4)
+    return b.build(cap)
+
+
+def _cfg(tile_solve_capacity):
+    return SolverConfig(substeps=4, iterations=1, manifold_refresh="frame",
+                        slot_capacity=16,
+                        tile_solve_capacity=tile_solve_capacity)
+
+
+def test_solve_overflow_hard_counter_fires_and_clears():
+    """12 imminent (sep < contact_margin) partners on one row: an 8-slot
+    solve width MUST report the 4 dropped live manifolds as the HARD
+    counter; 16 solve slots (or compaction disabled) must not."""
+    world, cap = _ring_scene(gap=0.02)
+    _, diag8 = tiled_step(world, _cfg(8), interpret=True)
+    assert int(np.asarray(diag8["solve_overflow"])) > 0
+    # table-build counters stay clean: 16-slot tables hold all 12
+    assert int(np.asarray(diag8["slot_overflow"])) == 0
+
+    _, diag16 = tiled_step(world, _cfg(16), interpret=True)
+    assert int(np.asarray(diag16["solve_overflow"])) == 0
+    _, diag_off = tiled_step(world, _cfg(0), interpret=True)
+    assert int(np.asarray(diag_off["solve_overflow"])) == 0
+    assert int(np.asarray(diag_off["solve_dropped"])) == 0
+
+
+def test_speculative_drops_are_free_and_soft():
+    """Rigid co-moving formation: 12 partners inside the velocity-expanded
+    margin of the central row but never touching (zero relative motion).
+    Compaction drops 4 of them every frame (soft ``solve_dropped``), the
+    hard counter stays 0, and because a non-touching speculative manifold
+    produces zero impulse the trajectory matches the uncompacted run to
+    summation-order noise."""
+    world, cap = _ring_scene(gap=0.12, comoving=(9.0, 9.0))
+
+    w8, w0 = world, world
+    drops = 0
+    for _ in range(3):
+        w8, d8 = tiled_step(w8, _cfg(8), interpret=True)
+        w0, d0 = tiled_step(w0, _cfg(0), interpret=True)
+        assert int(np.asarray(d8["solve_overflow"])) == 0
+        drops += int(np.asarray(d8["solve_dropped"]))
+        assert int(np.asarray(d0["solve_dropped"])) == 0
+    assert drops > 0, ("flyby must actually drop speculative candidates or "
+                       "this test pins nothing")
+    np.testing.assert_allclose(np.asarray(w8.bodies.pos),
+                               np.asarray(w0.bodies.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w8.bodies.vel),
+                               np.asarray(w0.bodies.vel), atol=1e-4)
+
+
+def _mixed_scene(n=600, seed=7):
+    """Ground + mixed dynamic bodies settling into contact rows — the
+    realistic shape: most rows have a handful of active manifolds, none
+    above 8, while 16-slot tables carry extra speculative candidates."""
+    rng = np.random.default_rng(seed)
+    b = WorldBuilder(gravity=(0.0, -9.81))
+    g = b.add_static(pos=(0.0, -0.5))
+    b.add_collider(g, Shape.box(200.0, 0.5), friction=0.5)
+    cols = (n - 1) // 4
+    for i in range(n - 1):
+        row, col = divmod(i, cols)
+        x = -(cols - 1) * 0.6 + col * 1.2 + rng.uniform(-0.08, 0.08)
+        body = b.add_body(pos=(x, 0.55 + row * 1.1),
+                          vel=rng.normal(scale=0.2, size=2))
+        if i % 2 == 0:
+            b.add_collider(body, Shape.circle(0.45), friction=0.5)
+        else:
+            b.add_collider(body, Shape.box(0.4, 0.35), friction=0.5)
+    cap = Capacity(max_bodies=n, max_colliders=n, max_pairs=8 * n,
+                   max_joints=0, max_verts=4)
+    return b.build(cap)
+
+
+def test_compaction_parity_and_events_on_mixed_scene():
+    """Settling mixed scene at 16-slot tables: 8 solve slots must reproduce
+    the uncompacted trajectory AND the per-frame touch-key set (events ride
+    the slot_src compaction map)."""
+    world, cap = _mixed_scene()
+    M = world.colliders.m
+
+    w8, w0 = world, world
+    for _ in range(3):
+        w8, d8 = tiled_step(w8, _cfg(8), interpret=True)
+        w0, d0 = tiled_step(w0, _cfg(0), interpret=True)
+        assert int(np.asarray(d8["solve_overflow"])) == 0
+        assert int(np.asarray(d8["slot_overflow"])) == 0
+        assert (keys_to_set(np.asarray(d8["touch_keys"]), M)
+                == keys_to_set(np.asarray(d0["touch_keys"]), M))
+    np.testing.assert_allclose(np.asarray(w8.bodies.pos),
+                               np.asarray(w0.bodies.pos), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(w8.bodies.vel),
+                               np.asarray(w0.bodies.vel), atol=3e-3)

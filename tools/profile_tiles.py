@@ -138,10 +138,12 @@ def main():
         edge_lo, edge_hi, _ = _edge_rows(st, consts, cfg)
         kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi,
                   tile_live=live_ones)
+        from starframe_tpu.tiled import _solve_cap
+
         ns, touched, *_rest = run_tiled_frame(
             {k: st[k] for k in ("px", "py", "an", "vx", "vy", "om")},
             kc, large, jnp.asarray(g, jnp.float32)[None], tbl,
-            C=Cs, V=V, substeps=s,
+            C=Cs, Cs=_solve_cap(cfg), V=V, substeps=s,
             h=cfg.dt / max(s, 1), dt=cfg.dt, margin=cfg.contact_margin,
             compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
             max_dpos=cfg.max_dpos_eff,

@@ -68,7 +68,7 @@ from .parallel import (batch_worlds, batched_step_events,
                        make_shardmap_kernel_step)
 from . import parallel
 from . import tiled
-from .tiled import tiled_rollout
+from .tiled import sharded_tiled_rollout, tiled_rollout
 from .game import Game, GameState, FixedTimestep
 from .ropes import Rope, attach_rope
 from . import observer
@@ -123,6 +123,7 @@ __all__ = [
     "make_shardmap_kernel_rollout",
     "make_shardmap_kernel_step",
     "parallel",
+    "sharded_tiled_rollout",
     "tiled",
     "tiled_rollout",
     "Camera",

@@ -81,11 +81,21 @@ def _win_start(t, n_tiles):
     return jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
 
 
-def _window_specs(n):
-    """Three (1, T) input specs covering rows (t-1, t, t+1), clamped."""
+def _window_specs(n, halo=False):
+    """Three (1, T) input specs covering the tile window.
+
+    Default (single-device) mode: rows (t-1, t, t+1) of the [n, 1, T] array,
+    clamped to [0, n-3] — boundary tiles see a full 3-tile window shifted
+    inward. Halo mode (``halo=True``, the tile-axis ``shard_map`` path): the
+    input is a halo-extended [n_loc+2, 1, T] array (rows 0 and n_loc+1 are
+    the neighbor shards' edge tiles, zero-filled at the global ends), the
+    window is uniformly rows (t, t+1, t+2) of that array, and the own tile
+    always sits at window offset 1."""
 
     def mk(off):
         def imap(t):
+            if halo:
+                return (t + off, 0, 0)
             # NOTE: jnp.clip is jit-wrapped and Mosaic rejects nested jits in
             # index maps — use bare maximum/minimum
             return (jnp.maximum(jnp.minimum(t - 1, n - WIN), 0) + off, 0, 0)
@@ -176,7 +186,7 @@ def _tables_kernel(
     pidx_o, act_o, count_o, cntt_o, cntc_o, winover_o, sweep_o,
     *, C: int, V: int, margin: float, dt: float, n_tiles: int,
     sort_axis: int, sweep_frames: int, sweep_slack: float, sweep_cap: float,
-    sweep_floor: float,
+    sweep_floor: float, halo: bool = False,
 ):
     """Candidate slot tables, valid while every body stays within its sweep
     budget (``sweep_o``, in position units). With ``sweep_frames = K > 1``
@@ -187,7 +197,7 @@ def _tables_kernel(
     moment a body's displacement (plus its coming frame motion) escapes the
     budget; the cap only trades rebuild frequency against slot pressure."""
     t = pl.program_id(0)
-    start = _win_start(t, n_tiles)
+    own = 1 if halo else t - _win_start(t, n_tiles)
 
     def win(a, b, c):
         return _concat_window([a[0], b[0], c[0]])
@@ -280,7 +290,7 @@ def _tables_kernel(
     loy = cloy - swy
     hiy = chiy + swy
 
-    own_slice = lambda x: _own_lane_slice(x, t - start)
+    own_slice = lambda x: _own_lane_slice(x, own)
     o_lox = own_slice(lox)
     o_hix = own_slice(hix)
     o_loy = own_slice(loy)
@@ -314,11 +324,14 @@ def _tables_kernel(
         (as_j(tlox) <= o_thix) & (o_tlox <= as_j(thix))
         & (as_j(tloy) <= o_thiy) & (o_tloy <= as_j(thiy))
     )
-    # global ids: same body <-> same id (iota worlds: collider == body)
-    own_gid = t * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
-    win_gid = start * T + jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
-    # large ids offset past every tile so they never collide with window ids
-    lrg_gid = n_tiles * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
+    # WINDOW-LOCAL ids: a body appears exactly once in the window, at the
+    # same window position for both the own and candidate views, so local
+    # ids identify "same collider" exactly (and stay valid in halo mode,
+    # where the kernel has no global tile index)
+    own_gid = own * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
+    win_gid = jax.lax.broadcasted_iota(i32, (1, WIN * T), 1)
+    # large ids offset past the window so they never collide with window ids
+    lrg_gid = WIN * T + jax.lax.broadcasted_iota(i32, (1, L), 1)
     c_gid = jnp.concatenate([win_gid, lrg_gid], axis=-1)
     diff = as_j(c_gid) != own_gid
     layer_ok = (
@@ -405,7 +418,7 @@ def _manifold_kernel(
     # outputs
     cc_o, c2_o, pidxc_o, src_o, nact_o, wake_o, pen_o, npts_o,
     *, C: int, Cs: int, V: int, margin: float, dt: float, n_tiles: int,
-    sleep_velocity: float,
+    sleep_velocity: float, halo: bool = False,
 ):
     """Per-frame manifolds + anchors for the C-slot tables, COMPACTED into
     Cs <= C solve slots: with frame-frozen manifolds, a candidate with no
@@ -417,7 +430,7 @@ def _manifold_kernel(
     rows with nact > Cs dropped their most-speculative active manifolds —
     the caller surfaces that as the HARD ``solve_overflow`` counter."""
     t = pl.program_id(0)
-    start = _win_start(t, n_tiles)
+    own = 1 if halo else t - _win_start(t, n_tiles)
     live = jnp.max(tile_live[0]) > 0.0
 
     # skipped (all-asleep-window) tiles: zero outputs, no compute — the
@@ -471,7 +484,7 @@ def _manifold_kernel(
         ext = ext + c_rad
         c_spd = jnp.sqrt(c_vx**2 + c_vy**2) + jnp.abs(c_om) * ext
 
-        own_slice = lambda x: _own_lane_slice(x, t - start)
+        own_slice = lambda x: _own_lane_slice(x, own)
         o_px = own_slice(c_px)
         o_py = own_slice(c_py)
         o_ca = own_slice(c_ca)
@@ -692,11 +705,10 @@ def _ccd_kernel(
     l_px, l_py, l_an,
     pidx_r, cc_r, c2_r, grav_r, tile_live,
     f_o,
-    *, C: int, h: float, ccd_slop: float, n_tiles: int,
+    *, C: int, h: float, ccd_slop: float, n_tiles: int, halo: bool = False,
 ):
     t = pl.program_id(0)
-    start = _win_start(t, n_tiles)
-    own = t - start
+    own = 1 if halo else t - _win_start(t, n_tiles)
     live = jnp.max(tile_live[0]) > 0.0
 
     f_o[0] = jnp.ones((1, T), f32)
@@ -788,6 +800,7 @@ def _project_kernel(
     pidx_r, cc_r, c2_r, grav_r, touch_r, tile_live,
     *rest,
     C: int, h: float, compliance: float, n_tiles: int, ccd: bool = False,
+    halo: bool = False,
 ):
     if ccd:  # per-body TOI factors from _ccd_kernel, window rows
         f0w, f1w, f2w = rest[:3]
@@ -796,8 +809,7 @@ def _project_kernel(
         f0w = f1w = f2w = None
         dxx_o, dxy_o, dth_o, cnt_o, lam_o, touch_o = rest
     t = pl.program_id(0)
-    start = _win_start(t, n_tiles)
-    own = t - start
+    own = 1 if halo else t - _win_start(t, n_tiles)
     live = jnp.max(tile_live[0]) > 0.0
 
     # all-asleep-window tiles: zero corrections, touch passthrough
@@ -922,7 +934,7 @@ def _apply_kernel(
     *rest,
     C: int, h: float, relaxation: float, max_dpos: float,
     rest_threshold: float, lin_damp: float, ang_damp: float, n_tiles: int,
-    ccd: bool = False,
+    ccd: bool = False, halo: bool = False,
 ):
     if ccd:  # per-body TOI factors from _ccd_kernel, window rows
         f0w, f1w, f2w = rest[:3]
@@ -931,8 +943,7 @@ def _apply_kernel(
         f0w = f1w = f2w = None
         npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o = rest
     t = pl.program_id(0)
-    start = _win_start(t, n_tiles)
-    own = t - start
+    own = 1 if halo else t - _win_start(t, n_tiles)
     live = jnp.max(tile_live[0]) > 0.0
 
     # all-asleep-window tiles: state passthrough (identical to running
@@ -1159,9 +1170,33 @@ def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos):
 # ===========================================================================
 
 
-def _wv3_specs(n_tiles, V):
+def _halo_ext(x, shard_axis):
+    """[Nt_loc, ...] tile-sharded array -> [Nt_loc+2, ...] with the neighbor
+    shards' edge tiles as halo rows. The ppermutes are NON-RING (no
+    wraparound pairs), so the first shard's left halo and the last shard's
+    right halo arrive ZERO-FILLED — an all-zero tile is inert by
+    construction (``act == 0`` excludes every pad body from candidacy and
+    the zero poses/verts keep the AABB math finite). All cross-shard
+    traffic is 2 tiles x #arrays per exchange — one (1, T) row each way."""
+    D = jax.lax.axis_size(shard_axis)
+    fwd = [(i, i + 1) for i in range(D - 1)]
+    bwd = [(i + 1, i) for i in range(D - 1)]
+    left = jax.lax.ppermute(x[-1:], shard_axis, fwd)  # my left halo
+    right = jax.lax.ppermute(x[:1], shard_axis, bwd)  # my right halo
+    return jnp.concatenate([left, x, right], axis=0)
+
+
+def _make_ext(shard_axis):
+    if shard_axis is None:
+        return lambda x: x
+    return lambda x: _halo_ext(x, shard_axis)
+
+
+def _wv3_specs(n_tiles, V, halo=False):
     def mk(off):
         def imap(t):
+            if halo:
+                return (t + off, 0, 0)
             return (jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
                     + off, 0, 0)
 
@@ -1170,14 +1205,14 @@ def _wv3_specs(n_tiles, V):
     return [mk(0), mk(1), mk(2)]
 
 
-def _tables_specs(n_tiles, C, V):
+def _tables_specs(n_tiles, C, V, halo=False):
     def w3():
-        return list(_window_specs(n_tiles))
+        return list(_window_specs(n_tiles, halo))
 
     in_specs = []
     for _ in range(6):  # px py an vx vy om
         in_specs += w3()
-    in_specs += _wv3_specs(n_tiles, V) * 2  # vlx, vly
+    in_specs += _wv3_specs(n_tiles, V, halo) * 2  # vlx, vly
     for _ in range(6):  # rad nv act mov lay msk
         in_specs += w3()
     in_specs += [_own_spec()] * 2  # o_responds, o_sensor
@@ -1189,14 +1224,14 @@ def _tables_specs(n_tiles, C, V):
     return in_specs
 
 
-def _manifold_specs(n_tiles, C, V):
+def _manifold_specs(n_tiles, C, V, halo=False):
     def w3():
-        return list(_window_specs(n_tiles))
+        return list(_window_specs(n_tiles, halo))
 
     in_specs = []
     for _ in range(6):  # px py an vx vy om
         in_specs += w3()
-    in_specs += _wv3_specs(n_tiles, V) * 2  # vlx, vly
+    in_specs += _wv3_specs(n_tiles, V, halo) * 2  # vlx, vly
     for _ in range(7):  # rad nv fric rst sen invm invi
         in_specs += w3()
     in_specs += [_own_spec()]  # o_sensor
@@ -1210,13 +1245,14 @@ def _manifold_specs(n_tiles, C, V):
 @functools.partial(
     jax.jit,
     static_argnames=("C", "V", "margin", "dt", "sort_axis", "sweep_frames",
-                     "sweep_slack", "sweep_cap", "sweep_floor", "interpret"),
+                     "sweep_slack", "sweep_cap", "sweep_floor", "shard_axis",
+                     "interpret"),
 )
 def build_tile_tables(
     state, consts, large, gravity,
     *, C, V, margin, dt, sort_axis=0, sweep_frames=1, sweep_slack=0.0,
     sweep_floor=0.25,
-    sweep_cap=1e30, interpret=False,
+    sweep_cap=1e30, shard_axis=None, interpret=False,
 ):
     """Slot tables for the tile layout. Returns ``(pidx [Nt, C, T] i32,
     act [Nt, C, T] f32, count [Nt, 1, T] i32, count_touch [Nt, 1, T] i32,
@@ -1225,13 +1261,22 @@ def build_tile_tables(
     (tiled.py's rollout guards displacement against it);
     ``count_touch > C`` is the hard overflow (a live contact went
     unsolved); ``count_close > C`` / ``count > C`` alone only drop
-    imminent/speculative candidates (bounded staleness)."""
+    imminent/speculative candidates (bounded staleness).
+
+    ``shard_axis``: name of a ``shard_map`` mesh axis the TILE axis is
+    sharded over. Window reads then come from halo-extended local arrays
+    (see :func:`_halo_ext`), the window is the uniform (t-1, t, t+1) —
+    boundary tiles see an inert zero pad instead of the single-device
+    clamped window — and every output is local to the shard."""
     Nt = state["px"].shape[0]
+    halo = shard_axis is not None
+    ext = _make_ext(shard_axis)
     params = None if interpret else pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT_TILES)
 
     def wrows(x):
-        return [x, x, x]
+        xe = ext(x)
+        return [xe, xe, xe]
 
     win_state = sum([wrows(state[k]) for k in
                      ("px", "py", "an", "vx", "vy", "om")], [])
@@ -1246,11 +1291,11 @@ def build_tile_tables(
         _tables_kernel, C=C, V=V, margin=margin, dt=dt, n_tiles=Nt,
         sort_axis=sort_axis, sweep_frames=sweep_frames,
         sweep_slack=sweep_slack, sweep_cap=sweep_cap,
-        sweep_floor=sweep_floor)
+        sweep_floor=sweep_floor, halo=halo)
     return pl.pallas_call(
         kernel,
         grid=(Nt,),
-        in_specs=_tables_specs(Nt, C, V),
+        in_specs=_tables_specs(Nt, C, V, halo),
         out_specs=(_own3(C), _own3(C), _own_spec(), _own_spec(), _own_spec(),
                    _own_spec(), _own_spec()),
         out_shape=(
@@ -1276,7 +1321,7 @@ def build_tile_tables(
                      "relaxation", "max_dpos", "rest_threshold", "lin_damp",
                      "ang_damp", "sleep_velocity", "sort_axis", "ccd",
                      "ccd_slop", "joint_colors", "max_dpos_joint",
-                     "interpret"),
+                     "shard_axis", "interpret"),
 )
 def run_tiled_frame(
     state,  # dict of [Nt, T] f32: px py an vx vy om
@@ -1293,7 +1338,7 @@ def run_tiled_frame(
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
     rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
     ccd=False, ccd_slop=0.005, joint_colors=1, max_dpos_joint=1e3,
-    Cs=None, interpret=False,
+    Cs=None, shard_axis=None, interpret=False,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
     touched [Nt, Cs, T], (count, count_touch, count_close) [Nt, 1, T] each,
@@ -1315,18 +1360,30 @@ def run_tiled_frame(
     ``consts['tile_live']`` gates per-tile work: a tile whose whole 3-tile
     window is asleep skips all compute (island-granular sleeping);
     ``sleep_velocity > 0`` enables the in-kernel wake-on-fast-contact
-    signal; ``sort_axis`` picks which axis the window-miss check uses."""
+    signal; ``sort_axis`` picks which axis the window-miss check uses.
+    ``shard_axis`` names a ``shard_map`` mesh axis the tile axis is sharded
+    over: all window reads (state per substep, corrections between project
+    and apply, CCD TOI factors) then ride halo exchanges (one edge tile
+    each way per array, :func:`_halo_ext`) and every array here is the
+    shard-local slice. Joints require global row gathers and must be
+    handled by the caller (``tiled.sharded_tiled_rollout`` gates them)."""
     assert C % SG == 0, f"tile engine needs slot capacity % {SG} == 0, got {C}"
     if Cs is None:
         Cs = C
     Cs = min(Cs, C)
     assert Cs % SG == 0, f"solve capacity % {SG} != 0: {Cs}"
+    assert joints is None or shard_axis is None, (
+        "the joint pass needs global row gathers — not supported with a "
+        "sharded tile axis")
     Nt = state["px"].shape[0]
+    halo = shard_axis is not None
+    ext = _make_ext(shard_axis)
     params = None if interpret else pltpu.CompilerParams(
         vmem_limit_bytes=_VMEM_LIMIT_TILES)
 
     def wrows(x):
-        return [x, x, x]
+        xe = ext(x)
+        return [xe, xe, xe]
 
     win_state = sum([wrows(state[k]) for k in
                      ("px", "py", "an", "vx", "vy", "om")], [])
@@ -1338,7 +1395,7 @@ def run_tiled_frame(
          _sweep) = build_tile_tables(
             {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
             consts, large, gravity, C=C, V=V, margin=margin, dt=dt,
-            sort_axis=sort_axis, interpret=interpret)
+            sort_axis=sort_axis, shard_axis=shard_axis, interpret=interpret)
     else:
         pidx, act = tables
         count = jnp.zeros((Nt, 1, T), i32)  # caller tracks counts at build
@@ -1354,11 +1411,11 @@ def run_tiled_frame(
                   large["sen"]]
     manifold = functools.partial(
         _manifold_kernel, C=C, Cs=Cs, V=V, margin=margin, dt=dt, n_tiles=Nt,
-        sleep_velocity=sleep_velocity)
+        sleep_velocity=sleep_velocity, halo=halo)
     cc, c2, pidx_c, src, nact, wake, pen, npts = pl.pallas_call(
         manifold,
         grid=(Nt,),
-        in_specs=_manifold_specs(Nt, C, V),
+        in_specs=_manifold_specs(Nt, C, V, halo),
         out_specs=(_own3(Cs * KC), _own3(Cs * K2), _own3(Cs), _own3(Cs),
                    _own3(2), _own_spec(), _own_spec(), _own_spec()),
         out_shape=(
@@ -1379,16 +1436,17 @@ def run_tiled_frame(
 
     # the per-substep kernels run at the COMPACTED width Cs
     project = functools.partial(_project_kernel, C=Cs, h=h,
-                                compliance=compliance, n_tiles=Nt, ccd=ccd)
+                                compliance=compliance, n_tiles=Nt, ccd=ccd,
+                                halo=halo)
     apply_k = functools.partial(
         _apply_kernel, C=Cs, h=h, relaxation=relaxation, max_dpos=max_dpos,
         rest_threshold=rest_threshold, lin_damp=lin_damp, ang_damp=ang_damp,
-        n_tiles=Nt, ccd=ccd)
+        n_tiles=Nt, ccd=ccd, halo=halo)
     ccd_k = functools.partial(_ccd_kernel, C=Cs, h=h, ccd_slop=ccd_slop,
-                              n_tiles=Nt)
+                              n_tiles=Nt, halo=halo)
 
     def w3s():
-        return list(_window_specs(Nt))
+        return list(_window_specs(Nt, halo))
 
     fwin = w3s() if ccd else []
     ccd_specs = (

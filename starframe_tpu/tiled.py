@@ -24,6 +24,7 @@ Two entry points:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -172,9 +173,17 @@ _RESORT_KEYS = ("rad", "nv", "fric", "rst", "sen", "act", "mov", "invm",
                 "sleep", "blt")
 
 
-def _resort(state: dict, consts: dict, body_id, axis_key: str = "px"):
+def _resort(state: dict, consts: dict, body_id, axis_key: str = "px",
+            shard_axis: str | None = None):
     """Re-sort the tile layout by the current sort-axis position
-    (statics/padding keep the tail)."""
+    (statics/padding keep the tail).
+
+    With ``shard_axis`` the sort is GLOBAL across the sharded tile axis:
+    each shard all-gathers the [Mp] sort keys (tiny), computes the global
+    permutation, and gathers its own Mp_loc rows from all-gathered source
+    arrays. The ~25 [Mp]-row all-gathers make this the expensive step of
+    the sharded rollout — which is exactly why the rollout amortizes
+    resorts over ``frames_per_broadphase`` and skips them while asleep."""
     Nt, _, T = state["px"].shape
     Mp = Nt * T
 
@@ -186,22 +195,35 @@ def _resort(state: dict, consts: dict, body_id, axis_key: str = "px"):
     px = flat(state[axis_key])
     key = jnp.where((act > 0) & (mov > 0), px,
                     jnp.where(act > 0, _BIG, 2 * _BIG))
-    perm = jnp.argsort(key)
+    if shard_axis is not None:
+        key_g = jax.lax.all_gather(key, shard_axis, tiled=True)  # [Mp_glob]
+        perm_g = jnp.argsort(key_g)
+        s = jax.lax.axis_index(shard_axis)
+        perm = jax.lax.dynamic_slice(perm_g, (s * Mp,), (Mp,))
+
+        def permuted(x):  # local [Mp, ...] -> my slice of the global sort
+            xg = jax.lax.all_gather(x, shard_axis, tiled=True)
+            return xg[perm]
+    else:
+        perm = jnp.argsort(key)
+
+        def permuted(x):
+            return x[perm]
 
     def tile2(x):
         return x.reshape(Nt, 1, T)
 
-    state = {k: tile2(flat(v)[perm]) for k, v in state.items()}
-    new_consts = {k: tile2(flat(consts[k])[perm]) for k in _RESORT_KEYS}
+    state = {k: tile2(permuted(flat(v))) for k, v in state.items()}
+    new_consts = {k: tile2(permuted(flat(consts[k]))) for k in _RESORT_KEYS}
     # verts are [Nt, V, T]: flatten lane-major, permute rows, retile
     V = consts["vlx"].shape[1]
     for k in ("vlx", "vly"):
-        v = consts[k].transpose(0, 2, 1).reshape(Mp, V)[perm]
+        v = permuted(consts[k].transpose(0, 2, 1).reshape(Mp, V))
         new_consts[k] = v.reshape(Nt, T, V).transpose(0, 2, 1)
-    return state, new_consts, body_id[perm]
+    return state, new_consts, permuted(body_id)
 
 
-def _joint_rows(world: World, body_id, n_tiles: int):
+def _joint_rows(joints, body_id, n_tiles: int):
     """Row-indexed joint pytree for the tile engine's XLA joint pass
     (pallas.tiles._tile_joint_pass): canonical endpoint ids mapped through
     the current sort permutation (``body_id`` row -> canonical inverts to
@@ -210,7 +232,7 @@ def _joint_rows(world: World, body_id, n_tiles: int):
     (sleep-frozen) inverse masses are filled per frame by _run_frame."""
     from .pallas.tiles import T
 
-    j = world.joints
+    j = joints
     Mp = n_tiles * T
     take = jnp.zeros((Mp,), i32).at[body_id].set(jnp.arange(Mp, dtype=i32))
     return dict(
@@ -223,11 +245,18 @@ def _joint_rows(world: World, body_id, n_tiles: int):
     )
 
 
-def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
+def _edge_rows(state: dict, consts: dict, cfg: SolverConfig,
+               shard_axis: str | None = None):
     """Window-completeness bounds from ACTUAL per-tile x-extrema — valid for
     any (possibly stale) ordering. Returns (edge_lo, edge_hi) [Nt, 1, T]
     rows for the setup kernel and the tile-level staleness flag: True when
-    some live body's swept reach escapes its 3-tile window's coverage."""
+    some live body's swept reach escapes its 3-tile window's coverage.
+
+    With ``shard_axis`` (tile axis sharded under ``shard_map``) the per-tile
+    extrema are all-gathered (one [Nt]-float row each way — tiny) so the
+    prefix/suffix scans see the GLOBAL tile sequence; the window coverage is
+    the halo mode's uniform (t-1, t, t+1), and ``stale`` is psum-replicated
+    so every shard takes the same resort branch."""
     Nt, _, T = state["px"].shape
     if cfg.tile_sort_axis == "x":
         px = state["px"].reshape(Nt, T)
@@ -240,26 +269,43 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig):
     reach = ext + jnp.abs(vx) * cfg.dt
     hi = jnp.where(live, px + reach, -_BIG)
     lo = jnp.where(live, px - reach, _BIG)
-    tile_hi = jnp.max(hi, axis=1)  # [Nt]
+    tile_hi = jnp.max(hi, axis=1)  # [Nt] (local tiles)
     tile_lo = jnp.min(lo, axis=1)
-    premax = jax.lax.cummax(tile_hi)  # prefix max of tile highs
-    sufmin = jax.lax.cummin(tile_lo[::-1])[::-1]  # suffix min of tile lows
+    if shard_axis is not None:
+        hi_g = jax.lax.all_gather(tile_hi, shard_axis, tiled=True)  # [Ntg]
+        lo_g = jax.lax.all_gather(tile_lo, shard_axis, tiled=True)
+        Ntg = hi_g.shape[0]
+        premax = jax.lax.cummax(hi_g)
+        sufmin = jax.lax.cummin(lo_g[::-1])[::-1]
+        s = jax.lax.axis_index(shard_axis)
+        t = s * Nt + jnp.arange(Nt)  # global tile ids of my local tiles
+        right = t + 2  # first tile past the uniform (t-1, t, t+1) window
+        left = t - 2
+        edge_hi_t = jnp.where(right <= Ntg - 1,
+                              sufmin[jnp.minimum(right, Ntg - 1)], _BIG)
+        edge_lo_t = jnp.where(left >= 0, premax[jnp.maximum(left, 0)], -_BIG)
+        stale_l = jnp.any((tile_hi > edge_hi_t) | (tile_lo < edge_lo_t))
+        stale = jax.lax.psum(stale_l.astype(i32), shard_axis) > 0
+    else:
+        premax = jax.lax.cummax(tile_hi)  # prefix max of tile highs
+        sufmin = jax.lax.cummin(tile_lo[::-1])[::-1]  # suffix min of lows
 
-    t = jnp.arange(Nt)
-    start = jnp.clip(t - 1, 0, Nt - 3)
-    right = start + 3  # first tile past the window
-    left = start - 1  # last tile before the window
-    edge_hi_t = jnp.where(right <= Nt - 1,
-                          sufmin[jnp.minimum(right, Nt - 1)], _BIG)
-    edge_lo_t = jnp.where(left >= 0, premax[jnp.maximum(left, 0)], -_BIG)
-    stale = jnp.any((tile_hi > edge_hi_t) | (tile_lo < edge_lo_t))
+        t = jnp.arange(Nt)
+        start = jnp.clip(t - 1, 0, Nt - 3)
+        right = start + 3  # first tile past the window
+        left = start - 1  # last tile before the window
+        edge_hi_t = jnp.where(right <= Nt - 1,
+                              sufmin[jnp.minimum(right, Nt - 1)], _BIG)
+        edge_lo_t = jnp.where(left >= 0, premax[jnp.maximum(left, 0)], -_BIG)
+        stale = jnp.any((tile_hi > edge_hi_t) | (tile_lo < edge_lo_t))
     edge_lo = jnp.broadcast_to(edge_lo_t[:, None, None], (Nt, 1, T))
     edge_hi = jnp.broadcast_to(edge_hi_t[:, None, None], (Nt, 1, T))
     return edge_lo, edge_hi, stale
 
 
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
-               interpret: bool = False, tables=None, jrows=None):
+               interpret: bool = False, tables=None, jrows=None,
+               shard_axis: str | None = None):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
     ``tables=(pidx, act)`` reuses a K-frame broadphase built by
     :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
@@ -274,7 +320,7 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
     granularity)."""
     from .pallas.tiles import run_tiled_frame
 
-    edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg)
+    edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
     Nt, _, T = state["px"].shape
     kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
     if cfg.sleep_velocity > 0.0:
@@ -285,10 +331,23 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
                   dynb=consts["dynb"] * awake_f)
         awake_body = (consts["mov"] > 0) & (consts["act"] > 0) & ~asleep
         any_awake_t = jnp.any(awake_body.reshape(Nt, T), axis=1)
-        t = jnp.arange(Nt)
-        start = jnp.clip(t - 1, 0, Nt - 3)
-        win_any = (any_awake_t[start] | any_awake_t[start + 1]
-                   | any_awake_t[start + 2])
+        if shard_axis is not None:
+            # the liveness window crosses shard edges: gather the [Ntg]
+            # per-tile awake bits (tiny) and index the uniform window
+            aw_g = jax.lax.all_gather(any_awake_t, shard_axis, tiled=True)
+            Ntg = aw_g.shape[0]
+            t = jax.lax.axis_index(shard_axis) * Nt + jnp.arange(Nt)
+
+            def get(i):
+                return jnp.where((i >= 0) & (i <= Ntg - 1),
+                                 aw_g[jnp.clip(i, 0, Ntg - 1)], False)
+
+            win_any = get(t - 1) | get(t) | get(t + 1)
+        else:
+            t = jnp.arange(Nt)
+            start = jnp.clip(t - 1, 0, Nt - 3)
+            win_any = (any_awake_t[start] | any_awake_t[start + 1]
+                       | any_awake_t[start + 2])
         tile_live = jnp.broadcast_to(
             win_any.astype(f32)[:, None, None], (Nt, 1, T))
     else:
@@ -317,7 +376,7 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
         ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
         joint_colors=cfg.max_joint_colors, max_dpos_joint=cfg.max_dpos,
-        interpret=interpret,
+        shard_axis=shard_axis, interpret=interpret,
     )
     consts2 = dict(consts)
     if cfg.sleep_velocity > 0.0:
@@ -445,7 +504,7 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     g = world.gravity if gravity is None else gravity
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     prev = {k: state[k] for k in ("px", "py", "an")}
-    jrows = (_joint_rows(world, body_id, state["px"].shape[0])
+    jrows = (_joint_rows(world.joints, body_id, state["px"].shape[0])
              if world.joints.j > 0 else None)
     new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
                                          interpret=interpret, jrows=jrows)
@@ -456,30 +515,25 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     return new_world, diag
 
 
-def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
-                  interpret: bool = False, with_events: bool = False):
-    """N frames with state kept in tile layout (one sort in, one unsort out).
-
-    Re-sorts every ``cfg.frames_per_broadphase`` frames, or EARLIER whenever
-    the staleness guard fires (some live body's swept AABB could reach x
-    beyond its 3-tile window — computed from actual per-tile extrema, so it
-    is valid however stale the ordering is). Returns
-    ``(final_world, diag)`` with scalar counters: ``slot_overflow`` (HARD:
-    touching candidates truncated at table build), ``solve_overflow``
-    (HARD: a live manifold was compacted out of the per-frame solve slots —
-    raise ``cfg.tile_solve_capacity``), ``margin_dropped`` /
-    ``spec_dropped`` (soft: margin-imminent / swept-speculative candidates
-    deferred to the next rebuild — bounded staleness), ``window_overflow``
-    (residual in-kernel misses — nonzero only for vertical-slab
-    configurations no x-sort can fix), ``forced_resorts``,
-    ``forced_rebuilds``, ``large_overflow``.
-    """
-    g = world.gravity
+def _rollout_core(state, consts, large, body_id, joints, gravity,
+                  *, cfg: SolverConfig, n_frames: int, n_colliders: int,
+                  with_events: bool, interpret: bool,
+                  shard_axis: str | None = None):
+    """The tile-layout rollout build+scan, shared by :func:`tiled_rollout`
+    (whole arrays, ``shard_axis=None``) and :func:`sharded_tiled_rollout`
+    (shard-local arrays inside ``shard_map``; resorts/guards ride
+    all-gathers and window reads ride halo exchanges — see
+    ``pallas.tiles._halo_ext``). Returns ``(state, consts, body_id,
+    prev_last, counters, keys)``; with ``shard_axis`` the counters are
+    psum-replicated and ``joints``/``with_events`` must be absent."""
+    g = gravity
     K = max(cfg.frames_per_broadphase, 1)
-    state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     Cs = -(-cfg.slot_capacity // 8) * 8
     Csol = _solve_cap(cfg)
     gmag = jnp.sqrt(jnp.sum(jnp.asarray(g, f32) ** 2))
+    if shard_axis is not None and (joints is not None or with_events):
+        raise NotImplementedError(
+            "sharded tile rollouts do not support joints or events yet")
 
     ak = "px" if cfg.tile_sort_axis == "x" else "py"
 
@@ -492,7 +546,7 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         body would otherwise inflate its AABB by speed x window and overflow
         its C slots); the guard simply rebuilds sooner — any cap is sound."""
         V = consts["vlx"].shape[1]
-        edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg)
+        edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
         kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
         (pidx, act, count, count_touch, count_close, winover,
          sweep) = build_tile_tables(
@@ -505,7 +559,7 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             # slot pressure (the guard keeps ANY values sound) — tunable per
             # scene via SolverConfig (r3 sweep study in its docstring)
             sweep_floor=cfg.tile_sweep_floor, sweep_cap=cfg.tile_sweep_cap,
-            interpret=interpret)
+            shard_axis=shard_axis, interpret=interpret)
         pos0 = {"px": state["px"], "py": state["py"]}
         bovf = jnp.sum(jnp.maximum(count_touch - Cs, 0))
         bmarg = jnp.sum(jnp.maximum(count_close - Cs, 0))
@@ -514,14 +568,14 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         # per-candidate canonical pair keys are table/sort-derived: compute
         # them HERE (amortized) so per-frame event keys are one `where`
         # (the gathers cost ~3.6 ms/frame at 10k when run per frame)
-        pk = (slot_pair_keys(pidx, body_id, large["cols"], world.colliders.m)
+        pk = (slot_pair_keys(pidx, body_id, large["cols"], n_colliders)
               if with_events else jnp.int32(0))
         return (pidx, act), pos0, sweep, pk, bovf, bmarg, bspec, bwovf
 
     def body(carry, _):
         (state, consts, body_id, tables, pos0, sweep, pkeys, age,
          ovf, sovf, sdrp, marg, spec, wovf, resorts, rebuilds) = carry
-        _, _, stale = _edge_rows(state, consts, cfg)
+        _, _, stale = _edge_rows(state, consts, cfg, shard_axis)
         # scheduled re-sorts are pointless while nothing moves (a fully
         # sleeping world keeps a valid sort); the guard still forces one
         if cfg.sleep_velocity > 0.0:
@@ -529,6 +583,8 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
                       & (consts["invm"] > 0))
             awake = jnp.any((consts["mov"] > 0) & (consts["act"] > 0)
                             & ~asleep)
+            if shard_axis is not None:  # replicate: all shards must agree
+                awake = jax.lax.psum(awake.astype(i32), shard_axis) > 0
         else:
             awake = jnp.bool_(True)
         # positional staleness guard (tables superset invariant): any live
@@ -544,11 +600,15 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
                       + gmag * cfg.dt) * cfg.dt
             livb = (consts["mov"] > 0) & (consts["act"] > 0)
             esc = jnp.any((disp + motion > sweep + 1e-5) & livb)
+            if shard_axis is not None:  # replicate the rebuild decision
+                esc = jax.lax.psum(esc.astype(i32), shard_axis) > 0
         else:
             esc = jnp.bool_(False)
         do_sort = ((age == 0) & awake) | stale
         state, consts, body_id = jax.lax.cond(
-            do_sort, lambda op: _resort(*op, axis_key=ak), lambda op: op,
+            do_sort,
+            lambda op: _resort(*op, axis_key=ak, shard_axis=shard_axis),
+            lambda op: op,
             (state, consts, body_id))
         do = do_sort | esc
         tables, pos0, sweep, pkeys, bovf, bmarg, bspec, bwovf = jax.lax.cond(
@@ -563,13 +623,13 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         prev = {k: state[k] for k in ("px", "py", "an")}
         # joint endpoint rows track the current sort permutation; the
         # scatter+gathers are [Mp]+[J]-sized — cheap to refresh per frame
-        jrows = (_joint_rows(world, body_id, state["px"].shape[0])
-                 if world.joints.j > 0 else None)
+        jrows = (_joint_rows(joints, body_id, state["px"].shape[0])
+                 if joints is not None else None)
 
         def live_frame(op):
             return _run_frame(op[0], op[1], large, cfg, g,
                               interpret=interpret, tables=op[2],
-                              jrows=jrows)
+                              jrows=jrows, shard_axis=shard_axis)
 
         def skip_frame(op):
             # fully-asleep world: every tile would skip anyway, but the
@@ -623,12 +683,120 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     else:
         prevs, keys = ys, None
     prev_last = jax.tree.map(lambda x: x[-1], prevs)
+    counters = dict(slot_overflow=ovf, solve_overflow=sovf,
+                    solve_dropped=sdrp, margin_dropped=marg,
+                    spec_dropped=spec, window_overflow=wovf,
+                    forced_resorts=resorts, forced_rebuilds=rebuilds)
+    if shard_axis is not None:
+        # per-shard maxima/sums -> one replicated scalar per counter (the
+        # resort/rebuild counts are replicated already; psum would scale
+        # them by the shard count, so they pass through)
+        counters = {k: (v if k in ("forced_resorts", "forced_rebuilds")
+                        else jax.lax.psum(v, shard_axis))
+                    for k, v in counters.items()}
+    return state, consts, body_id, prev_last, counters, keys
+
+
+def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
+                  interpret: bool = False, with_events: bool = False):
+    """N frames with state kept in tile layout (one sort in, one unsort out).
+
+    Re-sorts every ``cfg.frames_per_broadphase`` frames, or EARLIER whenever
+    the staleness guard fires (some live body's swept AABB could reach x
+    beyond its 3-tile window — computed from actual per-tile extrema, so it
+    is valid however stale the ordering is). Returns
+    ``(final_world, diag)`` with scalar counters: ``slot_overflow`` (HARD:
+    touching candidates truncated at table build), ``solve_overflow``
+    (HARD: a live manifold was compacted out of the per-frame solve slots —
+    raise ``cfg.tile_solve_capacity``), ``margin_dropped`` /
+    ``spec_dropped`` (soft: margin-imminent / swept-speculative candidates
+    deferred to the next rebuild — bounded staleness), ``window_overflow``
+    (residual in-kernel misses — nonzero only for vertical-slab
+    configurations no x-sort can fix), ``forced_resorts``,
+    ``forced_rebuilds``, ``large_overflow``.
+    """
+    state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
+    joints = world.joints if world.joints.j > 0 else None
+    state, consts, body_id, prev_last, counters, keys = _rollout_core(
+        state, consts, large, body_id, joints, world.gravity,
+        cfg=cfg, n_frames=n_frames, n_colliders=world.colliders.m,
+        with_events=with_events, interpret=interpret)
     final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
-    diag = dict(slot_overflow=ovf, solve_overflow=sovf,
-                solve_dropped=sdrp, margin_dropped=marg,
-                spec_dropped=spec, window_overflow=wovf,
-                forced_resorts=resorts, forced_rebuilds=rebuilds,
-                large_overflow=large_ovf)
+    diag = dict(counters, large_overflow=large_ovf)
     if with_events:
         return final, diag, keys
     return final, diag
+
+
+def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
+                          mesh, axis_name: str = "tiles",
+                          interpret: bool = False):
+    """Tile-layout rollout with the TILE axis sharded over a device mesh —
+    the scale-out path for single worlds too big for one chip (>100k
+    bodies; FUTURE.md's last unsharded axis). Returns ``(final_world,
+    diag)`` with the same counters as :func:`tiled_rollout`.
+
+    How the one cross-tile data dependency is satisfied: every window read
+    (3-tile sort window) comes from a halo-extended local array — one edge
+    tile exchanged each way per array via non-ring ``jax.lax.ppermute``
+    (``pallas.tiles._halo_ext``), per substep for state and correction
+    windows. Boundary tiles of the GLOBAL array see an inert zero pad
+    instead of the single-device clamped window, so the window-completeness
+    guard uses the uniform (t-1, t, t+1) coverage; re-sorts are global
+    (all-gathered sort keys + row gathers, amortized over
+    ``cfg.frames_per_broadphase``), and every resort/rebuild decision is
+    psum-replicated so all shards branch together. Requirements beyond
+    :func:`use_tiled`: no joints, no contact events (follow-ups), and the
+    tile count must divide evenly over the mesh axis.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    if world.joints.j > 0:
+        raise NotImplementedError(
+            "sharded_tiled_rollout does not support joints yet (the joint "
+            "pass gathers global body rows)")
+    state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
+    Nt = state["px"].shape[0]
+    D = mesh.shape[axis_name]
+    if Nt % D != 0:
+        raise ValueError(
+            f"tile count {Nt} does not divide over {D} '{axis_name}' shards"
+            " — pad the world capacity to a multiple of "
+            f"{D} * T ({D * state['px'].shape[2]}) colliders")
+    body_id = body_id.reshape(Nt, -1)  # [Nt, T]: shard rows with the tiles
+
+    core = functools.partial(
+        _rollout_core, cfg=cfg, n_frames=n_frames,
+        n_colliders=world.colliders.m, with_events=False,
+        interpret=interpret, shard_axis=axis_name)
+
+    def run(state_l, consts_l, large_r, body_id_l, gravity_r):
+        st, co, bid, prev, counters, _ = core(
+            state_l, consts_l, large_r, body_id_l.reshape(-1), None,
+            gravity_r)
+        return st, co, bid.reshape(body_id_l.shape), prev, counters
+
+    tile_p = P(axis_name, None, None)
+    state_specs = {k: tile_p for k in state}
+    consts_specs = {k: tile_p for k in consts}
+    large_specs = jax.tree.map(lambda _: P(), large)
+    cnt_spec = dict(slot_overflow=P(), solve_overflow=P(), solve_dropped=P(),
+                    margin_dropped=P(), spec_dropped=P(),
+                    window_overflow=P(), forced_resorts=P(),
+                    forced_rebuilds=P())
+    prev_spec = {k: tile_p for k in ("px", "py", "an")}
+    mapped = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(state_specs, consts_specs, large_specs, P(axis_name, None),
+                  P()),
+        out_specs=(state_specs, consts_specs, P(axis_name, None), prev_spec,
+                   cnt_spec),
+        check_vma=False,
+    )
+    gravity = jnp.asarray(world.gravity, f32)
+    state, consts, body_id, prev_last, counters = mapped(
+        state, consts, large, body_id, gravity)
+    final = _exit_tiles(world, state, consts, prev_last,
+                        body_id.reshape(-1), n_frames)
+    return final, dict(counters, large_overflow=large_ovf)

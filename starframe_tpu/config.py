@@ -113,9 +113,17 @@ class SolverConfig:
     # attached to more joints than this overflows — counted, not silent).
     joint_slot_capacity: int = 4
     # The batched Pallas path assumes every world in a batch shares one
-    # collider->body topology (true for replicate_world / same-built scenes);
-    # set False for heterogeneous batches to force the vmap path.
+    # collider->body topology (true for replicate_world / same-built
+    # scenes) and reduces collider corrections to bodies with one MXU dot
+    # from world 0's topology. Set False for heterogeneous batches (e.g.
+    # domain-randomized compounds): the kernel then uses PER-WORLD owner
+    # tables (parallel.collider_owner_tables) — still the kernel path, at
+    # a small VPU cost for the gather-sum reduction.
     batch_uniform_topology: bool = True
+    # Owner-table capacity for the heterogeneous path: max colliders any
+    # single body may own. A body with more overflows (HARD counter
+    # `owner_overflow` — its extra colliders' corrections would drop).
+    max_colliders_per_body: int = 4
     # Rollouts rebuild the slot-table broadphase every K-th frame (sweeps are
     # inflated to stay a valid candidate superset for K frames — solved
     # contacts are unchanged, only speculative slot pressure rises). 1 =

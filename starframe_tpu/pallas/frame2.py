@@ -36,10 +36,15 @@ true chromatic count by scenes.base.tighten_joint_colors), matching the XLA
 path's colored solve; ``joint_solver='jacobi'`` keeps the averaged-Jacobi
 fallback fused with the contact accumulation.
 
-Batch-uniformity: the collider->body reduction uses world 0's topology for
-the whole block (worlds built by ``replicate_world``/same-shape builders
-satisfy this; ``SolverConfig.batch_uniform_topology=False`` forces the vmap
-path for heterogeneous batches).
+Batch-uniformity: by default the collider->body reduction uses world 0's
+topology for the whole block as one MXU dot (worlds built by
+``replicate_world``/same-shape builders satisfy this).
+``SolverConfig.batch_uniform_topology=False`` switches the reduction to
+PER-WORLD owner tables (``parallel.collider_owner_tables`` — each body's
+collider rows gathered and mask-summed on the VPU, capacity
+``cfg.max_colliders_per_body`` with an ``owner_overflow`` hard counter), so
+heterogeneous batches — e.g. domain-randomized compounds — keep kernel
+speed instead of falling to ``vmap(step)``.
 """
 
 from __future__ import annotations
@@ -78,15 +83,20 @@ def _frame2_kernel(
     cbody_r, vlx_r, vly_r, nverts_r, radius_r, fric_r, rest_r, sensor_r,
     # contact slot tables [Wb, C, M]
     partner_r, slot_act_r,
-    # joint params [Wb, Jp] + joint slots [Wb, JC, N] (when has_joints),
-    # then gravity [Wb, 2] and the output refs
+    # with uniform=False: owner tables [Wb, Kc, N] (bcol i32, bmask f32),
+    # then joint params [Wb, Jp] + joint slots [Wb, JC, N] (when
+    # has_joints), then gravity [Wb, 2] and the output refs
     *rest,
     C: int, JC: int, has_joints: bool, substeps: int, iterations: int,
     h: float, dt: float, margin: float, compliance: float, relaxation: float,
     max_dpos: float, rest_threshold: float, lin_damp: float, ang_damp: float,
     joint_solver: str = "jacobi", n_colors: int = 1,
     max_dpos_joint: float = 1e3, ccd: bool = False, ccd_slop: float = 0.005,
+    uniform: bool = True,
 ):
+    if not uniform:
+        bcol_r, bmask_r = rest[:2]
+        rest = rest[2:]
     if has_joints:
         (jtype_r, jba_r, jbb_r, jaax_r, jaay_r, jabx_r, jaby_r, jrest_r,
          jlo_r, jhi_r, jcomp_r, jdamp_r, jms_r, jmm_r, jcolor_r,
@@ -139,16 +149,42 @@ def _frame2_kernel(
         return acc
 
     # ---- frame constants ----------------------------------------------------
-    # collider->body reduction matrix from world 0's topology (identity when
-    # each body owns one collider — the batched-RL case)
-    cb0 = jnp.swapaxes(cbody[0:1, :], 0, 1)  # [M, 1]
-    oh_bc = (jax.lax.broadcasted_iota(i32, (M, N), 1) == cb0).astype(f32)
+    if uniform:
+        # collider->body reduction matrix from world 0's topology (identity
+        # when each body owns one collider — the batched-RL case); one
+        # [4*Wb, M] x [M, N] dot rides the otherwise-idle MXU
+        cb0 = jnp.swapaxes(cbody[0:1, :], 0, 1)  # [M, 1]
+        oh_bc = (jax.lax.broadcasted_iota(i32, (M, N), 1) == cb0).astype(f32)
 
-    def to_bodies(vals):  # [4, Wb, M] slot-row sums -> [4, Wb, N]
-        flat = vals.reshape(4 * Wb, M)
-        out = jax.lax.dot_general(
-            flat, oh_bc, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-        return out.reshape(4, Wb, N)
+        def col_to_body(x):  # [Wb, M] -> [Wb, N] sum over owned colliders
+            return jax.lax.dot_general(
+                x, oh_bc, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+        def to_bodies(vals):  # [4, Wb, M] slot-row sums -> [4, Wb, N]
+            flat = vals.reshape(4 * Wb, M)
+            out = jax.lax.dot_general(
+                flat, oh_bc, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            return out.reshape(4, Wb, N)
+    else:
+        # PER-WORLD topology (heterogeneous batches, e.g. domain-randomized
+        # compounds): owner tables list each body's collider rows, and the
+        # reduction becomes Kc masked lane gathers per quantity — VPU work
+        # instead of a free MXU dot, so the uniform path stays the default
+        bcol = bcol_r[:]  # [Wb, Kc, N] i32 collider row per (body, k)
+        bmask = bmask_r[:]  # [Wb, Kc, N] f32 0/1 (k < body's collider count)
+        Kc_own = bcol.shape[1]
+
+        def col_to_body(x):  # [Wb, M] -> [Wb, N] per-world owner gather-sum
+            acc = None
+            for k in range(Kc_own):
+                g = lane_gather(x, bcol[:, k, :]) * bmask[:, k, :]
+                acc = g if acc is None else acc + g
+            return acc
+
+        def to_bodies(vals):  # [4, Wb, M] -> [4, Wb, N]
+            return jnp.stack([col_to_body(vals[q]) for q in range(4)])
 
     ca_b, sa_b = jnp.cos(an), jnp.sin(an)
     o_px = lane_gather(px, cbody)
@@ -373,9 +409,7 @@ def _frame2_kernel(
             # bounds max(1 - f), so the clamp is EXACT for single-collider
             # bullets (the projectile case) and conservative (stops earlier,
             # never later) for compound bullets
-            neg = jax.lax.dot_general(
-                1.0 - f_col, oh_bc, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)  # [Wb, N]
+            neg = col_to_body(1.0 - f_col)  # [Wb, N]
             f_body = jnp.clip(1.0 - neg, 0.0, 1.0)
             hit = f_body < 1.0  # where() keeps unclamped bodies bitwise same
             px = jnp.where(hit, px0 + f_body * (px - px0), px)
@@ -541,6 +575,10 @@ def run_frame2(
     joints=None,  # dict of [W, Jp] param arrays + [W, JC, N] slot tables
     gravity=None,  # [W, 2]
     bullet=None,  # [W, N] f32 0/1 (required when ccd=True)
+    owner=None,  # (bcol [W, Kc, N] i32, bmask [W, Kc, N] f32): per-world
+                 # collider-owner tables — heterogeneous-topology batches
+                 # (parallel.collider_owner_tables); None = world 0's
+                 # topology for the whole batch (the uniform default)
     *, C, JC=0, substeps, iterations, h, dt, margin, compliance, relaxation,
     max_dpos, rest_threshold, lin_damp, ang_damp,
     joint_solver: str = "jacobi", n_colors: int = 1,
@@ -553,6 +591,7 @@ def run_frame2(
     M = cbody.shape[1]
     V = vlx.shape[1]
     has_joints = joints is not None
+    uniform = owner is None
     Wb = worlds_per_program or pick_frame_worlds(W, M, C)
     if bullet is None:
         bullet = jnp.zeros_like(invm)
@@ -563,7 +602,7 @@ def run_frame2(
         relaxation=relaxation, max_dpos=max_dpos, rest_threshold=rest_threshold,
         lin_damp=lin_damp, ang_damp=ang_damp, joint_solver=joint_solver,
         n_colors=n_colors, max_dpos_joint=max_dpos_joint,
-        ccd=ccd, ccd_slop=ccd_slop,
+        ccd=ccd, ccd_slop=ccd_slop, uniform=uniform,
     )
 
     def nspec():
@@ -590,6 +629,16 @@ def run_frame2(
         cbody, vlx, vly, nverts, radius, fric, rest, sensor,
         partner, slot_act,
     ]
+    if not uniform:
+        bcol, bmask = owner
+        Kc = bcol.shape[1]
+
+        def ospec():
+            return pl.BlockSpec((Wb, Kc, N), lambda w: (w, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs += [ospec(), ospec()]
+        args += [bcol, bmask]
     if has_joints:
         Jp = joints["jtype"].shape[1]
 

@@ -51,12 +51,15 @@ def frame2_shapes_ok(worlds: World, cfg: SolverConfig, n_shards: int = 1) -> boo
     independent; interpret-mode callers use this directly).
 
     The kernel's collider->body reduction uses world 0's topology for the
-    whole batch — ``cfg.batch_uniform_topology`` is the user's promise that
-    worlds share it (true for ``replicate_world``/same-built scenes). With
-    ``n_shards > 1`` the check applies to the per-device world count a
+    whole batch by default — ``cfg.batch_uniform_topology`` is the user's
+    promise that worlds share it (true for ``replicate_world``/same-built
+    scenes). ``batch_uniform_topology=False`` no longer disqualifies the
+    kernel (r4): heterogeneous batches ride per-world owner tables
+    (:func:`collider_owner_tables`) instead of falling to ``vmap(step)``.
+    With ``n_shards > 1`` the check applies to the per-device world count a
     ``shard_map`` over an ``n_shards``-device mesh would see.
     """
-    if cfg.use_pallas is False or not cfg.batch_uniform_topology:
+    if cfg.use_pallas is False:
         return False
     if cfg.ccd and cfg.manifold_refresh != "frame":
         return False  # step.py raises on this combination anyway
@@ -170,6 +173,45 @@ def frame2_elig(worlds: World, cfg: SolverConfig, interpret: bool = False):
         col["sensor"], body["responds"], body["moves"], interpret=interpret)
 
 
+def collider_owner_tables(worlds: World, cfg: SolverConfig):
+    """Per-world collider-OWNER tables for the heterogeneous-topology kernel
+    path (``cfg.batch_uniform_topology=False``): each body's active collider
+    rows, so the kernel's collider->body reduction can differ per world.
+
+    Returns ``(bcol [W, Kc, N] i32, bmask [W, Kc, N] f32,
+    owner_overflow i32)`` with ``Kc = cfg.max_colliders_per_body``:
+    ``bcol[w, k, n]`` is the k-th collider owned by body ``n`` in world
+    ``w`` (masked by ``bmask``). ``owner_overflow > 0`` is a HARD counter —
+    some body owns more colliders than Kc, and the extras' corrections
+    would be silently dropped; raise ``cfg.max_colliders_per_body``.
+
+    Topology is constant across a rollout (the same invariant
+    :func:`frame2_elig` hoists on), so rollouts compute this once."""
+    from .state import COL_ACTIVE
+
+    kc = cfg.max_colliders_per_body
+    cb = worlds.colliders.body_idx  # [W, M]
+    active = (worlds.colliders.flags & COL_ACTIVE) != 0
+    W, M = cb.shape
+    N = worlds.bodies.n
+    # inactive colliders sort past every body id and never enter a table
+    key = jnp.where(active, cb, N).astype(jnp.int32)
+    order = jnp.argsort(key, axis=-1, stable=True)  # [W, M]
+    skey = jnp.take_along_axis(key, order, axis=-1)
+    ids = jnp.arange(N, dtype=jnp.int32)
+    start = jax.vmap(lambda s: jnp.searchsorted(s, ids))(skey)  # [W, N]
+    end = jax.vmap(lambda s: jnp.searchsorted(s, ids, side="right"))(skey)
+    cnt = end - start
+    pos = start[:, None, :] + jnp.arange(kc, dtype=jnp.int32)[None, :, None]
+    bcol = jnp.take_along_axis(
+        order, jnp.clip(pos, 0, M - 1).reshape(W, -1), axis=-1
+    ).reshape(W, kc, N).astype(jnp.int32)
+    bmask = (jnp.arange(kc)[None, :, None] < cnt[:, None, :]).astype(
+        jnp.float32)
+    owner_overflow = jnp.sum(jnp.maximum(cnt - kc, 0))
+    return bcol, bmask, owner_overflow
+
+
 def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
                   interpret: bool = False, return_budget: bool = False,
                   elig=None):
@@ -209,17 +251,21 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
 
 
 def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
-                tables=None):
+                tables=None, owner=None):
     """One batched frame through the slot kernels. Returns
-    ``(new_worlds, touched [W, C, M], partner [W, C, M], counts,
-    joint_overflow i32)`` — ``counts = (count, count_touch, count_close)``
+    ``(new_worlds, touched [W, C, M], partner [W, C, M], counts, aux)`` —
+    ``counts = (count, count_touch, count_close)``
     [W, M] each: ``max(count_touch) - C`` must be <= 0 for trustworthy
     physics (touching contacts dropped); ``max(count_close) - C > 0`` /
     ``max(count) - C > 0`` only drop margin-imminent / swept-speculative
     candidates (bounded staleness, see build_slot_tables).
-    ``joint_overflow`` is the joint-slot analogue, already reduced because
-    joint topology is frame-static. Pass ``tables`` (from
-    :func:`frame2_tables`) to reuse a broadphase across frames."""
+    ``aux`` is a dict of already-reduced HARD scalar counters:
+    ``joint_overflow`` (joint-slot analogue of count_touch) and
+    ``owner_overflow`` (heterogeneous path only: a body owned more
+    colliders than ``cfg.max_colliders_per_body``). Pass ``tables`` (from
+    :func:`frame2_tables`) to reuse a broadphase across frames, and
+    ``owner`` (from :func:`collider_owner_tables`) to reuse the hoisted
+    owner tables on the ``batch_uniform_topology=False`` path."""
     import dataclasses
 
     from .pallas.frame2 import run_frame2
@@ -230,6 +276,14 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     if tables is None:
         tables = frame2_tables(worlds, cfg, interpret=interpret)
     partner, slot_act, count, count_touch, count_close = tables
+
+    owner_overflow = jnp.int32(0)
+    owner_pass = None
+    if not cfg.batch_uniform_topology:
+        if owner is None:
+            owner = collider_owner_tables(worlds, cfg)
+        bcol, bmask, owner_overflow = owner
+        owner_pass = (bcol, bmask)
 
     joints = None
     JC = 0
@@ -269,7 +323,7 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         body["invm"], body["invi"], body["dyn"], body["kin"],
         col["cbody"], col["vlx"], col["vly"], col["nverts"], col["radius"],
         col["fric"], col["rest"], col["sensor"],
-        partner, slot_act, joints, gravity, body["bullet"],
+        partner, slot_act, joints, gravity, body["bullet"], owner_pass,
         C=C, JC=JC, substeps=cfg.substeps, iterations=cfg.iterations,
         h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
         compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
@@ -316,7 +370,8 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     new_worlds = dataclasses.replace(
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
-    return new_worlds, touched, partner, (count, count_touch, count_close), joint_overflow
+    aux = dict(joint_overflow=joint_overflow, owner_overflow=owner_overflow)
+    return new_worlds, touched, partner, (count, count_touch, count_close), aux
 
 
 def batched_step_events(worlds: World, cfg: SolverConfig,
@@ -332,7 +387,7 @@ def batched_step_events(worlds: World, cfg: SolverConfig,
         "eligible (see frame2_shapes_ok) — use step(with_contacts=True)")
     from .events import touching_keys_from_slots
 
-    w2, touched, partner, (count, count_touch, count_close), jovf = \
+    w2, touched, partner, (count, count_touch, count_close), aux = \
         frame2_step(worlds, cfg, interpret=interpret, tables=tables)
     keys = touching_keys_from_slots(touched, partner, worlds.colliders.m)
     diag = dict(
@@ -340,7 +395,7 @@ def batched_step_events(worlds: World, cfg: SolverConfig,
         margin_dropped=jnp.maximum(
             jnp.max(count_close) - cfg.slot_capacity, 0),
         spec_dropped=jnp.maximum(jnp.max(count) - cfg.slot_capacity, 0),
-        joint_overflow=jovf,
+        **aux,
     )
     return w2, keys, diag
 
@@ -366,7 +421,7 @@ def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int,
     kernel_path = (frame2_shapes_ok(worlds, cfg) if interpret
                    else use_pallas_frame2(worlds, cfg))
     if kernel_path:
-        w2, _, _, (count, count_touch, count_close), jovf = frame2_step(
+        w2, _, _, (count, count_touch, count_close), aux = frame2_step(
             worlds, cfg, interpret=interpret)
         if not with_diag:
             return w2
@@ -375,7 +430,7 @@ def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int,
             slot_overflow=jnp.maximum(jnp.max(count_touch) - C, 0),
             margin_dropped=jnp.maximum(jnp.max(count_close) - C, 0),
             spec_dropped=jnp.maximum(jnp.max(count) - C, 0),
-            joint_overflow=jovf,
+            **aux,
         )
         return w2, diag
     w2, _, d = jax.vmap(lambda w: step(w, cfg, max_pairs))(worlds)
@@ -386,6 +441,7 @@ def batched_step(worlds: World, cfg: SolverConfig, max_pairs: int,
         margin_dropped=jnp.int32(0),
         spec_dropped=jnp.int32(0),
         joint_overflow=jnp.int32(0),
+        owner_overflow=jnp.int32(0),
         cell_overflow=jnp.max(d.cell_overflow),
     )
     return w2, diag
@@ -492,17 +548,21 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         # them; spawn/despawn/flag edits happen between rollouts on host).
         # Any future in-scan flag mutation must rebuild elig in-scan too.
         elig = frame2_elig(worlds, cfg, interpret=interpret)
+        # owner tables hoist on the same topology-constant invariant
+        owner = (collider_owner_tables(worlds, cfg)
+                 if not cfg.batch_uniform_topology else None)
 
         def body(carry, _):
             w, ovf, marg, spec, jovf = carry
             tables = frame2_tables(w, cfg, frames=1, interpret=interpret,
                                    elig=elig)
-            w2, touched, partner, (count, count_touch, count_close), j_ovf = \
-                frame2_step(w, cfg, interpret=interpret, tables=tables)
+            w2, touched, partner, (count, count_touch, count_close), aux = \
+                frame2_step(w, cfg, interpret=interpret, tables=tables,
+                            owner=owner)
             ovf = jnp.maximum(ovf, jnp.max(count_touch) - C)
             marg = jnp.maximum(marg, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
-            jovf = jnp.maximum(jovf, j_ovf)
+            jovf = jnp.maximum(jovf, aux["joint_overflow"])
             return (w2, ovf, marg, spec, jovf), record_k(w2, touched, partner)
 
         neg = jnp.int32(-(2**31))
@@ -512,7 +572,9 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
                     margin_dropped=jnp.maximum(marg, 0),
                     spec_dropped=jnp.maximum(spec, 0),
-                    joint_overflow=jovf, forced_rebuilds=jnp.int32(0))
+                    joint_overflow=jovf, forced_rebuilds=jnp.int32(0),
+                    owner_overflow=(owner[2] if owner is not None
+                                    else jnp.int32(0)))
         return final, traj, diag
 
     if kernel_path:
@@ -521,6 +583,8 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         # hoisted on the same flags-constant-inside-a-rollout invariant as
         # the K=1 path above
         elig = frame2_elig(worlds, cfg, interpret=interpret)
+        owner = (collider_owner_tables(worlds, cfg)
+                 if not cfg.batch_uniform_topology else None)
 
         def build(w):
             # position budget per body: the swept-AABB inflation the tables
@@ -561,12 +625,13 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
                 do, lambda op: build(op[0]),
                 lambda op: (op[1], op[2], op[3]),
                 (w, tables, pos0, sweep))
-            w2, touched, partner, (count, count_touch, count_close), j_ovf \
-                = frame2_step(w, cfg, interpret=interpret, tables=tables)
+            w2, touched, partner, (count, count_touch, count_close), aux \
+                = frame2_step(w, cfg, interpret=interpret, tables=tables,
+                              owner=owner)
             ovf = jnp.maximum(ovf, jnp.max(count_touch) - C)
             marg = jnp.maximum(marg, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
-            jovf = jnp.maximum(jovf, j_ovf)
+            jovf = jnp.maximum(jovf, aux["joint_overflow"])
             rebuilds = rebuilds + (viol & (age != 0)).astype(jnp.int32)
             age = jnp.where(do, 1, age + 1) % K
             return (w2, tables, pos0, sweep, age, ovf, marg, spec, jovf,
@@ -582,7 +647,9 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
                     margin_dropped=jnp.maximum(marg, 0),
                     spec_dropped=jnp.maximum(spec, 0),
-                    joint_overflow=jovf, forced_rebuilds=rebuilds)
+                    joint_overflow=jovf, forced_rebuilds=rebuilds,
+                    owner_overflow=(owner[2] if owner is not None
+                                    else jnp.int32(0)))
         return final, traj, diag
 
     def body(carry, _):
@@ -596,7 +663,8 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
     (final, povf, covf), traj = jax.lax.scan(
         body, (worlds, zero, zero), None, length=n_frames)
     diag = dict(slot_overflow=povf, margin_dropped=zero, spec_dropped=zero,
-                joint_overflow=zero, forced_rebuilds=zero, cell_overflow=covf)
+                joint_overflow=zero, forced_rebuilds=zero, cell_overflow=covf,
+                owner_overflow=zero)
     return final, traj, diag
 
 

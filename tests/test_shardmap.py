@@ -262,7 +262,7 @@ def test_batched_step_with_diag_surfaces_overflow():
     # stepping again from the returned state keeps reporting
     _, diag2 = step_d(w2)
     assert set(diag2) == {"slot_overflow", "margin_dropped", "spec_dropped",
-                          "joint_overflow"}
+                          "joint_overflow", "owner_overflow"}
 
     cfg_ok = SolverConfig(substeps=2, slot_capacity=8)
     _, diag = jax.jit(lambda w: par.batched_step(

@@ -531,9 +531,18 @@ def _compound_scene(n=128, seed=3):
 def test_frame2_heterogeneous_topology_batch():
     """TWO DIFFERENT topologies in ONE kernel batch
     (cfg.batch_uniform_topology=False): world 0 is the iota scene, world 1
-    mixes 3-collider compounds — parity against vmap(step) per world."""
+    mixes 3-collider compounds — parity against each world run SEPARATELY
+    through the uniform-dot kernel (there world 0's topology IS that
+    world's topology, so the MXU-dot reduction is correct per world).
+
+    Why kernel-vs-kernel and not kernel-vs-vmap(step): the only code under
+    test is the owner-table reduction; the uniform kernel is already pinned
+    against the XLA path by test_frame2_matches_xla_path, so parity here is
+    transitive. The two reductions (MXU one-hot dot vs VPU gather-sum) are
+    bitwise identical until first contact, then differ at f32
+    summation-order level (~1e-6) and amplify chaotically in a pile — so
+    the horizon stops a few frames past first contact, not 20."""
     from starframe_tpu.parallel import frame2_shapes_ok
-    from starframe_tpu.step import step
 
     wa, cap = _scene(n=128, seed=0)
     wb, _ = _compound_scene(n=128, seed=3)
@@ -544,12 +553,14 @@ def test_frame2_heterogeneous_topology_batch():
     cfg = SolverConfig(substeps=4, slot_capacity=8, manifold_refresh="frame",
                        batch_uniform_topology=False,
                        max_colliders_per_body=3)
+    cfg_uni = dataclasses.replace(cfg, batch_uniform_topology=True)
     assert frame2_shapes_ok(worlds, cfg)
 
-    # run PAST first ground contact (~13 frames of free fall) so the
-    # per-world owner reduction actually carries contact corrections —
-    # a short run would compare pure gravity integration and prove nothing
-    n_frames = 20
+    # first ground contact happens ~frame 9 of free fall; run a few frames
+    # past it so the per-world owner reduction actually carries contact
+    # corrections — a shorter run would compare pure gravity integration
+    # and prove nothing
+    n_frames = 13
     w_ker = worlds
     any_touch = 0.0
     for _ in range(n_frames):
@@ -560,14 +571,52 @@ def test_frame2_heterogeneous_topology_batch():
         assert int(np.asarray(aux["owner_overflow"])) == 0
     assert any_touch > 0, "scene never made contact — parity run is vacuous"
 
-    w_xla = worlds
-    step_v = jax.jit(jax.vmap(lambda w: step(w, cfg, cap.max_pairs)[0]))
+    for w_idx, w1 in enumerate((wa, wb)):
+        wu = jax.tree.map(lambda a: jnp.stack([a]), w1)
+        for _ in range(n_frames):
+            wu, *_ = frame2_step(wu, cfg_uni, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(w_ker.bodies.pos[w_idx]),
+            np.asarray(wu.bodies.pos[0]), atol=1e-3,
+            err_msg=f"world {w_idx}: owner-table reduction diverged")
+        np.testing.assert_allclose(
+            np.asarray(w_ker.bodies.vel[w_idx]),
+            np.asarray(wu.bodies.vel[0]), atol=5e-2,
+            err_msg=f"world {w_idx}: owner-table reduction diverged")
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu"
+    and "TPU" not in getattr(jax.devices()[0], "device_kind", ""),
+    reason="compiled Mosaic path needs a TPU",
+)
+def test_frame2_heterogeneous_compiled_on_tpu():
+    """The owner-table reduction lowered through Mosaic: compiled
+    heterogeneous batch vs compiled per-world uniform runs (same backend,
+    same horizon/tolerance rationale as the interpret test above)."""
+    wa, _ = _scene(n=128, seed=0)
+    wb, _ = _compound_scene(n=128, seed=3)
+    worlds = jax.tree.map(lambda a, b_: jnp.stack([a, b_]), wa, wb)
+    cfg = SolverConfig(substeps=4, slot_capacity=8, manifold_refresh="frame",
+                       batch_uniform_topology=False,
+                       max_colliders_per_body=3)
+    cfg_uni = dataclasses.replace(cfg, batch_uniform_topology=True)
+
+    n_frames = 13
+    stepk = jax.jit(lambda w: frame2_step(w, cfg)[0])
+    w_ker = worlds
     for _ in range(n_frames):
-        w_xla = step_v(w_xla)
-    np.testing.assert_allclose(np.asarray(w_ker.bodies.pos),
-                               np.asarray(w_xla.bodies.pos), atol=1e-3)
-    np.testing.assert_allclose(np.asarray(w_ker.bodies.vel),
-                               np.asarray(w_xla.bodies.vel), atol=5e-2)
+        w_ker = stepk(w_ker)
+
+    stepu = jax.jit(lambda w: frame2_step(w, cfg_uni)[0])
+    for w_idx, w1 in enumerate((wa, wb)):
+        wu = jax.tree.map(lambda a: jnp.stack([a, a]), w1)
+        for _ in range(n_frames):
+            wu = stepu(wu)
+        np.testing.assert_allclose(
+            np.asarray(w_ker.bodies.pos[w_idx]),
+            np.asarray(wu.bodies.pos[0]), atol=1e-3,
+            err_msg=f"world {w_idx}: compiled owner-table path diverged")
 
 
 def test_owner_tables_and_overflow_counter():

@@ -725,71 +725,161 @@ def _ccd_kernel(
         c_vx = wl(vx0, vx1, vx2, zl)
         c_vy = wl(vy0, vy1, vy2, zl)
         c_om = wl(om0, om1, om2, zl)
-        gx = grav_r[0, 0]
-        gy = grav_r[0, 1]
+        f_o[0] = _ccd_math(
+            c_px, c_py, c_an, c_vx, c_vy, c_om, own,
+            o_dynb[0], o_blt[0], grav_r[0, 0], grav_r[0, 1],
+            pidx_r[:], cc_r[:], c2_r[:], C=C, h=h, ccd_slop=ccd_slop)
 
-        c_ca = jnp.cos(c_an)
-        c_sa = jnp.sin(c_an)
-        own_slice = lambda x: _own_lane_slice(x, own)
-        o_px = own_slice(c_px)
-        o_py = own_slice(c_py)
-        o_an = own_slice(c_an)
-        o_ca = own_slice(c_ca)
-        o_sa = own_slice(c_sa)
-        o_vx = own_slice(c_vx)
-        o_vy = own_slice(c_vy)
-        o_om = own_slice(c_om)
-        dyn = o_dynb[0]
 
-        # unclamped integrated own pose (same derivation as project)
-        opx_t = o_px + (o_vx + gx * h * dyn) * h
-        opy_t = o_py + (o_vy + gy * h * dyn) * h
-        oa_t = o_an + o_om * h
-        oca_t = jnp.cos(oa_t)
-        osa_t = jnp.sin(oa_t)
+def _ccd_math(c_px, c_py, c_an, c_vx, c_vy, c_om, own,
+              o_dyn, o_bltr, gx, gy, pidx, cc, c2,
+              *, C: int, h: float, ccd_slop: float):
+    """One tile's TOI factors on pre-concatenated candidate rows (same row
+    conventions as :func:`_project_math`). Returns f [1, T] in [0, 1]."""
+    c_ca = jnp.cos(c_an)
+    c_sa = jnp.sin(c_an)
+    own_slice = lambda x: _own_lane_slice(x, own)
+    o_px = own_slice(c_px)
+    o_py = own_slice(c_py)
+    o_an = own_slice(c_an)
+    o_ca = own_slice(c_ca)
+    o_sa = own_slice(c_sa)
+    o_vx = own_slice(c_vx)
+    o_vy = own_slice(c_vy)
+    o_om = own_slice(c_om)
+    dyn = o_dyn
 
-        cc = cc_r[:]
-        c2 = c2_r[:]
-        pidx = pidx_r[:]
-        f_acc = jnp.ones((1, T), f32)
-        for gi in range(C // SG):
-            s = _unpack_group(cc, c2, gi, C)
-            pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
+    # unclamped integrated own pose (same derivation as project)
+    opx_t = o_px + (o_vx + gx * h * dyn) * h
+    opy_t = o_py + (o_vy + gy * h * dyn) * h
+    oa_t = o_an + o_om * h
+    oca_t = jnp.cos(oa_t)
+    osa_t = jnp.sin(oa_t)
 
-            def g(src):
-                return _lg8(src, pc)
+    f_acc = jnp.ones((1, T), f32)
+    for gi in range(C // SG):
+        s = _unpack_group(cc, c2, gi, C)
+        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
 
-            p_dyn = s.p_dyn
-            p_px0 = g(c_px)
-            p_py0 = g(c_py)
-            p_an0 = g(c_an)
-            pose0 = PairPose(o_px, o_py, o_ca, o_sa,
-                             p_px0, p_py0, g(c_ca), g(c_sa))
-            p_px_t = p_px0 + (g(c_vx) + gx * h * p_dyn) * h
-            p_py_t = p_py0 + (g(c_vy) + gy * h * p_dyn) * h
-            p_an_t = p_an0 + g(c_om) * h
-            pose1 = PairPose(opx_t, opy_t, oca_t, osa_t,
-                             p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
-            nx0, ny0, *_, wax0, way0, wbx0, wby0 = _pair_kinematics(s.cb,
-                                                                    pose0)
-            _, _, _, _, _, _, wax1, way1, wbx1, wby1 = _pair_kinematics(
-                s.cb, pose1)
-            nxp = nx0[None]
-            nyp = ny0[None]
-            c0 = (wbx0 - wax0) * nxp + (wby0 - way0) * nyp  # [2, SG, T]
-            c1 = (wbx1 - wax1) * nxp + (wby1 - way1) * nyp
-            advance = c0 - c1
-            allowed = jnp.maximum(c0, 0.0) + ccd_slop
-            need = (advance > allowed) & (s.cb.solve_mask > 0.0)
-            f_pt = jnp.where(need, allowed / jnp.maximum(advance, 1e-10), 1.0)
-            f_acc = jnp.minimum(
-                f_acc, jnp.min(jnp.min(f_pt, axis=0), axis=0, keepdims=True))
-        f_o[0] = jnp.where(o_blt[0] > 0, f_acc, 1.0)
+        def g(src):
+            return _lg8(src, pc)
+
+        p_dyn = s.p_dyn
+        p_px0 = g(c_px)
+        p_py0 = g(c_py)
+        p_an0 = g(c_an)
+        pose0 = PairPose(o_px, o_py, o_ca, o_sa,
+                         p_px0, p_py0, g(c_ca), g(c_sa))
+        p_px_t = p_px0 + (g(c_vx) + gx * h * p_dyn) * h
+        p_py_t = p_py0 + (g(c_vy) + gy * h * p_dyn) * h
+        p_an_t = p_an0 + g(c_om) * h
+        pose1 = PairPose(opx_t, opy_t, oca_t, osa_t,
+                         p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
+        nx0, ny0, *_, wax0, way0, wbx0, wby0 = _pair_kinematics(s.cb,
+                                                                pose0)
+        _, _, _, _, _, _, wax1, way1, wbx1, wby1 = _pair_kinematics(
+            s.cb, pose1)
+        nxp = nx0[None]
+        nyp = ny0[None]
+        c0 = (wbx0 - wax0) * nxp + (wby0 - way0) * nyp  # [2, SG, T]
+        c1 = (wbx1 - wax1) * nxp + (wby1 - way1) * nyp
+        advance = c0 - c1
+        allowed = jnp.maximum(c0, 0.0) + ccd_slop
+        need = (advance > allowed) & (s.cb.solve_mask > 0.0)
+        f_pt = jnp.where(need, allowed / jnp.maximum(advance, 1e-10), 1.0)
+        f_acc = jnp.minimum(
+            f_acc, jnp.min(jnp.min(f_pt, axis=0), axis=0, keepdims=True))
+    return jnp.where(o_bltr > 0, f_acc, 1.0)
 
 
 # ===========================================================================
 # kernel 2: project (one substep's integrate + XPBD position projection)
+#
+# The per-tile math lives in _project_math/_apply_math/_ccd_math, shared
+# verbatim between the per-substep kernels (the sharded halo path) and the
+# whole-frame megakernel (_mega_kernel — the single-dispatch fast path):
+# both produce bitwise-identical substeps because they run the same ops in
+# the same order on the same [1, 3T+L] candidate rows.
 # ===========================================================================
+
+
+def _project_math(c_px, c_py, c_an, c_vx, c_vy, c_om, c_f, own,
+                  o_invm, o_invi, o_dyn, gx, gy, pidx, cc, c2,
+                  *, C: int, h: float, compliance: float, ccd: bool):
+    """One tile's project phase on pre-concatenated candidate rows.
+
+    c_*: [1, 3T+L] window+large rows; c_f: TOI rows or None; own in {0,1,2};
+    o_*: [1, T] own-tile consts; pidx [1, C, T], cc [1, KC*C, T],
+    c2 [1, K2*C, T]. Returns (accs [4, 1, T], lam [1, 2C, T],
+    touch_new [1, C, T])."""
+    c_ca = jnp.cos(c_an)
+    c_sa = jnp.sin(c_an)
+    own_slice = lambda x: _own_lane_slice(x, own)
+    o_px = own_slice(c_px)
+    o_py = own_slice(c_py)
+    o_an = own_slice(c_an)
+    o_ca = own_slice(c_ca)
+    o_sa = own_slice(c_sa)
+    o_vx = own_slice(c_vx)
+    o_vy = own_slice(c_vy)
+    o_om = own_slice(c_om)
+    dyn = o_dyn
+    o_f = own_slice(c_f) if ccd else 1.0
+
+    # integrated own state (v_tilde + pose), derived algebraically;
+    # with ccd the POSE advance is TOI-clamped (velocities are not —
+    # restitution must see the true approach speed, cfg.ccd docs)
+    ovx_t = o_vx + gx * h * dyn
+    ovy_t = o_vy + gy * h * dyn
+    opx_t = o_px + ovx_t * h * o_f
+    opy_t = o_py + ovy_t * h * o_f
+    oa_t = o_an + o_om * h * o_f
+
+    # slot-group loop: 8 slots per iteration as [SG, T] — own-side [1, T]
+    # rows broadcast against the group inside the solver math
+    oca_t = jnp.cos(oa_t)
+    osa_t = jnp.sin(oa_t)
+    acc = None
+    lam_groups = []  # per group [2, SG, T]
+    touch_groups = []
+    for gi in range(C // SG):
+        s = _unpack_group(cc, c2, gi, C)
+        s.pd.inv_mass_a = o_invm
+        s.pd.inv_inertia_a = o_invi
+        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
+
+        def g(src):
+            return _lg8(src, pc)
+
+        p_dyn = s.p_dyn  # partner gravity response (stored at setup)
+        p_px0 = g(c_px)
+        p_py0 = g(c_py)
+        p_an0 = g(c_an)
+        p_vx0 = g(c_vx)
+        p_vy0 = g(c_vy)
+        p_om0 = g(c_om)
+        pose0 = PairPose(o_px, o_py, o_ca, o_sa,
+                         p_px0, p_py0, g(c_ca), g(c_sa))
+        p_f = g(c_f) if ccd else 1.0
+        pvx_t = p_vx0 + gx * h * p_dyn
+        pvy_t = p_vy0 + gy * h * p_dyn
+        p_px_t = p_px0 + pvx_t * h * p_f
+        p_py_t = p_py0 + pvy_t * h * p_f
+        p_an_t = p_an0 + p_om0 * h * p_f
+        pose = PairPose(opx_t, opy_t, oca_t, osa_t,
+                        p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
+        vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
+                                            compliance)  # [4, SG, T]
+        acc = vals_a if acc is None else acc + vals_a
+        lam_groups.append(lam_i)
+        touch_groups.append(
+            jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
+
+    accs = jnp.sum(acc, axis=1, keepdims=True)  # slot-axis reduce -> [4, 1, T]
+    # lam layout: row pt*C + slot (point-major, group slices 8-aligned)
+    lam = jnp.concatenate(lam_groups, axis=1).reshape(2 * C, T)[None]
+    touch_new = jnp.concatenate(touch_groups, axis=0)[None]
+    return accs, lam, touch_new
 
 
 def _project_kernel(
@@ -833,90 +923,19 @@ def _project_kernel(
         c_vx = wl(vx0, vx1, vx2, zl)
         c_vy = wl(vy0, vy1, vy2, zl)
         c_om = wl(om0, om1, om2, zl)
-        gx = grav_r[0, 0]
-        gy = grav_r[0, 1]
+        c_f = wl(f0w, f1w, f2w, jnp.ones_like(l_px[:])) if ccd else None
 
-        c_ca = jnp.cos(c_an)
-        c_sa = jnp.sin(c_an)
-        own_slice = lambda x: _own_lane_slice(x, own)
-        o_px = own_slice(c_px)
-        o_py = own_slice(c_py)
-        o_an = own_slice(c_an)
-        o_ca = own_slice(c_ca)
-        o_sa = own_slice(c_sa)
-        o_vx = own_slice(c_vx)
-        o_vy = own_slice(c_vy)
-        o_om = own_slice(c_om)
-        dyn = o_dynb[0]
-        if ccd:  # TOI advance factors: own + per-candidate (large: f = 1)
-            c_f = wl(f0w, f1w, f2w, jnp.ones_like(l_px[:]))
-            o_f = own_slice(c_f)
-        else:
-            c_f = None
-            o_f = 1.0
-
-        cc = cc_r[:]
-        c2 = c2_r[:]
-        pidx = pidx_r[:]
-
-        # integrated own state (v_tilde + pose), derived algebraically;
-        # with ccd the POSE advance is TOI-clamped (velocities are not —
-        # restitution must see the true approach speed, cfg.ccd docs)
-        ovx_t = o_vx + gx * h * dyn
-        ovy_t = o_vy + gy * h * dyn
-        opx_t = o_px + ovx_t * h * o_f
-        opy_t = o_py + ovy_t * h * o_f
-        oa_t = o_an + o_om * h * o_f
-
-        # slot-group loop: 8 slots per iteration as [SG, T] — own-side [1, T]
-        # rows broadcast against the group inside the solver math
-        oca_t = jnp.cos(oa_t)
-        osa_t = jnp.sin(oa_t)
-        acc = None
-        lam_groups = []  # per group [2, SG, T]
-        touch_groups = []
-        for gi in range(C // SG):
-            s = _unpack_group(cc, c2, gi, C)
-            s.pd.inv_mass_a = o_invm[0]
-            s.pd.inv_inertia_a = o_invi[0]
-            pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
-
-            def g(src):
-                return _lg8(src, pc)
-
-            p_dyn = s.p_dyn  # partner gravity response (stored at setup)
-            p_px0 = g(c_px)
-            p_py0 = g(c_py)
-            p_an0 = g(c_an)
-            p_vx0 = g(c_vx)
-            p_vy0 = g(c_vy)
-            p_om0 = g(c_om)
-            pose0 = PairPose(o_px, o_py, o_ca, o_sa,
-                             p_px0, p_py0, g(c_ca), g(c_sa))
-            p_f = g(c_f) if ccd else 1.0
-            pvx_t = p_vx0 + gx * h * p_dyn
-            pvy_t = p_vy0 + gy * h * p_dyn
-            p_px_t = p_px0 + pvx_t * h * p_f
-            p_py_t = p_py0 + pvy_t * h * p_f
-            p_an_t = p_an0 + p_om0 * h * p_f
-            pose = PairPose(opx_t, opy_t, oca_t, osa_t,
-                            p_px_t, p_py_t, jnp.cos(p_an_t), jnp.sin(p_an_t))
-            vals_a, _, lam_i = solve_contacts_b(pose, pose0, s.pd, s.cb, h,
-                                                compliance)  # [4, SG, T]
-            acc = vals_a if acc is None else acc + vals_a
-            lam_groups.append(lam_i)
-            touch_groups.append(
-                jnp.max((lam_i > 0.0).astype(f32) * s.cb.pmask, axis=0))
-
-        accs = jnp.sum(acc, axis=1, keepdims=True)  # slot-axis reduce -> [4, 1, T]
+        accs, lam, touch_new = _project_math(
+            c_px, c_py, c_an, c_vx, c_vy, c_om, c_f, own,
+            o_invm[0], o_invi[0], o_dynb[0],
+            grav_r[0, 0], grav_r[0, 1], pidx_r[:], cc_r[:], c2_r[:],
+            C=C, h=h, compliance=compliance, ccd=ccd)
         dxx_o[0] = accs[0]
         dxy_o[0] = accs[1]
         dth_o[0] = accs[2]
         cnt_o[0] = accs[3]
-        # lam layout: row pt*C + slot (point-major, group slices 8-aligned)
-        lam_o[:] = jnp.concatenate(lam_groups, axis=1).reshape(2 * C, T)[None]
-        touch_o[:] = jnp.maximum(
-            touch_r[:], jnp.concatenate(touch_groups, axis=0)[None])
+        lam_o[:] = lam
+        touch_o[:] = jnp.maximum(touch_r[:], touch_new)
 
 
 # ===========================================================================
@@ -977,114 +996,382 @@ def _apply_kernel(
         c_dxy = wl(dxy0, dxy1, dxy2, zl)
         c_dth = wl(dth0, dth1, dth2, zl)
         c_cnt = wl(cnt0, cnt1, cnt2, zl)
-        gx = grav_r[0, 0]
-        gy = grav_r[0, 1]
+        c_f = wl(f0w, f1w, f2w, jnp.ones_like(l_px[:])) if ccd else None
 
-        # applied (count-normalized) deltas for EVERY candidate, derived the same
-        # way the own tile applies them — this is how partner post-apply state is
-        # known without cross-program communication
-        c_scale = relaxation / jnp.maximum(c_cnt, 1.0)
-        c_ddx = jnp.clip(c_dxx * c_scale, -max_dpos, max_dpos)
-        c_ddy = jnp.clip(c_dxy * c_scale, -max_dpos, max_dpos)
-        c_dda = jnp.clip(c_dth * c_scale, -max_dpos, max_dpos)
-
-        own_slice = lambda x: _own_lane_slice(x, own)
-        dyn = o_dynb[0]
-        kin = o_kin[0]
-        if ccd:
-            c_f = wl(f0w, f1w, f2w, jnp.ones_like(l_px[:]))
-            o_f = own_slice(c_f)
-        else:
-            c_f = None
-            o_f = 1.0
-
-        # integrate own (same derivation as project; ccd clamps the pose
-        # advance only — the velocity reconstruction below keeps full speed)
-        o_vx = own_slice(c_vx)
-        o_vy = own_slice(c_vy)
-        o_om = own_slice(c_om)
-        ovx_t = o_vx + gx * h * dyn
-        ovy_t = o_vy + gy * h * dyn
-        opx_t = own_slice(c_px) + ovx_t * h * o_f
-        opy_t = own_slice(c_py) + ovy_t * h * o_f
-        oa_t = own_slice(c_an) + o_om * h * o_f
-        o_ddx = own_slice(c_ddx)
-        o_ddy = own_slice(c_ddy)
-        o_dda = own_slice(c_dda)
-        npx = opx_t + o_ddx
-        npy = opy_t + o_ddy
-        nan = oa_t + o_dda
-
-        # velocity reconstruction
-        nk = 1.0 - kin
-        nvx = kin * ovx_t + nk * (ovx_t + o_ddx / h)
-        nvy = kin * ovy_t + nk * (ovy_t + o_ddy / h)
-        nom = kin * o_om + nk * (o_om + o_dda / h)
-
-        cc = cc_r[:]
-        c2 = c2_r[:]
-        pidx = pidx_r[:]
-        lam = lam_r[:]
-        o_can = jnp.cos(nan)
-        o_san = jnp.sin(nan)
-
-        accv = None
-        for gi in range(C // SG):
-            s = _unpack_group(cc, c2, gi, C)
-            s.pd.inv_mass_a = o_invm[0]
-            s.pd.inv_inertia_a = o_invi[0]
-            pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
-
-            def g(src):
-                return _lg8(src, pc)
-
-            p_dyn = s.p_dyn
-            p_f = g(c_f) if ccd else 1.0
-            p_vx0 = g(c_vx)
-            p_vy0 = g(c_vy)
-            p_om0 = g(c_om)
-            pvx_t = p_vx0 + gx * h * p_dyn
-            pvy_t = p_vy0 + gy * h * p_dyn
-            p_ddx = g(c_ddx)
-            p_ddy = g(c_ddy)
-            p_dda = g(c_dda)
-            p_px_n = g(c_px) + pvx_t * h * p_f + p_ddx
-            p_py_n = g(c_py) + pvy_t * h * p_f + p_ddy
-            p_an_n = g(c_an) + p_om0 * h * p_f + p_dda
-            # partner velocity reconstruction mirrors the partner's own apply —
-            # kinematic partners keep velocity (their ddx is 0 anyway)
-            p_nvx = pvx_t + p_ddx / h
-            p_nvy = pvy_t + p_ddy / h
-            p_nom = p_om0 + p_dda / h
-
-            pose_v = PairPose(npx, npy, o_can, o_san,
-                              p_px_n, p_py_n, jnp.cos(p_an_n), jnp.sin(p_an_n))
-            pvel = PairVel(nvx, nvy, nom, p_nvx, p_nvy, p_nom)
-            pvel0 = PairVel(ovx_t, ovy_t, o_om, pvx_t, pvy_t, p_om0)
-            lo = gi * SG
-            lam_c = jnp.stack([lam[0, lo:lo + SG],
-                               lam[0, C + lo:C + lo + SG]])  # [2, SG, T]
-            cv_a, _ = velocity_contacts_b(pose_v, pvel, pvel0, s.pd, s.cb,
-                                          lam_c, h, rest_threshold)
-            accv = cv_a if accv is None else accv + cv_a
-
-        accv = jnp.sum(accv, axis=1, keepdims=True)  # slot-axis reduce
-        cntv = jnp.maximum(accv[3], 1.0)
-        nvx = nvx + accv[0] / cntv
-        nvy = nvy + accv[1] / cntv
-        nom = nom + accv[2] / cntv
-        if lin_damp > 0.0:
-            sd = 1.0 / (1.0 + h * lin_damp)
-            nvx = nvx * sd
-            nvy = nvy * sd
-        if ang_damp > 0.0:
-            nom = nom * (1.0 / (1.0 + h * ang_damp))
+        npx, npy, nan, nvx, nvy, nom = _apply_math(
+            c_px, c_py, c_an, c_vx, c_vy, c_om,
+            c_dxx, c_dxy, c_dth, c_cnt, c_f, own,
+            o_invm[0], o_invi[0], o_dynb[0], o_kin[0],
+            grav_r[0, 0], grav_r[0, 1], pidx_r[:], cc_r[:], c2_r[:], lam_r[:],
+            C=C, h=h, relaxation=relaxation, max_dpos=max_dpos,
+            rest_threshold=rest_threshold, lin_damp=lin_damp,
+            ang_damp=ang_damp, ccd=ccd)
         npx_o[0] = npx
         npy_o[0] = npy
         nan_o[0] = nan
         nvx_o[0] = nvx
         nvy_o[0] = nvy
         nom_o[0] = nom
+
+
+def _apply_math(c_px, c_py, c_an, c_vx, c_vy, c_om,
+                c_dxx, c_dxy, c_dth, c_cnt, c_f, own,
+                o_invm, o_invi, o_dyn, o_kinr, gx, gy, pidx, cc, c2, lam,
+                *, C: int, h: float, relaxation: float, max_dpos: float,
+                rest_threshold: float, lin_damp: float, ang_damp: float,
+                ccd: bool):
+    """One tile's apply + velocity pass on pre-concatenated candidate rows
+    (same row conventions as :func:`_project_math`; c_d* are the correction
+    windows, lam [1, 2C, T]). Returns (npx, npy, nan, nvx, nvy, nom),
+    each [1, T]."""
+    # applied (count-normalized) deltas for EVERY candidate, derived the same
+    # way the own tile applies them — this is how partner post-apply state is
+    # known without cross-program communication
+    c_scale = relaxation / jnp.maximum(c_cnt, 1.0)
+    c_ddx = jnp.clip(c_dxx * c_scale, -max_dpos, max_dpos)
+    c_ddy = jnp.clip(c_dxy * c_scale, -max_dpos, max_dpos)
+    c_dda = jnp.clip(c_dth * c_scale, -max_dpos, max_dpos)
+
+    own_slice = lambda x: _own_lane_slice(x, own)
+    dyn = o_dyn
+    kin = o_kinr
+    o_f = own_slice(c_f) if ccd else 1.0
+
+    # integrate own (same derivation as project; ccd clamps the pose
+    # advance only — the velocity reconstruction below keeps full speed)
+    o_vx = own_slice(c_vx)
+    o_vy = own_slice(c_vy)
+    o_om = own_slice(c_om)
+    ovx_t = o_vx + gx * h * dyn
+    ovy_t = o_vy + gy * h * dyn
+    opx_t = own_slice(c_px) + ovx_t * h * o_f
+    opy_t = own_slice(c_py) + ovy_t * h * o_f
+    oa_t = own_slice(c_an) + o_om * h * o_f
+    o_ddx = own_slice(c_ddx)
+    o_ddy = own_slice(c_ddy)
+    o_dda = own_slice(c_dda)
+    npx = opx_t + o_ddx
+    npy = opy_t + o_ddy
+    nan = oa_t + o_dda
+
+    # velocity reconstruction
+    nk = 1.0 - kin
+    nvx = kin * ovx_t + nk * (ovx_t + o_ddx / h)
+    nvy = kin * ovy_t + nk * (ovy_t + o_ddy / h)
+    nom = kin * o_om + nk * (o_om + o_dda / h)
+
+    o_can = jnp.cos(nan)
+    o_san = jnp.sin(nan)
+
+    accv = None
+    for gi in range(C // SG):
+        s = _unpack_group(cc, c2, gi, C)
+        s.pd.inv_mass_a = o_invm
+        s.pd.inv_inertia_a = o_invi
+        pc = pidx[0, gi * SG:(gi + 1) * SG]  # [SG, T]
+
+        def g(src):
+            return _lg8(src, pc)
+
+        p_dyn = s.p_dyn
+        p_f = g(c_f) if ccd else 1.0
+        p_vx0 = g(c_vx)
+        p_vy0 = g(c_vy)
+        p_om0 = g(c_om)
+        pvx_t = p_vx0 + gx * h * p_dyn
+        pvy_t = p_vy0 + gy * h * p_dyn
+        p_ddx = g(c_ddx)
+        p_ddy = g(c_ddy)
+        p_dda = g(c_dda)
+        p_px_n = g(c_px) + pvx_t * h * p_f + p_ddx
+        p_py_n = g(c_py) + pvy_t * h * p_f + p_ddy
+        p_an_n = g(c_an) + p_om0 * h * p_f + p_dda
+        # partner velocity reconstruction mirrors the partner's own apply —
+        # kinematic partners keep velocity (their ddx is 0 anyway)
+        p_nvx = pvx_t + p_ddx / h
+        p_nvy = pvy_t + p_ddy / h
+        p_nom = p_om0 + p_dda / h
+
+        pose_v = PairPose(npx, npy, o_can, o_san,
+                          p_px_n, p_py_n, jnp.cos(p_an_n), jnp.sin(p_an_n))
+        pvel = PairVel(nvx, nvy, nom, p_nvx, p_nvy, p_nom)
+        pvel0 = PairVel(ovx_t, ovy_t, o_om, pvx_t, pvy_t, p_om0)
+        lo = gi * SG
+        lam_c = jnp.stack([lam[0, lo:lo + SG],
+                           lam[0, C + lo:C + lo + SG]])  # [2, SG, T]
+        cv_a, _ = velocity_contacts_b(pose_v, pvel, pvel0, s.pd, s.cb,
+                                      lam_c, h, rest_threshold)
+        accv = cv_a if accv is None else accv + cv_a
+
+    accv = jnp.sum(accv, axis=1, keepdims=True)  # slot-axis reduce
+    cntv = jnp.maximum(accv[3], 1.0)
+    nvx = nvx + accv[0] / cntv
+    nvy = nvy + accv[1] / cntv
+    nom = nom + accv[2] / cntv
+    if lin_damp > 0.0:
+        sd = 1.0 / (1.0 + h * lin_damp)
+        nvx = nvx * sd
+        nvy = nvy * sd
+    if ang_damp > 0.0:
+        nom = nom * (1.0 / (1.0 + h * ang_damp))
+    return npx, npy, nan, nvx, nvy, nom
+
+
+# ===========================================================================
+# whole-frame megakernel: ALL substeps in ONE pallas_call.
+#
+# The r4 profile (PROFILE.md round-4 addendum) put the whole 1.44 ms pile
+# frame in the 10x per-substep project/apply kernel PAIR — i.e. in dispatch
+# overhead plus re-streaming the frame-constant cc/c2 solve tables and the
+# state/correction windows through HBM twenty times per frame (~150 MB).
+# This kernel runs the substep loop as the leading Pallas grid dimension
+# instead: grid (substeps, phases, n_tiles), with the tile state double-
+# buffered in VMEM scratch, the correction windows + lambdas in scratch,
+# and the solve tables resident in VMEM for the whole frame. Sequential
+# TPU grid semantics give the exact same phase ordering as the per-substep
+# pallas_calls (project over all tiles, then apply over all tiles), and the
+# per-tile math is the SAME _project_math/_apply_math/_ccd_math code — so
+# trajectories are bitwise-equal to the per-substep path (pinned by
+# tests/test_tiles.py::test_mega_matches_per_substep).
+#
+# Scratch state is stored [Nt, SG, T] (each tile's [1, T] row replicated to
+# a full 8-sublane tile): leading-dim dynamic indexing is then a pure
+# tile-aligned address offset (no sublane rotates), and the window rows the
+# solver reads are row 0 slices. Not usable when the tile axis is sharded
+# (halo exchanges between substeps are XLA collectives — the per-substep
+# kernels remain that path) or with joints (the XLA joint pass interleaves
+# with substeps; see run_tiled_frame).
+# ===========================================================================
+
+
+def _mega_kernel(
+    # resident inputs
+    px_i, py_i, an_i, vx_i, vy_i, om_i,  # [Nt, 1, T] initial state
+    o_invm_r, o_invi_r, o_dynb_r, o_kin_r,  # [Nt, 1, T]
+    l_px, l_py, l_an,  # [1, L]
+    pidx_r, cc_r, c2_r,  # [Nt, C, T] i32 / [Nt, KC*C, T] / [Nt, K2*C, T]
+    grav_r, tile_live_r,  # [1, 2] / [Nt, 1, T]
+    *rest,
+    C: int, h: float, substeps: int, compliance: float, relaxation: float,
+    max_dpos: float, rest_threshold: float, lin_damp: float, ang_damp: float,
+    n_tiles: int, ccd: bool, ccd_slop: float,
+):
+    if ccd:
+        (o_blt_r, npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o, touch_o,
+         *scr) = rest
+        (ax, ay, aa, avx, avy, aom, bx, by, ba, bvx, bvy, bom,
+         cdxx, cdxy, cdth, ccnt, lam_s, f_s) = scr
+    else:
+        npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o, touch_o, *scr = rest
+        (ax, ay, aa, avx, avy, aom, bx, by, ba, bvx, bvy, bom,
+         cdxx, cdxy, cdth, ccnt, lam_s) = scr
+        o_blt_r = f_s = None
+    st_a = (ax, ay, aa, avx, avy, aom)
+    st_b = (bx, by, ba, bvx, bvy, bom)
+    outs = (npx_o, npy_o, nan_o, nvx_o, nvy_o, nom_o)
+    ins = (px_i, py_i, an_i, vx_i, vy_i, om_i)
+    corr = (cdxx, cdxy, cdth, ccnt)
+
+    s = pl.program_id(0)
+    ph = pl.program_id(1)
+    t = pl.program_id(2)
+    start = jnp.maximum(jnp.minimum(t - 1, n_tiles - WIN), 0)
+    own = t - start
+    even = (s % 2) == 0
+    last = s == substeps - 1
+    ph_proj = 1 if ccd else 0
+    ph_apply = 2 if ccd else 1
+    live = jnp.max(tile_live_r[pl.ds(t, 1)]) > 0.0
+
+    # one-time: materialize the initial state into buffer A, zero the touch
+    # accumulator (outputs with constant index maps stay VMEM-resident for
+    # the whole grid, so in-place accumulation is free)
+    @pl.when((s == 0) & (ph == 0) & (t == 0))
+    def _init():
+        for src, dst in zip(ins, st_a):
+            dst[:] = jnp.broadcast_to(src[:], (n_tiles, SG, T))
+        touch_o[:] = jnp.zeros_like(touch_o)
+
+    def wrow(buf, i):  # [1, T] row of tile i (row 0 of the replicated tile)
+        return buf[pl.ds(i, 1), 0:1, :][0]
+
+    def cwin(buf, lg):  # [1, WIN*T + L] candidate row
+        return jnp.concatenate(
+            [wrow(buf, start), wrow(buf, start + 1), wrow(buf, start + 2),
+             lg], axis=-1)
+
+    def own_row(ref):  # [1, T] from a [Nt, 1, T] input
+        return ref[pl.ds(t, 1)][0]
+
+    def wr_rep(buf, val):  # write a [1, T] row replicated to tile t
+        buf[pl.ds(t, 1)] = jnp.broadcast_to(val[None], (1, SG, T))
+
+    zl_c = jnp.zeros((1, L), f32)
+    one_c = jnp.ones((1, L), f32)
+    gx = grav_r[0, 0]
+    gy = grav_r[0, 1]
+
+    def tables():  # loaded lazily inside the phases that use them
+        return pidx_r[pl.ds(t, 1)], cc_r[pl.ds(t, 1)], c2_r[pl.ds(t, 1)]
+
+    def state_rows(src):
+        return (cwin(src[0], l_px[:]), cwin(src[1], l_py[:]),
+                cwin(src[2], l_an[:]), cwin(src[3], zl_c),
+                cwin(src[4], zl_c), cwin(src[5], zl_c))
+
+    if ccd:
+        @pl.when(ph == 0)
+        def _ccd_phase():
+            has_b = jnp.max(o_blt_r[pl.ds(t, 1)]) > 0.0
+
+            def run(src):
+                pidx, cc, c2 = tables()
+                c_px, c_py, c_an, c_vx, c_vy, c_om = state_rows(src)
+                f = _ccd_math(c_px, c_py, c_an, c_vx, c_vy, c_om, own,
+                              own_row(o_dynb_r), own_row(o_blt_r), gx, gy,
+                              pidx, cc, c2, C=C, h=h, ccd_slop=ccd_slop)
+                wr_rep(f_s, f)
+
+            @pl.when(live & has_b & even)
+            def _(): run(st_a)
+
+            @pl.when(live & has_b & jnp.logical_not(even))
+            def _(): run(st_b)
+
+            @pl.when(jnp.logical_not(live & has_b))
+            def _(): wr_rep(f_s, jnp.ones((1, T), f32))
+
+    @pl.when(ph == ph_proj)
+    def _project_phase():
+        def run(src):
+            pidx, cc, c2 = tables()
+            c_px, c_py, c_an, c_vx, c_vy, c_om = state_rows(src)
+            c_f = cwin(f_s, one_c) if ccd else None
+            accs, lam, touch_new = _project_math(
+                c_px, c_py, c_an, c_vx, c_vy, c_om, c_f, own,
+                own_row(o_invm_r), own_row(o_invi_r), own_row(o_dynb_r),
+                gx, gy, pidx, cc, c2,
+                C=C, h=h, compliance=compliance, ccd=ccd)
+            for k in range(4):
+                wr_rep(corr[k], accs[k])
+            lam_s[pl.ds(t, 1)] = lam
+            touch_o[pl.ds(t, 1)] = jnp.maximum(touch_o[pl.ds(t, 1)],
+                                               touch_new)
+
+        @pl.when(live & even)
+        def _(): run(st_a)
+
+        @pl.when(live & jnp.logical_not(even))
+        def _(): run(st_b)
+
+        @pl.when(jnp.logical_not(live))
+        def _():  # skipped tiles: zero corrections (neighbors window-read)
+            for k in range(4):
+                wr_rep(corr[k], jnp.zeros((1, T), f32))
+
+    @pl.when(ph == ph_apply)
+    def _apply_phase():
+        def run(src, dst):
+            pidx, cc, c2 = tables()
+            c_px, c_py, c_an, c_vx, c_vy, c_om = state_rows(src)
+            c_dxx = cwin(corr[0], zl_c)
+            c_dxy = cwin(corr[1], zl_c)
+            c_dth = cwin(corr[2], zl_c)
+            c_cnt = cwin(corr[3], zl_c)
+            c_f = cwin(f_s, one_c) if ccd else None
+            res = _apply_math(
+                c_px, c_py, c_an, c_vx, c_vy, c_om,
+                c_dxx, c_dxy, c_dth, c_cnt, c_f, own,
+                own_row(o_invm_r), own_row(o_invi_r), own_row(o_dynb_r),
+                own_row(o_kin_r), gx, gy, pidx, cc, c2,
+                lam_s[pl.ds(t, 1)],
+                C=C, h=h, relaxation=relaxation, max_dpos=max_dpos,
+                rest_threshold=rest_threshold, lin_damp=lin_damp,
+                ang_damp=ang_damp, ccd=ccd)
+            for k in range(6):
+                wr_rep(dst[k], res[k])
+
+            @pl.when(last)
+            def _():
+                for k in range(6):
+                    outs[k][pl.ds(t, 1)] = res[k][None]
+
+        def passthrough(src, dst):
+            for k in range(6):
+                v = src[k][pl.ds(t, 1)]
+                dst[k][pl.ds(t, 1)] = v
+
+                @pl.when(last)
+                def _(v=v, k=k):
+                    outs[k][pl.ds(t, 1)] = v[:, 0:1, :]
+
+        @pl.when(live & even)
+        def _(): run(st_a, st_b)
+
+        @pl.when(live & jnp.logical_not(even))
+        def _(): run(st_b, st_a)
+
+        @pl.when(jnp.logical_not(live) & even)
+        def _(): passthrough(st_a, st_b)
+
+        @pl.when(jnp.logical_not(live) & jnp.logical_not(even))
+        def _(): passthrough(st_b, st_a)
+
+
+def _run_mega(state, consts, large, pidx_c, cc, c2, gravity, tile_live,
+              *, C, substeps, h, compliance, relaxation, max_dpos,
+              rest_threshold, lin_damp, ang_damp, ccd, ccd_slop, interpret,
+              params):
+    """Invoke the whole-frame megakernel. Returns (new_state dict,
+    touched [Nt, C, T])."""
+    Nt = state["px"].shape[0]
+    nph = 3 if ccd else 2
+
+    def res(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda s, p, t, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [res((Nt, 1, T))] * 6  # state
+        + [res((Nt, 1, T))] * 4  # invm invi dynb kin
+        + [res((1, L))] * 3  # large pose
+        + [res((Nt, C, T)), res((Nt, KC * C, T)), res((Nt, K2 * C, T))]
+        + [res((1, 2)), res((Nt, 1, T))]  # gravity, tile_live
+    )
+    args = (
+        [state[k] for k in ("px", "py", "an", "vx", "vy", "om")]
+        + [consts["invm"], consts["invi"], consts["dynb"], consts["kin"]]
+        + [large["px"], large["py"], large["an"]]
+        + [pidx_c, cc, c2, jnp.asarray(gravity, f32), tile_live]
+    )
+    if ccd:
+        in_specs.append(res((Nt, 1, T)))
+        args.append(consts["blt"])
+    scratch = (
+        [pltpu.VMEM((Nt, SG, T), f32)] * 12  # state double buffer
+        + [pltpu.VMEM((Nt, SG, T), f32)] * 4  # correction windows
+        + [pltpu.VMEM((Nt, 2 * C, T), f32)]  # lambdas
+        + ([pltpu.VMEM((Nt, SG, T), f32)] if ccd else [])  # TOI factors
+    )
+    kernel = functools.partial(
+        _mega_kernel, C=C, h=h, substeps=substeps, compliance=compliance,
+        relaxation=relaxation, max_dpos=max_dpos,
+        rest_threshold=rest_threshold, lin_damp=lin_damp, ang_damp=ang_damp,
+        n_tiles=Nt, ccd=ccd, ccd_slop=ccd_slop)
+    out = pl.pallas_call(
+        kernel,
+        grid=(substeps, nph, Nt),
+        in_specs=in_specs,
+        out_specs=tuple([res((Nt, 1, T))] * 6 + [res((Nt, C, T))]),
+        out_shape=tuple([jax.ShapeDtypeStruct((Nt, 1, T), f32)] * 6
+                        + [jax.ShapeDtypeStruct((Nt, C, T), f32)]),
+        scratch_shapes=scratch,
+        compiler_params=params,
+        interpret=interpret,
+    )(*args)
+    new_state = dict(zip(("px", "py", "an", "vx", "vy", "om"), out[:6]))
+    return new_state, out[6]
 
 
 # ===========================================================================
@@ -1321,7 +1608,7 @@ def build_tile_tables(
                      "relaxation", "max_dpos", "rest_threshold", "lin_damp",
                      "ang_damp", "sleep_velocity", "sort_axis", "ccd",
                      "ccd_slop", "joint_colors", "max_dpos_joint",
-                     "shard_axis", "interpret"),
+                     "shard_axis", "fuse", "interpret"),
 )
 def run_tiled_frame(
     state,  # dict of [Nt, T] f32: px py an vx vy om
@@ -1338,7 +1625,7 @@ def run_tiled_frame(
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
     rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
     ccd=False, ccd_slop=0.005, joint_colors=1, max_dpos_joint=1e3,
-    Cs=None, shard_axis=None, interpret=False,
+    Cs=None, shard_axis=None, fuse=True, interpret=False,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
     touched [Nt, Cs, T], (count, count_touch, count_close) [Nt, 1, T] each,
@@ -1433,6 +1720,27 @@ def run_tiled_frame(
     )(*(win_state + win_verts + mani_scal
         + [consts["sen"]]
         + mani_large + [pidx, act, tile_live]))
+
+    # fast path: ALL substeps in one pallas_call (state + tables VMEM-
+    # resident across the frame — see _mega_kernel). The per-substep
+    # kernels below remain for the sharded tile axis (halo exchanges
+    # between substeps are XLA collectives) and for the joint pass (XLA-
+    # side, interleaved between substeps).
+    # (fuse defaults OFF in interpret mode at the tiled.py call sites: the
+    # interpreter copies every VMEM-resident block per grid step, which makes
+    # the whole-frame grid pathologically slow; the per-substep kernels run
+    # the same _project_math/_apply_math code, and the compiled TPU parity
+    # test pins the megakernel bitwise — tests/test_tiles.py.)
+    if fuse and shard_axis is None and joints is None and substeps > 0:
+        mega_state, touched = _run_mega(
+            state, consts, large, pidx_c, cc, c2, gravity, tile_live,
+            C=Cs, substeps=substeps, h=h, compliance=compliance,
+            relaxation=relaxation, max_dpos=max_dpos,
+            rest_threshold=rest_threshold, lin_damp=lin_damp,
+            ang_damp=ang_damp, ccd=ccd, ccd_slop=ccd_slop,
+            interpret=interpret, params=params)
+        return mega_state, touched, (count, count_touch, count_close), \
+            winover, wake, pen, pidx, pidx_c, act, npts, src, nact
 
     # the per-substep kernels run at the COMPACTED width Cs
     project = functools.partial(_project_kernel, C=Cs, h=h,

@@ -305,7 +305,7 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig,
 
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
                interpret: bool = False, tables=None, jrows=None,
-               shard_axis: str | None = None):
+               shard_axis: str | None = None, fuse: bool | None = None):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
     ``tables=(pidx, act)`` reuses a K-frame broadphase built by
     :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
@@ -376,7 +376,12 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
         ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
         joint_colors=cfg.max_joint_colors, max_dpos_joint=cfg.max_dpos,
-        shard_axis=shard_axis, interpret=interpret,
+        shard_axis=shard_axis,
+        # compiled: whole-frame megakernel; interpret: per-substep kernels
+        # (same shared math — the interpreter copies resident blocks per
+        # grid step, making the fused grid pathologically slow)
+        fuse=(not interpret) if fuse is None else fuse,
+        interpret=interpret,
     )
     consts2 = dict(consts)
     if cfg.sleep_velocity > 0.0:
@@ -495,7 +500,7 @@ def touch_keys(touched, pidx, body_id, large_cols, n_colliders: int,
 
 
 def tiled_step(world: World, cfg: SolverConfig, gravity=None,
-               interpret: bool = False):
+               interpret: bool = False, fuse: bool | None = None):
     """One frame via the tile engine. Returns (new_world, diag_dict).
 
     Sorts in and out every call — rollouts should use :func:`tiled_rollout`,
@@ -507,7 +512,8 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     jrows = (_joint_rows(world.joints, body_id, state["px"].shape[0])
              if world.joints.j > 0 else None)
     new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
-                                         interpret=interpret, jrows=jrows)
+                                         interpret=interpret, jrows=jrows,
+                                         fuse=fuse)
     diag["large_overflow"] = large_ovf
     diag["touch_keys"] = touch_keys(diag["touched"], diag.pop("pidx"),
                                     body_id, large["cols"], world.colliders.m)

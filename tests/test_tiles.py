@@ -148,3 +148,33 @@ def test_tiled_touch_keys_match_xla_contacts():
     ck, touching = touching_keys(contacts, M)
     xset = keys_to_set(np.asarray(jnp.where(touching, ck, -1)), M)
     assert tset == xset
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu"
+    and "TPU" not in getattr(jax.devices()[0], "device_kind", ""),
+    reason="compiled Mosaic path needs a TPU",
+)
+def test_mega_compiled_bitwise_on_tpu():
+    """Compiled (Mosaic) megakernel vs compiled per-substep pair: bitwise.
+
+    The megakernel runs ONLY compiled (tiled.py gates ``fuse`` off in
+    interpret mode — the interpreter copies every VMEM-resident block per
+    grid step, which makes the whole-frame grid pathologically slow), so
+    this TPU-gated test is its parity pin; the shared
+    _project_math/_apply_math/_ccd_math bodies are additionally covered on
+    every backend through the per-substep interpret tests above."""
+    world, cap = _tiled_scene()
+    cfg = SolverConfig(substeps=4, iterations=1, manifold_refresh="frame",
+                       slot_capacity=8, broadphase="grid",
+                       grid_cell_capacity=10)
+    w_f = world
+    w_p = world
+    for _ in range(3):
+        w_f, d_f = tiled_step(w_f, cfg, fuse=True)
+        w_p, d_p = tiled_step(w_p, cfg, fuse=False)
+    np.testing.assert_array_equal(np.asarray(w_f.bodies.pos),
+                                  np.asarray(w_p.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(w_f.bodies.vel),
+                                  np.asarray(w_p.bodies.vel))
+    assert int(np.asarray(d_f["slot_overflow"])) == 0

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--variants",
                     default="frame_s10,frame_s5,frame_s2,frame_s0,build,"
                             "edge,resort,rollout")
+    ap.add_argument("--fuse", type=int, default=1,
+                    help="1: whole-frame megakernel (default); 0: the "
+                         "per-substep kernel pair (the sharded path)")
     args = ap.parse_args()
 
     import starframe_tpu as sf
@@ -149,7 +152,8 @@ def main():
             max_dpos=cfg.max_dpos_eff,
             rest_threshold=cfg.restitution_threshold,
             lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
-            sleep_velocity=cfg.sleep_velocity, sort_axis=0)
+            sleep_velocity=cfg.sleep_velocity, sort_axis=0,
+            fuse=bool(args.fuse))
         return jnp.sum(ns["px"][0]) + jnp.sum(touched[0])
 
     for s in (10, 5, 2, 0):

@@ -95,6 +95,15 @@ class SolverConfig:
     # Velocity at which bodies are considered for sleeping (0 disables).
     sleep_velocity: float = 0.0
     sleep_frames: int = 30
+    # Wake-on-fast-contact threshold = sleep_velocity * this factor. At 1.0
+    # any not-quite-sleepable neighbor resets a sleeper's counter every
+    # frame, so surface jitter in a settled pile cascades wake waves through
+    # the whole contact network and half the pile never sleeps (measured:
+    # the 10k pile plateaus at 54% asleep). Waking only on contacts
+    # decisively faster than the sleep threshold (2x) lets mutually-resting
+    # bodies run their counters out; a genuinely struck sleeper still wakes
+    # (impacts carry speeds far above 2x the sleep threshold).
+    wake_velocity_factor: float = 2.0
     # Whole-frame Pallas kernel (pallas/frame2.py): True/"auto" = use on TPU
     # for worlds whose shapes fit the kernel; False = never.
     use_pallas: object = "auto"
@@ -201,6 +210,17 @@ class SolverConfig:
     # it SETTLES along to let whole slabs sleep (a pile settling bottom-up
     # under 'y' lets its settled bottom tiles skip all work).
     tile_sort_axis: str = "x"
+    # Finer-than-tile island work saving (requires sleep_velocity > 0):
+    # tiled rollouts re-sort bodies by (awake-neighborhood, sort-axis) so
+    # sleeping bodies no awake body can reach cluster into trailing tiles,
+    # whose whole windows go asleep and skip ALL kernel work (tile_live).
+    # The keep set is exact 1-hop from the dense (pre-truncation) candidate
+    # mask — every sleeper an awake body's swept AABB overlaps stays in the
+    # live prefix, so contacts and wake signals are preserved — plus a 2nd
+    # hop from the slot tables so a woken body's own neighbors wake cleanly.
+    # The positional guard forces a full re-sort (not just a table rebuild)
+    # while the layout is partitioned, keeping the window invariant sound.
+    tile_awake_compaction: bool = True
 
     @property
     def h(self) -> float:

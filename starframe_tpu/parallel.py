@@ -349,7 +349,8 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         sleep_count = jnp.where(slow, sleep_count + 1, 0)
         cb = worlds.colliders.body_idx  # [W, M]
         Wn, N = spd2.shape
-        fast = (b.inv_mass > 0) & (spd2 >= cfg.sleep_velocity**2)
+        fast = (b.inv_mass > 0) & (
+            spd2 >= (cfg.sleep_velocity * cfg.wake_velocity_factor) ** 2)
         pb = jnp.take_along_axis(
             cb, partner.reshape(Wn, -1), axis=1).reshape(partner.shape)
         fast_p = jnp.take_along_axis(

@@ -18,6 +18,7 @@ def pile(
     seed: int = 0,
     substeps: int = 10,
     container_half_width: float = None,
+    sleep: bool = True,
 ) -> Scene:
     """Mixed boxes/hexagons/circles packed in a grid above a container, falling
     into a pile. Sized so the settled pile is several bodies deep."""
@@ -64,9 +65,16 @@ def pile(
     # slot_capacity 16: a fully settled dense pile peaks at 9-12 true
     # candidates per collider row (measured via the overflow counter over
     # 120 frames); 16 = the next sublane-group multiple, zero overflow
+    # sleeping on by default — the reference engine sleeps settled islands
+    # (SURVEY.md §2 row 11), and the tile engine's awake-prefix compaction
+    # (config.tile_awake_compaction) turns the settled pile's frozen mass
+    # into skipped tiles. ``sleep=False`` keeps every body live (the r3/r4
+    # bench semantics; also what contact-event consumers that must observe
+    # sleeping pairs want).
     cfg = SolverConfig(dt=1 / 60, substeps=substeps, broadphase="grid",
                        grid_cell_capacity=b.suggest_grid_cell_capacity(),
-                       frames_per_broadphase=8, slot_capacity=16)
+                       frames_per_broadphase=8, slot_capacity=16,
+                       sleep_velocity=0.1 if sleep else 0.0, sleep_frames=30)
     return Scene("pile", world, cap, cfg)
 
 

@@ -177,7 +177,8 @@ def _sleep_branches(world, cfg, max_pairs, g, allow_tiled):
         # mutually-resting bodies all run their counters out together)
         nb0 = nw.bodies
         spd2 = jnp.sum(nb0.vel**2, axis=-1) + nb0.ang_vel**2
-        fast = dynamic & (spd2 >= cfg.sleep_velocity**2)
+        fast = dynamic & (
+            spd2 >= (cfg.sleep_velocity * cfg.wake_velocity_factor) ** 2)
         wa = contacts.touching & fast[contacts.body_b]
         wb = contacts.touching & fast[contacts.body_a]
         n = bw.inv_mass.shape[0]

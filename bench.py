@@ -267,7 +267,7 @@ def main():
         # reference's sleeping engine spends most of its life in. The
         # counters report the MAX over all chunks, so a hard overflow in any
         # regime still surfaces.
-        reps = 6 if args.config == "pile" else 3
+        reps = 3 if ev else 6
         bps, per_frame, pcts = bench_scene(scene, 240, batched=False,
                                            profile_dir=args.profile,
                                            latency_reps=lat, with_events=ev,

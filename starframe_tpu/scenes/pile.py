@@ -145,8 +145,12 @@ def pile_joints(
                     n_joints += 1
 
     world, cap = b.build()
+    # sleeping on, as in pile(): settled dumbbells freeze, their tiles skip,
+    # and the whole XLA joint pass is skipped while every joint endpoint
+    # sleeps (run_tiled_frame's jlive gate)
     cfg = SolverConfig(dt=1 / 60, substeps=substeps, broadphase="grid",
                        grid_cell_capacity=b.suggest_grid_cell_capacity(),
-                       frames_per_broadphase=8, slot_capacity=16)
+                       frames_per_broadphase=8, slot_capacity=16,
+                       sleep_velocity=0.1, sleep_frames=30)
     cfg = tighten_joint_colors(world, cfg)
     return Scene("pile_joints", world, cap, cfg)

@@ -3,8 +3,11 @@ sort/permute/pad, large-set extraction, kernel invocation, and inverse
 permutation back to canonical body order.
 
 This is the 10k-pile fast path (BASELINE.json:2). Requirements are gated in
-:func:`use_tiled` — notably one collider per body in slot order
-(``body_idx == iota``), which the pile scene satisfies by construction.
+:func:`use_tiled`. Rows are COLLIDERS: for one-collider-per-body worlds
+(``body_idx == iota`` — the pile) rows coincide with bodies; compound
+worlds (``n != m``) keep each body's collider rows contiguous and reduce
+per-row corrections to per-body sums with masked shifts
+(``pallas.tiles._owner_shift_reduce``) — see :func:`_enter_tiles`.
 
 Two entry points:
 
@@ -47,8 +50,36 @@ def use_tiled(world: World, cfg: SolverConfig) -> bool:
     if cfg.manifold_refresh != "frame":
         return False  # (also what cfg.ccd requires — step.py raises on it)
     n, m = world.bodies.n, world.colliders.m
-    if n != m or n < 4 * T:  # small worlds: the XLA path is fine
+    if m < 4 * T:  # small worlds: the XLA path is fine
         return False
+    # n == m assumes one collider per body in slot order (body_idx == iota —
+    # the pile satisfies it by construction); n != m is the COMPOUND path
+    # (collider rows + owner shift-reductions). Compound worlds with joints
+    # ride the XLA tier (the joint pass addresses bodies by primary row,
+    # not implemented on compound rows), as do compound worlds with moving
+    # bodies that have no active collider (no row -> no integration), with
+    # inactive colliders on moving bodies (their rows would fall into the
+    # frozen tail), or with sibling blocks wider than the owner-reduction
+    # span ``cfg.max_colliders_per_body``.
+    if n != m:
+        if world.joints.j > 0:
+            return False
+        try:  # concrete-value checks: under tracing, fall to the XLA tier
+            import numpy as np
+
+            cb = np.asarray(world.colliders.body_idx)
+            act = np.asarray((world.colliders.flags & COL_ACTIVE) != 0)
+            moves = np.asarray(
+                (world.bodies.inv_mass > 0) | (world.bodies.inv_inertia > 0)
+                | ((world.bodies.flags & BODY_KINEMATIC) != 0))
+            has_row = np.zeros(n, bool)
+            has_row[cb[act]] = True
+            if (moves & ~has_row).any() or ((~act) & moves[cb]).any():
+                return False
+            if np.bincount(cb, minlength=n).max() > cfg.max_colliders_per_body:
+                return False
+        except Exception:
+            return False
     try:
         dev = jax.devices()[0]
     except Exception:
@@ -75,10 +106,25 @@ def _enter_tiles(world: World, cfg: SolverConfig):
     """Canonical world -> (state, consts, large, body_id, large_overflow).
 
     ``state``/``consts`` are [Nt, 1, T]-tiled ([Nt, V, T] for verts) in
-    x-sorted order; ``body_id [Mp]`` maps tile row -> canonical body index
-    (padding rows get ids >= M so an argsort of body_id restores canonical
-    order). The static large set never changes and is extracted once.
-    """
+    x-sorted order; ``body_id [Mp]`` maps tile row -> canonical COLLIDER
+    index (padding rows get ids >= M so an argsort of body_id restores
+    canonical order). The static large set never changes and is extracted
+    once.
+
+    Rows are COLLIDERS carrying their owner body's replicated pose/velocity
+    and mass properties (collider offsets are baked into the body-local
+    verts, so a compound's rows all share the owner pose exactly). For the
+    one-collider-per-body case (``n == m``, ``body_idx == iota`` — the pile)
+    the owner gather is the identity and nothing changes. For compound
+    worlds (``n != m``) the sibling rows are kept CONTIGUOUS in the layout:
+    the sort key is the OWNER's origin coordinate (bit-identical across
+    siblings) over a first stable grouping by owner id, and every re-sort /
+    partition preserves the blocks by stability — the contiguity is what
+    makes the per-substep owner reduction a handful of masked shifts
+    (``pallas.tiles._owner_shift_reduce``). ``consts['obody']`` carries the
+    canonical owner
+    id per row. Moving bodies with NO active collider have no row and stay
+    frozen on this path (the XLA tier integrates them; documented gate)."""
     from .pallas.tiles import L, T
 
     b, c = world.bodies, world.colliders
@@ -87,20 +133,27 @@ def _enter_tiles(world: World, cfg: SolverConfig):
     if n_tiles < 3:
         raise ValueError("tiled path needs >= 3 tiles")
     Mp = n_tiles * T
+    cb = c.body_idx.astype(i32)  # [M] canonical owner body per collider
 
-    responds = ((b.inv_mass > 0) | (b.inv_inertia > 0)).astype(f32)
-    kin = ((b.flags & BODY_KINEMATIC) != 0).astype(f32)
+    responds = ((b.inv_mass[cb] > 0) | (b.inv_inertia[cb] > 0)).astype(f32)
+    kin = ((b.flags[cb] & BODY_KINEMATIC) != 0).astype(f32)
     moves = jnp.maximum(responds, kin)
     col_active = ((c.flags & COL_ACTIVE) != 0).astype(f32)
     sensor = ((c.flags & COL_SENSOR) != 0).astype(f32)
 
-    # sort moving colliders along cfg.tile_sort_axis;
-    # statics/inactive/padding to the tail
-    cx = b.pos[:, 0 if cfg.tile_sort_axis == "x" else 1]
+    # sort moving colliders along cfg.tile_sort_axis by their OWNER's origin
+    # (identical across siblings), statics/inactive/padding to the tail; the
+    # pre-grouping by owner id + stability keeps sibling rows contiguous
+    # whatever order the builder interleaved them in
+    cx = b.pos[cb, 0 if cfg.tile_sort_axis == "x" else 1]
     key = jnp.where((col_active > 0) & (moves > 0), cx,
                     jnp.where(col_active > 0, _BIG, 2 * _BIG))
-    key = jnp.concatenate([key, jnp.full((Mp - M,), 3 * _BIG, f32)])
-    perm = jnp.argsort(key)  # [Mp] (stable)
+    if world.bodies.n != M:
+        grp = jnp.argsort(cb)  # stable: group siblings
+        perm = grp[jnp.argsort(key[grp])]  # stable: blocks stay contiguous
+    else:
+        perm = jnp.argsort(key)  # [Mp] (stable)
+    perm = jnp.concatenate([perm, jnp.arange(M, Mp, dtype=perm.dtype)])
     body_id = jnp.concatenate([jnp.arange(M, dtype=i32),
                                jnp.arange(M, Mp, dtype=i32)])[perm]
 
@@ -113,9 +166,9 @@ def _enter_tiles(world: World, cfg: SolverConfig):
         return x.reshape(n_tiles, 1, T)
 
     state = dict(
-        px=tile2(srt(b.pos[:, 0])), py=tile2(srt(b.pos[:, 1])),
-        an=tile2(srt(b.angle)), vx=tile2(srt(b.vel[:, 0])),
-        vy=tile2(srt(b.vel[:, 1])), om=tile2(srt(b.ang_vel)),
+        px=tile2(srt(b.pos[cb, 0])), py=tile2(srt(b.pos[cb, 1])),
+        an=tile2(srt(b.angle[cb])), vx=tile2(srt(b.vel[cb, 0])),
+        vy=tile2(srt(b.vel[cb, 1])), om=tile2(srt(b.ang_vel[cb])),
     )
     vlx = srt(c.verts[..., 0])  # [Mp, V]
     vly = srt(c.verts[..., 1])
@@ -132,16 +185,20 @@ def _enter_tiles(world: World, cfg: SolverConfig):
         sen=tile2(srt(sensor)),
         act=tile2(srt(col_active)),
         mov=tile2(srt(moves)),
-        invm=tile2(srt(b.inv_mass)),
-        invi=tile2(srt(b.inv_inertia)),
+        invm=tile2(srt(b.inv_mass[cb])),
+        invi=tile2(srt(b.inv_inertia[cb])),
         lay=tile2(srt(c.layer)),
         msk=tile2(srt(c.mask)),
         responds=tile2(srt(responds)),
-        dynb=tile2(srt((b.inv_mass > 0).astype(f32))),
+        dynb=tile2(srt((b.inv_mass[cb] > 0).astype(f32))),
         kin=tile2(srt(kin)),
         ext=tile2(srt(ext)),
-        sleep=tile2(srt(b.sleep_count)),
-        blt=tile2(srt(((b.flags & BODY_BULLET) != 0).astype(f32))),
+        sleep=tile2(srt(b.sleep_count[cb])),
+        blt=tile2(srt(((b.flags[cb] & BODY_BULLET) != 0).astype(f32))),
+        # canonical owner body id per row (padding: an out-of-range id per
+        # ROW, so padding rows never alias a real body's sibling block)
+        obody=tile2(jnp.concatenate(
+            [cb, jnp.arange(M, Mp, dtype=i32) + world.bodies.n])[perm]),
         # awake-prefix compaction flag (cfg.tile_awake_compaction): 1 while
         # the row is in the live prefix (or the layout is un-partitioned);
         # only _partition ever clears it. Gates the window-completeness
@@ -158,9 +215,10 @@ def _enter_tiles(world: World, cfg: SolverConfig):
     n_large = jnp.sum(lkey < 2**30)
     l_valid = jnp.arange(L) < jnp.minimum(n_large, L)
     lidx = jnp.where(l_valid, lsort, 0)
+    lb = cb[lidx]  # owner bodies of the large slots
     large = dict(
-        px=b.pos[lidx, 0][None], py=b.pos[lidx, 1][None],
-        an=b.angle[lidx][None],
+        px=b.pos[lb, 0][None], py=b.pos[lb, 1][None],
+        an=b.angle[lb][None],
         vlx=c.verts[lidx, :, 0].T[None], vly=c.verts[lidx, :, 1].T[None],
         rad=c.radius[lidx][None], nv=c.nverts[lidx][None],
         fric=c.friction[lidx][None], rst=c.restitution[lidx][None],
@@ -175,7 +233,7 @@ def _enter_tiles(world: World, cfg: SolverConfig):
 
 _RESORT_KEYS = ("rad", "nv", "fric", "rst", "sen", "act", "mov", "invm",
                 "invi", "lay", "msk", "responds", "dynb", "kin", "ext",
-                "sleep", "blt", "kept")
+                "sleep", "blt", "kept", "obody")
 
 
 def _resort(state: dict, consts: dict, body_id, axis_key: str = "px",
@@ -308,7 +366,8 @@ def _keep_hop(boxes, flag, Nt, T):
     return jnp.any(ov & fl, axis=1).reshape(Nt * T)
 
 
-def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T):
+def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T,
+                    ob_x=None, kc: int = 1):
     """The awake-prefix keep set + partition permutation, all computed in
     X-SORTED row order (``*_x``). kept = awake bodies, plus every row whose
     swept box an awake box overlaps (1 hop — the soundness-critical set:
@@ -327,11 +386,28 @@ def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T):
     for _ in range(3):
         kept = kept | (mova_x & _keep_hop(boxes_x, kept, Nt, T))
     kept = jnp.where(mova_x, kept, True)
+    if ob_x is not None:
+        # compound rows: the keep decision is a BODY property — one kept
+        # sibling keeps the whole block, so the stable class partition
+        # below never splits a sibling block across the prefix boundary
+        from .pallas.tiles import _owner_shift_reduce
+
+        kept = _owner_shift_reduce(kept, ob_x, kc, jnp.logical_or,
+                                   jnp.bool_(False))
     # same tail classes as _resort's key: movers (partitioned), then
     # statics, then inactive/padding — key_x already encodes the classes
     pclass = jnp.where(mova_x, jnp.where(kept, 0.0, 1.0),
                        jnp.where(key_x >= 2 * _BIG, 3.0, 2.0))
     return jnp.argsort(pclass), kept
+
+
+def _owner_width_overflow(world: World, cfg: SolverConfig):
+    """Colliders beyond the owner-reduction span on any body (i32 scalar).
+    The shift-reduction spans ``cfg.max_colliders_per_body`` rows; a wider
+    sibling block drops its overflowing rows' corrections — a HARD error."""
+    cb = world.colliders.body_idx.astype(i32)
+    cnt = jnp.zeros((world.bodies.n,), i32).at[cb].add(1)
+    return jnp.sum(jnp.maximum(cnt - cfg.max_colliders_per_body, 0))
 
 
 def _joint_rows(joints, body_id, n_tiles: int):
@@ -432,7 +508,8 @@ def _bucket_sizes(n_tiles: int):
 def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
                interpret: bool = False, tables=None, jrows=None,
                shard_axis: str | None = None, fuse: bool | None = None,
-               n_live_t=None, event_ids=None, n_colliders: int = 0):
+               n_live_t=None, event_ids=None, n_colliders: int = 0,
+               compound: bool = False):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
     ``tables=(pidx, act)`` reuses a K-frame broadphase built by
     :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
@@ -536,6 +613,7 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
             # slow)
             fuse=(not interpret) if fuse is None else fuse,
             interpret=interpret, event_ids=ev_b, n_colliders=n_colliders,
+            compound=compound, owner_kc=cfg.max_colliders_per_body,
         )
         if nb == Nt:
             return out
@@ -561,6 +639,13 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         out = invoke(Nt)
     new_state, touched, (count, count_touch, count_close), winover, wake, \
         pen, pidx, pidx_c, act, npts, src, nact, key_sel = out
+    if compound:
+        # the wake signal is a body-level event: one touched sibling wakes
+        # the whole compound (keeps sibling sleep counters bit-identical)
+        from .pallas.tiles import _owner_max3
+
+        wake = _owner_max3(wake, consts["obody"].reshape(-1),
+                           cfg.max_colliders_per_body)
     consts2 = dict(consts)
     if cfg.sleep_velocity > 0.0:
         slow = (new_state["vx"] ** 2 + new_state["vy"] ** 2
@@ -617,23 +702,43 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
 
 def _exit_tiles(world: World, state: dict, consts: dict, prev: dict,
                 body_id, n_frames) -> World:
-    """Tile-layout state -> canonical World (inverse of the entry sort)."""
+    """Tile-layout state -> canonical World (inverse of the entry sort).
+
+    ``body_id`` maps tile row -> canonical COLLIDER index. For the
+    one-collider-per-body layout (``body_idx == iota``) collider order IS
+    body order; for compound worlds every sibling row carries the identical
+    owner state, so each body reads back through its FIRST collider's row
+    (bodies with no collider keep their canonical values — they never had a
+    row; ``use_tiled`` guarantees no such body moves)."""
     b = world.bodies
-    M = b.n
+    M = world.colliders.m
     Mp = body_id.shape[0]
-    take = jnp.argsort(body_id)  # canonical position -> tile row
+    take = jnp.argsort(body_id)  # canonical collider -> tile row
+    if b.n != M:
+        cb = world.colliders.body_idx.astype(i32)
+        first = jnp.full((b.n,), M, i32).at[cb].min(
+            jnp.arange(M, dtype=i32))  # body -> its first collider
+        has_row = first < M
+        take = take[jnp.where(has_row, first, 0)]
 
-    def unsort(x):
-        return x.reshape(Mp)[take][:M]
+        def unsort(x, orig):
+            return jnp.where(has_row, x.reshape(Mp)[take], orig)
+    else:
 
-    pos = jnp.stack([unsort(state["px"]), unsort(state["py"])], axis=-1)
-    vel = jnp.stack([unsort(state["vx"]), unsort(state["vy"])], axis=-1)
+        def unsort(x, orig):
+            return x.reshape(Mp)[take][:M]
+
+    pos = jnp.stack([unsort(state["px"], b.pos[:, 0]),
+                     unsort(state["py"], b.pos[:, 1])], axis=-1)
+    vel = jnp.stack([unsort(state["vx"], b.vel[:, 0]),
+                     unsort(state["vy"], b.vel[:, 1])], axis=-1)
     new_bodies = dataclasses.replace(
-        b, pos=pos, angle=unsort(state["an"]), vel=vel,
-        ang_vel=unsort(state["om"]),
-        prev_pos=jnp.stack([unsort(prev["px"]), unsort(prev["py"])], axis=-1),
-        prev_angle=unsort(prev["an"]),
-        sleep_count=unsort(consts["sleep"]),
+        b, pos=pos, angle=unsort(state["an"], b.angle), vel=vel,
+        ang_vel=unsort(state["om"], b.ang_vel),
+        prev_pos=jnp.stack([unsort(prev["px"], b.prev_pos[:, 0]),
+                            unsort(prev["py"], b.prev_pos[:, 1])], axis=-1),
+        prev_angle=unsort(prev["an"], b.prev_angle),
+        sleep_count=unsort(consts["sleep"], b.sleep_count),
     )
     return dataclasses.replace(
         world, bodies=new_bodies, step_count=world.step_count + n_frames)
@@ -690,14 +795,17 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     which keeps state tiled and amortizes the sort.
     """
     g = world.gravity if gravity is None else gravity
+    compound = world.colliders.m != world.bodies.n
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     prev = {k: state[k] for k in ("px", "py", "an")}
     jrows = (_joint_rows(world.joints, body_id, state["px"].shape[0])
              if world.joints.j > 0 else None)
     new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
                                          interpret=interpret, jrows=jrows,
-                                         fuse=fuse)
+                                         fuse=fuse, compound=compound)
     diag["large_overflow"] = large_ovf
+    if compound:
+        diag["owner_overflow"] = _owner_width_overflow(world, cfg)
     diag["touch_keys"] = touch_keys(diag["touched"], diag.pop("pidx"),
                                     body_id, large["cols"], world.colliders.m)
     new_world = _exit_tiles(world, new_state, consts, prev, body_id, 1)
@@ -707,7 +815,7 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
 def _rollout_core(state, consts, large, body_id, joints, gravity,
                   *, cfg: SolverConfig, n_frames: int, n_colliders: int,
                   with_events: bool, interpret: bool,
-                  shard_axis: str | None = None):
+                  shard_axis: str | None = None, compound: bool = False):
     """The tile-layout rollout build+scan, shared by :func:`tiled_rollout`
     (whole arrays, ``shard_axis=None``) and :func:`sharded_tiled_rollout`
     (shard-local arrays inside ``shard_map``; resorts/guards ride
@@ -839,9 +947,11 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
                             jnp.where(act > 0, _BIG, 2 * _BIG))
             perm_x = jnp.argsort(key)
             boxes, mova, awk = _keep_boxes(st, co, cfg, g)
+            ob_x = (co["obody"].reshape(Mp2)[perm_x] if compound else None)
             perm_p, kept_x = _partition_perm(
                 key[perm_x], tuple(bx[perm_x] for bx in boxes),
-                mova[perm_x], awk[perm_x], Nt2, T2)
+                mova[perm_x], awk[perm_x], Nt2, T2,
+                ob_x=ob_x, kc=cfg.max_colliders_per_body)
             perm = perm_x[perm_p]
             st, co, bid = _apply_perm(st, co, bid, lambda x: x[perm])
             co = dict(co, kept=kept_x[perm_p].astype(f32).reshape(
@@ -899,7 +1009,7 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
                               interpret=interpret, tables=op[2],
                               jrows=jrows, shard_axis=shard_axis,
                               n_live_t=nlt, event_ids=ev,
-                              n_colliders=n_colliders)
+                              n_colliders=n_colliders, compound=compound)
 
         def skip_frame(op):
             # fully-asleep world: every tile would skip anyway, but the
@@ -993,14 +1103,21 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     configurations no x-sort can fix), ``forced_resorts``,
     ``forced_rebuilds``, ``large_overflow``.
     """
+    compound = world.colliders.m != world.bodies.n
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     joints = world.joints if world.joints.j > 0 else None
     state, consts, body_id, prev_last, counters, keys = _rollout_core(
         state, consts, large, body_id, joints, world.gravity,
         cfg=cfg, n_frames=n_frames, n_colliders=world.colliders.m,
-        with_events=with_events, interpret=interpret)
+        with_events=with_events, interpret=interpret, compound=compound)
     final = _exit_tiles(world, state, consts, prev_last, body_id, n_frames)
     diag = dict(counters, large_overflow=large_ovf)
+    if compound:
+        # HARD counter: a sibling block wider than the owner-reduction span
+        # means corrections silently missed siblings — raise
+        # cfg.max_colliders_per_body (use_tiled gates this; nonzero can only
+        # mean tiled_rollout was invoked directly past the gate)
+        diag["owner_overflow"] = _owner_width_overflow(world, cfg)
     if with_events:
         return final, diag, keys
     return final, diag
@@ -1034,6 +1151,10 @@ def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
         raise NotImplementedError(
             "sharded_tiled_rollout does not support joints yet (the joint "
             "pass gathers global body rows)")
+    if world.colliders.m != world.bodies.n:
+        raise NotImplementedError(
+            "sharded_tiled_rollout does not support compound bodies yet "
+            "(the owner shift-reduction would need a sibling-block halo)")
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     Nt = state["px"].shape[0]
     D = mesh.shape[axis_name]

@@ -346,7 +346,17 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         # dyn-dyn pairs appear in both rows, so waking is symmetric)
         spd2 = jnp.sum(vel**2, axis=-1) + angvel**2
         slow = spd2 < cfg.sleep_velocity**2
-        sleep_count = jnp.where(slow, sleep_count + 1, 0)
+        if worlds.joints.j > 0:
+            # island-style joint coupling, unified with the other tiers
+            # (step._joint_slow_closure): dumbbells sleep as pairs
+            from types import SimpleNamespace
+
+            from .step import _joint_slow_closure
+
+            j = worlds.joints
+            slow = jax.vmap(lambda s, a, bb, act: _joint_slow_closure(
+                s, SimpleNamespace(body_a=a, body_b=bb, active=act)))(
+                    slow, j.body_a, j.body_b, j.active)
         cb = worlds.colliders.body_idx  # [W, M]
         Wn, N = spd2.shape
         fast = (b.inv_mass > 0) & (
@@ -359,6 +369,15 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         wake = jax.vmap(
             lambda cbw, wr: jnp.zeros((N,), bool).at[cbw].max(wr)
         )(cb, wake_rows)
+        if worlds.joints.j > 0:
+            from types import SimpleNamespace
+
+            from .step import _joint_wake_closure
+
+            j = worlds.joints
+            wake = jax.vmap(lambda w, a, bb, act: _joint_wake_closure(
+                w, SimpleNamespace(body_a=a, body_b=bb, active=act)))(
+                    wake, j.body_a, j.body_b, j.active)
         sleep_count = jnp.where(wake, 0, sleep_count)
         asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
         vel = jnp.where(asleep[..., None], 0.0, vel)

@@ -143,6 +143,40 @@ def step(
     return jax.lax.cond(any_awake, live, skip, world)
 
 
+def _joint_slow_closure(slow, joints, hops: int = 3):
+    """Island-style joint sleep coupling (SURVEY.md §2 row 11: the reference
+    sleeps whole islands, and joint-connected bodies are one island): a body
+    only counts as slow while its joint partners are slow too, so a dumbbell
+    sleeps as a PAIR — never one half frozen while the other yanks against
+    it (measured r5: half-frozen dumbbells re-jitter the 10k jointed pile
+    into wake avalanches and resort storms). ``hops`` bounds in-frame
+    propagation along chains; longer chains converge across frames (the
+    counter must run out anyway). Shared by all tiers."""
+    if joints is None or joints.body_a.shape[0] == 0:
+        return slow
+    ja, jb = joints.body_a, joints.body_b
+    inert = jnp.logical_not(joints.active > 0)
+    for _ in range(hops):
+        ps = ((slow[ja] & slow[jb]) | inert).astype(jnp.int32)
+        s32 = slow.astype(jnp.int32).at[ja].min(ps).at[jb].min(ps)
+        slow = s32 > 0
+    return slow
+
+
+def _joint_wake_closure(wake, joints, hops: int = 3):
+    """Wake propagates across joint edges (the other half of the island
+    rule): waking one endpoint wakes its partner."""
+    if joints is None or joints.body_a.shape[0] == 0:
+        return wake
+    ja, jb = joints.body_a, joints.body_b
+    jact = joints.active > 0
+    for _ in range(hops):
+        pw = ((wake[ja] | wake[jb]) & jact).astype(jnp.int32)
+        w32 = wake.astype(jnp.int32).at[ja].max(pw).at[jb].max(pw)
+        wake = w32 > 0
+    return wake
+
+
 def _sleep_branches(world, cfg, max_pairs, g, allow_tiled):
     b = world.bodies
     dynamic = b.inv_mass > 0
@@ -187,6 +221,7 @@ def _sleep_branches(world, cfg, max_pairs, g, allow_tiled):
             .at[contacts.body_a].max(wa)
             .at[contacts.body_b].max(wb)
         ) & dynamic
+        wake = _joint_wake_closure(wake, world.joints) & dynamic
         nb = dataclasses.replace(
             nb0,
             inv_mass=bw.inv_mass,
@@ -293,6 +328,7 @@ def _live_step(
     vel, ang_vel = s.vel, s.ang_vel
     if cfg.sleep_velocity > 0.0:
         slow = (jnp.sum(vel**2, axis=-1) + ang_vel**2) < cfg.sleep_velocity**2
+        slow = _joint_slow_closure(slow, world.joints)
         sleep_count = jnp.where(slow, sleep_count + 1, 0)
         asleep = (sleep_count >= cfg.sleep_frames) & (b.inv_mass > 0)
         vel = jnp.where(asleep[:, None], 0.0, vel)

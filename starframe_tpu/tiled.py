@@ -367,7 +367,7 @@ def _keep_hop(boxes, flag, Nt, T):
 
 
 def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T,
-                    ob_x=None, kc: int = 1):
+                    ob_x=None, kc: int = 1, jedges=None):
     """The awake-prefix keep set + partition permutation, all computed in
     X-SORTED row order (``*_x``). kept = awake bodies, plus every row whose
     swept box an awake box overlaps (1 hop — the soundness-critical set:
@@ -385,6 +385,15 @@ def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T,
     # three layers deep absorbs a front advancing ~1 layer per guard cycle
     for _ in range(3):
         kept = kept | (mova_x & _keep_hop(boxes_x, kept, Nt, T))
+        if jedges is not None:
+            # joint-edge closure: a kept endpoint keeps its partner (frozen
+            # partners must stay ADDRESSABLE in the bucket-sliced joint
+            # pass; interleaved with the hops so chains propagate alongside
+            # contact avalanches)
+            ra, rb, jact = jedges
+            ke = ((kept[ra] | kept[rb]) & jact).astype(i32)
+            k32 = kept.astype(i32).at[ra].max(ke).at[rb].max(ke)
+            kept = k32 > 0
     kept = jnp.where(mova_x, kept, True)
     if ob_x is not None:
         # compound rows: the keep decision is a BODY property — one kept
@@ -509,7 +518,7 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
                interpret: bool = False, tables=None, jrows=None,
                shard_axis: str | None = None, fuse: bool | None = None,
                n_live_t=None, event_ids=None, n_colliders: int = 0,
-               compound: bool = False):
+               compound: bool = False, edges=None):
     """One frame on tile-layout state. Returns (state', consts', diag_frame).
     ``tables=(pidx, act)`` reuses a K-frame broadphase built by
     :func:`starframe_tpu.pallas.tiles.build_tile_tables` (the rollout's
@@ -533,7 +542,10 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
     wake (their windows hold no awake body)."""
     from .pallas.tiles import run_tiled_frame
 
-    edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
+    if edges is None:
+        edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
+    else:
+        edge_lo, edge_hi = edges
     Nt, _, T = state["px"].shape
     kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
     if cfg.sleep_velocity > 0.0:
@@ -591,8 +603,21 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         tb_b = None if tables is None else tuple(sl(t) for t in tables)
         ev_b = (None if event_ids is None
                 else (sl(event_ids[0]), event_ids[1]))
+        jr_b = jrows
+        if jrows is not None and nb != Nt:
+            # awake-prefix bucket with joints: the partition's joint-edge
+            # closure guarantees any joint with a KEPT endpoint has BOTH
+            # endpoints in the prefix — rows past the bucket belong to
+            # all-frozen (inert) joints, masked out and clamped in-range
+            Mb = nb * T
+            in_b = (jrows["row_a"] < Mb) & (jrows["row_b"] < Mb)
+            jr_b = dict(jrows,
+                        row_a=jnp.minimum(jrows["row_a"], Mb - 1),
+                        row_b=jnp.minimum(jrows["row_b"], Mb - 1),
+                        active=jnp.where(in_b, jrows["active"], 0),
+                        invm=jrows["invm"][:Mb], invi=jrows["invi"][:Mb])
         out = run_tiled_frame(
-            st_b, kc_b, large, jnp.asarray(gravity, f32)[None], tb_b, jrows,
+            st_b, kc_b, large, jnp.asarray(gravity, f32)[None], tb_b, jr_b,
             C=Cs, Cs=Csol, V=V, substeps=cfg.substeps,
             h=cfg.dt / cfg.substeps, dt=cfg.dt, margin=cfg.contact_margin,
             compliance=cfg.contact_compliance, relaxation=cfg.relaxation,
@@ -626,7 +651,7 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
         ns = {k: jnp.concatenate([ns_b[k], state[k][nb:]]) for k in ns_b}
         return (ns,) + jax.tree.map(padz, rest)
 
-    if (n_live_t is not None and jrows is None and shard_axis is None
+    if (n_live_t is not None and shard_axis is None
             and tables is not None and not interpret):
         sizes = _bucket_sizes(Nt)
         sz = jnp.asarray(sizes, i32)
@@ -650,9 +675,26 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
     if cfg.sleep_velocity > 0.0:
         slow = (new_state["vx"] ** 2 + new_state["vy"] ** 2
                 + new_state["om"] ** 2) < cfg.sleep_velocity ** 2
+        wakef = wake > 0
+        if jrows is not None:
+            # island-style joint coupling, unified with the XLA tier
+            # (step._joint_slow_closure): joint-connected bodies sleep and
+            # wake together — a dumbbell never ends up half frozen with the
+            # awake half yanking against it (measured r5: that instability
+            # kept the jointed 10k pile in wake avalanches + resort storms)
+            from types import SimpleNamespace
+
+            from .step import _joint_slow_closure, _joint_wake_closure
+
+            je = SimpleNamespace(body_a=jrows["row_a"],
+                                 body_b=jrows["row_b"],
+                                 active=jrows["active"])
+            sh = slow.shape
+            slow = _joint_slow_closure(slow.reshape(-1), je).reshape(sh)
+            wakef = _joint_wake_closure(wakef.reshape(-1), je).reshape(sh)
         sleep = jnp.where(slow, consts["sleep"] + 1, 0)
         # wake-on-fast-contact resets the counter the frame after detection
-        sleep = jnp.where(wake > 0, 0, sleep)
+        sleep = jnp.where(wakef, 0, sleep)
         asleep2 = (sleep >= cfg.sleep_frames) & (consts["invm"] > 0)
         new_state = dict(
             new_state,
@@ -836,14 +878,20 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
 
     from .pallas.tiles import build_tile_tables
 
-    def build(state, consts, body_id):
+    def build(state, consts, body_id, edges=None):
         """K-frame slot tables + the positional-guard budget (pos0, sweep).
 
         The sweep cap bounds slot pressure during fast phases (a falling
         body would otherwise inflate its AABB by speed x window and overflow
-        its C slots); the guard simply rebuilds sooner — any cap is sound."""
+        its C slots); the guard simply rebuilds sooner — any cap is sound.
+        ``edges`` reuses an (edge_lo, edge_hi) pair already computed for
+        THIS layout (the rollout's per-frame staleness probe — recompute
+        after any permutation)."""
         V = consts["vlx"].shape[1]
-        edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
+        if edges is None:
+            edge_lo, edge_hi, _ = _edge_rows(state, consts, cfg, shard_axis)
+        else:
+            edge_lo, edge_hi = edges
         kc = dict(consts, edge_lo=edge_lo, edge_hi=edge_hi)
         (pidx, act, count, count_touch, count_close, winover,
          sweep) = build_tile_tables(
@@ -879,7 +927,7 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
     def body(carry, _):
         (state, consts, body_id, tables, pos0, sweep, age,
          ovf, sovf, sdrp, marg, spec, wovf, resorts, rebuilds) = carry
-        _, _, stale = _edge_rows(state, consts, cfg, shard_axis)
+        el, eh, stale = _edge_rows(state, consts, cfg, shard_axis)
         # scheduled re-sorts are pointless while nothing moves (a fully
         # sleeping world keeps a valid sort); the guard still forces one
         if cfg.sleep_velocity > 0.0:
@@ -903,11 +951,23 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
             motion = (jnp.sqrt(state["vx"] ** 2 + state["vy"] ** 2)
                       + gmag * cfg.dt) * cfg.dt
             livb = (consts["mov"] > 0) & (consts["act"] > 0)
-            esc = jnp.any((disp + motion > sweep + 1e-5) & livb)
+            used = disp + motion
+            esc = jnp.any((used > sweep + 1e-5) & livb)
+            # drift gate for the SCHEDULED resort (measured r5: the every-K
+            # resort+build+partition costs ~0.3 ms/frame on the settled 10k
+            # pile while accomplishing nothing): skip it while every live
+            # row has used less than half its sweep budget. Soundness is
+            # untouched — a pair that could need fresher tables must MOVE
+            # to need them, and movement past the budget is exactly what
+            # `esc`/`stale` force. This makes the resort cadence adaptive:
+            # every K frames in motion, never at rest.
+            drift = jnp.any((used > 0.5 * sweep) & livb)
             if shard_axis is not None:  # replicate the rebuild decision
                 esc = jax.lax.psum(esc.astype(i32), shard_axis) > 0
+                drift = jax.lax.psum(drift.astype(i32), shard_axis) > 0
         else:
             esc = jnp.bool_(False)
+            drift = jnp.bool_(True)
         zi = jnp.int32(0)
         # awake-prefix compaction (cfg.tile_awake_compaction): while the
         # layout is PARTITIONED, a budget escape must force a full re-sort —
@@ -918,9 +978,15 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
         if compact_on:
             mova = (consts["mov"] > 0) & (consts["act"] > 0)
             partitioned = jnp.any(mova & (consts["kept"] == 0))
-            do_sort = ((age == 0) & awake) | stale | (esc & partitioned)
+            # an UN-partitioned layout with a sleeping mass compacts at the
+            # next scheduled slot even without drift (a half-asleep world
+            # must not wait for motion to start saving work); once
+            # partitioned, the drift gate governs re-partitioning
+            want_part = jnp.any(asleep & mova) & jnp.logical_not(partitioned)
+            do_sort = (((age == 0) & awake & (drift | want_part))
+                       | stale | (esc & partitioned))
         else:
-            do_sort = ((age == 0) & awake) | stale
+            do_sort = ((age == 0) & awake & drift) | stale
 
         def sort_and_build(op):
             st, co, bid = op[0], op[1], op[5]
@@ -929,9 +995,10 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
                                       shard_axis=shard_axis)
                 # an un-partitioned layout keeps everything
                 co = dict(co, kept=jnp.ones_like(co["kept"]))
+                el2, eh2, _ = _edge_rows(st, co, cfg, shard_axis)
                 tb, pos0, sweep, bovf, bmarg, bspec, bwovf = build(
-                    st, co, bid)
-                return (st, co, bid, tb, pos0, sweep,
+                    st, co, bid, edges=(el2, eh2))
+                return (st, co, bid, tb, pos0, sweep, (el2, eh2),
                         bovf, bmarg, bspec, bwovf)
             # compacting re-sort: ONE composed permutation (x-sort then
             # stable keep-partition) and ONE table build. The keep set is
@@ -948,17 +1015,28 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
             perm_x = jnp.argsort(key)
             boxes, mova, awk = _keep_boxes(st, co, cfg, g)
             ob_x = (co["obody"].reshape(Mp2)[perm_x] if compound else None)
+            jedges = None
+            if joints is not None:
+                # joint edges in x-order rows: the keep closure must pull a
+                # kept row's joint partner into the prefix (the bucket-
+                # sliced joint pass addresses partner STATE by row; frozen
+                # partners solve as static exactly like the full grid)
+                inv_x = jnp.zeros((Mp2,), i32).at[bid[perm_x]].set(
+                    jnp.arange(Mp2, dtype=i32))
+                jedges = (inv_x[joints.body_a], inv_x[joints.body_b],
+                          joints.active > 0)
             perm_p, kept_x = _partition_perm(
                 key[perm_x], tuple(bx[perm_x] for bx in boxes),
                 mova[perm_x], awk[perm_x], Nt2, T2,
-                ob_x=ob_x, kc=cfg.max_colliders_per_body)
+                ob_x=ob_x, kc=cfg.max_colliders_per_body, jedges=jedges)
             perm = perm_x[perm_p]
             st, co, bid = _apply_perm(st, co, bid, lambda x: x[perm])
             co = dict(co, kept=kept_x[perm_p].astype(f32).reshape(
                 Nt2, 1, T2))
+            el2, eh2, _ = _edge_rows(st, co, cfg, shard_axis)
             tb, pos0, sweep, bovf, bmarg, bspec, bwovf = build(
-                st, co, bid)
-            return (st, co, bid, tb, pos0, sweep,
+                st, co, bid, edges=(el2, eh2))
+            return (st, co, bid, tb, pos0, sweep, (el2, eh2),
                     bovf, bmarg, bspec, bwovf)
 
         def no_sort(op):
@@ -966,17 +1044,17 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
 
             def rebuild(_):
                 tb, pos0, sweep, bovf, bmarg, bspec, bwovf = build(
-                    st, co, bid)
-                return (st, co, bid, tb, pos0, sweep,
+                    st, co, bid, edges=(el, eh))
+                return (st, co, bid, tb, pos0, sweep, (el, eh),
                         bovf, bmarg, bspec, bwovf)
 
             def keep_tables(_):
-                return (st, co, bid, op[2], op[3], op[4],
+                return (st, co, bid, op[2], op[3], op[4], (el, eh),
                         zi, zi, zi, zi)
 
             return jax.lax.cond(esc, rebuild, keep_tables, 0)
 
-        (state, consts, body_id, tables, pos0, sweep, bovf, bmarg,
+        (state, consts, body_id, tables, pos0, sweep, edges, bovf, bmarg,
          bspec, bwovf) = jax.lax.cond(
             do_sort, sort_and_build, no_sort,
             (state, consts, tables, pos0, sweep, body_id))
@@ -992,7 +1070,7 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
 
         def live_frame(op):
             nlt = None
-            if compact_on and joints is None:
+            if compact_on:
                 T_ = op[0]["px"].shape[2]
                 n_kept = jnp.sum((op[1]["kept"] > 0) & (op[1]["mov"] > 0)
                                  & (op[1]["act"] > 0))
@@ -1009,7 +1087,8 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
                               interpret=interpret, tables=op[2],
                               jrows=jrows, shard_axis=shard_axis,
                               n_live_t=nlt, event_ids=ev,
-                              n_colliders=n_colliders, compound=compound)
+                              n_colliders=n_colliders, compound=compound,
+                              edges=edges)
 
         def skip_frame(op):
             # fully-asleep world: every tile would skip anyway, but the
@@ -1183,7 +1262,7 @@ def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     cnt_spec = dict(slot_overflow=P(), solve_overflow=P(), solve_dropped=P(),
                     margin_dropped=P(), spec_dropped=P(),
                     window_overflow=P(), forced_resorts=P(),
-                    forced_rebuilds=P())
+                    forced_rebuilds=P(), compacted_rows=P())
     prev_spec = {k: tile_p for k in ("px", "py", "an")}
     mapped = jax.shard_map(
         run, mesh=mesh,

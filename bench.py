@@ -178,8 +178,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="batched",
                     choices=["batched", "pile", "pile_events", "pile_joints",
-                             "box_stack", "rope_bridge", "mechanism",
-                             "batched_rope", "batched_mechanism"])
+                             "pile_compound", "box_stack", "rope_bridge",
+                             "mechanism", "batched_rope",
+                             "batched_mechanism"])
     ap.add_argument("--no-pallas", action="store_true",
                     help="force the XLA path (A/B against the slot kernels)")
     ap.add_argument("--frames", type=int, default=30)
@@ -243,15 +244,19 @@ def main():
             "vs_baseline": round(bps / per_chip_target, 4),
             **pcts,
         }
-    elif args.config in ("pile", "pile_events", "pile_joints"):
+    elif args.config in ("pile", "pile_events", "pile_joints",
+                         "pile_compound"):
         # pile_events keeps sleeping OFF: event consumers observe touching
         # pairs, and a sleeping pair's contacts are frozen out of the touch
         # tables (the XLA tier reports them; cross-tier event semantics under
         # sleep are pinned to the awake set — see tiled.touch_keys docs)
-        scene = (sf.scenes.pile_joints(n_bodies=args.pile_bodies)
-                 if args.config == "pile_joints"
-                 else sf.scenes.pile(n_bodies=args.pile_bodies,
-                                     sleep=args.config == "pile"))
+        if args.config == "pile_joints":
+            scene = sf.scenes.pile_joints(n_bodies=args.pile_bodies)
+        elif args.config == "pile_compound":
+            scene = sf.scenes.pile_compound(n_bodies=args.pile_bodies)
+        else:
+            scene = sf.scenes.pile(n_bodies=args.pile_bodies,
+                                   sleep=args.config == "pile")
         lat = args.latency_reps if args.latency_reps is not None else 0
         # 240-frame chunks (4 s of sim): measured r4, the relay costs ~34 ms
         # PER CHUNK dispatch regardless of content — at the r3 chunk length
@@ -274,7 +279,9 @@ def main():
                                            reps=reps)
         tag = (" with contact events" if ev
                else " with distance-joint dumbbells"
-               if args.config == "pile_joints" else "")
+               if args.config == "pile_joints"
+               else " of two-collider compounds"
+               if args.config == "pile_compound" else "")
         out = {
             "metric": f"body-steps/sec ({args.pile_bodies}-body pile{tag})",
             "value": round(bps, 1),

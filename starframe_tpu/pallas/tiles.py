@@ -306,8 +306,20 @@ def _tables_kernel(
     o_thiy = own_slice(thiy)
     o_lay = own_slice(c_lay)
     o_msk = own_slice(c_msk)
-    # per-body position budget the tables stay valid for (window rows only)
-    sweep_o[0] = own_slice(swx)
+    # per-body position budget the tables stay valid for (window rows only).
+    # CLAMPED to the room the window's sort-axis coverage actually offers
+    # (r5): a fast row whose swept box would poke past the coverage edge
+    # gets a tighter budget instead of a silent speculative miss — the
+    # positional guard then rebuilds exactly when the covered horizon is
+    # exhausted. Only a row whose MARGIN (close) box itself escapes
+    # coverage is a real window miss (counted below); that shape no budget
+    # can fix — only a re-sort (the stale flag) or denser tiling.
+    if sort_axis == 0:
+        _c_lo, _c_hi = o_clox, o_chix
+    else:
+        _c_lo, _c_hi = o_cloy, o_chiy
+    avail = jnp.minimum(edge_hi[0] - _c_hi, _c_lo - edge_lo[0])
+    sweep_o[0] = jnp.minimum(own_slice(swx), jnp.maximum(avail, 0.0))
 
     # ---- dense candidate mask [S, T]: candidate j (sublanes) x own i ------
     def as_j(x):  # [1, S] -> [S, 1]
@@ -351,14 +363,12 @@ def _tables_kernel(
     elig = (as_j(c_part) > 0) & (as_j(c_act) > 0) & row_ok
     mask = (ov & diff & layer_ok & elig).astype(f32)
 
-    # window-miss detection: an own AABB reaching past the window's
-    # sort-axis range may have partners we cannot see — count it
-    # (SURVEY.md §4.6). sort_axis: 0 = tiles cut by x, 1 = by y.
-    if sort_axis == 0:
-        ax_lo, ax_hi = o_lox, o_hix
-    else:
-        ax_lo, ax_hi = o_loy, o_hiy
-    winover = ((ax_lo < edge_lo[0]) | (ax_hi > edge_hi[0])).astype(i32)
+    # window-miss detection: a row whose MARGIN box reaches past the
+    # window's sort-axis coverage may have imminent partners we cannot see
+    # — count it (SURVEY.md §4.6). Pure speculative (sweep-budget) escapes
+    # are NOT misses anymore: the budget clamp above converts them into
+    # earlier guard rebuilds. sort_axis: 0 = tiles cut by x, 1 = by y.
+    winover = ((_c_lo < edge_lo[0]) | (_c_hi > edge_hi[0])).astype(i32)
     winover_o[0] = winover * (o_responds[0] > 0).astype(i32)
 
     # ---- rank-select C partners per own body (touch, close, then swept) ---
@@ -1496,7 +1506,32 @@ def _owner_max3(x, ob, kc: int):
 # ===========================================================================
 
 
-def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos):
+def _ext_flat(x, shard_axis, Ntl, Tl):
+    """[Ntl*Tl, ...] flat own rows -> [(Ntl+2)*Tl, ...] with neighbor
+    shards' edge tiles as halo rows (flat view of :func:`_halo_ext`)."""
+    xt = _halo_ext(x.reshape(Ntl, Tl, *x.shape[1:]), shard_axis)
+    return xt.reshape((Ntl + 2) * Tl, *x.shape[1:])
+
+
+def _halo_fold_add(x, shard_axis, Ntl, Tl):
+    """[(Ntl+2)*Tl, ...] halo'd per-row ACCUMULATORS -> [Ntl*Tl, ...] own
+    rows, with values accumulated into halo rows RETURNED to their owner
+    shard and added (the reverse of :func:`_ext_flat`'s exchange). Edge
+    shards' outer halos hold zero-pad rows that no joint references."""
+    D = jax.lax.axis_size(shard_axis)
+    xt = x.reshape(Ntl + 2, Tl, *x.shape[1:])
+    own = xt[1:-1]
+    # my LEFT halo block holds contributions to my left neighbor's LAST
+    # own tile: send it left; symmetrically for the right halo
+    from_right = jax.lax.ppermute(xt[0:1], shard_axis,
+                                  [(i + 1, i) for i in range(D - 1)])
+    from_left = jax.lax.ppermute(xt[-1:], shard_axis,
+                                 [(i, i + 1) for i in range(D - 1)])
+    own = own.at[-1:].add(from_right).at[0:1].add(from_left)
+    return own.reshape(Ntl * Tl, *x.shape[1:])
+
+
+def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos, shard_axis=None):
     """One substep's joint solve on tile-layout state. Runs AFTER the
     contact apply kernel, mirroring solver.substep's colored branch: one
     masked exact-GS pass per color (corrections applied with relaxation 1,
@@ -1511,7 +1546,18 @@ def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos):
     restitution reads velocities without the current substep's joint
     delta/h. Plain distance/pin/weld/range joints contribute no velocity
     rows, so scenes without motors/damping match the XLA tier up to Jacobi
-    summation order."""
+    summation order.
+
+    With ``shard_axis`` (tile axis sharded under shard_map) the pass runs
+    on HALO-EXTENDED rows: ``jp`` rows are halo-local (built by
+    ``tiled._joint_rows`` from all-gathered body ids; each joint is solved
+    by exactly one shard — its ``row_a`` owner — and partners beyond the
+    one-tile halo reach are masked out and counted upstream). Per color,
+    accumulators landing on halo rows are ppermuted back to their owner
+    and summed BEFORE normalization (graph coloring guarantees one joint
+    per body per color globally, so cross-shard Gauss-Seidel order is
+    preserved exactly), then the refreshed edge tiles are re-exchanged for
+    the next color's reads."""
     from ..solver import (
         BodyState,
         _accumulate,
@@ -1521,14 +1567,29 @@ def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos):
 
     Nt, _, Tl = st["px"].shape
     Mp = Nt * Tl
+    sharded = shard_axis is not None
+    Mh = (Nt + 2) * Tl if sharded else Mp
 
     def flat(x):
         return x.reshape(Mp)
 
-    pos = jnp.stack([flat(st["px"]), flat(st["py"])], axis=-1)
-    vel = jnp.stack([flat(st["vx"]), flat(st["vy"])], axis=-1)
-    s = BodyState(pos, flat(st["an"]), vel, flat(st["om"]))
-    bodies = SimpleNamespace(inv_mass=jp["invm"], inv_inertia=jp["invi"])
+    def extf(x):
+        return _ext_flat(x, shard_axis, Nt, Tl) if sharded else x
+
+    def fold(x):
+        return _halo_fold_add(x, shard_axis, Nt, Tl) if sharded else x
+
+    def own(x):  # halo'd flat -> own rows
+        return x[Tl:Tl + Mp] if sharded else x
+
+    def mk_state(pos, ang, vel, om):
+        return BodyState(pos, ang, vel, om)
+
+    pos = jnp.stack([extf(flat(st["px"])), extf(flat(st["py"]))], axis=-1)
+    vel = jnp.stack([extf(flat(st["vx"])), extf(flat(st["vy"]))], axis=-1)
+    s = mk_state(pos, extf(flat(st["an"])), vel, extf(flat(st["om"])))
+    bodies = SimpleNamespace(inv_mass=extf(jp["invm"]),
+                             inv_inertia=extf(jp["invi"]))
     joints = SimpleNamespace(
         body_a=jp["row_a"], body_b=jp["row_b"], jtype=jp["jtype"],
         anchor_a=jp["anchor_a"], anchor_b=jp["anchor_b"], rest=jp["rest"],
@@ -1536,27 +1597,44 @@ def _tile_joint_pass(st, jp, *, h, n_colors, max_dpos):
         damping=jp["damping"], motor_speed=jp["motor_speed"],
         motor_max=jp["motor_max"], color=jp["color"], active=jp["active"],
     )
+
+    def apply_acc(s, acc):
+        """Fold accumulators to owners, normalize, apply, re-extend."""
+        dp = fold(acc.dpos)
+        da = fold(acc.dang)
+        cnt = jnp.maximum(fold(acc.count), 1.0)
+        dpos = jnp.clip(dp / cnt[:, None], -max_dpos, max_dpos)
+        dang = jnp.clip(da / cnt, -max_dpos, max_dpos)
+        npos = own(s.pos) + dpos
+        nang = own(s.angle) + dang
+        nvel = own(s.vel) + dpos / h
+        nom = own(s.ang_vel) + dang / h
+        return mk_state(
+            jnp.stack([extf(npos[:, 0]), extf(npos[:, 1])], axis=-1),
+            extf(nang),
+            jnp.stack([extf(nvel[:, 0]), extf(nvel[:, 1])], axis=-1),
+            extf(nom))
+
     for color in range(n_colors):
         last = color == n_colors - 1
         msk = (joints.color >= color) if last else (joints.color == color)
         contrib = solve_joint_positions(s, bodies, joints, h, mask=msk)
-        acc = _accumulate(Mp, False, *contrib)
-        cnt = jnp.maximum(acc.count, 1.0)
-        dpos = jnp.clip(acc.dpos / cnt[:, None], -max_dpos, max_dpos)
-        dang = jnp.clip(acc.dang / cnt, -max_dpos, max_dpos)
-        s = BodyState(s.pos + dpos, s.angle + dang,
-                      s.vel + dpos / h, s.ang_vel + dang / h)
+        s = apply_acc(s, _accumulate(Mh, False, *contrib))
     jv = velocity_joints(s, bodies, joints, h)
-    accv = _accumulate(Mp, False, *jv)
-    cntv = jnp.maximum(accv.count, 1.0)
-    vel = s.vel + accv.dpos / cntv[:, None]
-    om = s.ang_vel + accv.dang / cntv
+    accv = _accumulate(Mh, False, *jv)
+    dv = fold(accv.dpos)
+    dw = fold(accv.dang)
+    cntv = jnp.maximum(fold(accv.count), 1.0)
+    vel = own(s.vel) + dv / cntv[:, None]
+    om = own(s.ang_vel) + dw / cntv
+    opos = own(s.pos)
+    oang = own(s.angle)
 
     def tile(x):
         return x.reshape(Nt, 1, Tl)
 
-    return dict(px=tile(s.pos[:, 0]), py=tile(s.pos[:, 1]),
-                an=tile(s.angle), vx=tile(vel[:, 0]), vy=tile(vel[:, 1]),
+    return dict(px=tile(opos[:, 0]), py=tile(opos[:, 1]),
+                an=tile(oang), vx=tile(vel[:, 0]), vy=tile(vel[:, 1]),
                 om=tile(om))
 
 
@@ -1764,16 +1842,14 @@ def run_tiled_frame(
     over: all window reads (state per substep, corrections between project
     and apply, CCD TOI factors) then ride halo exchanges (one edge tile
     each way per array, :func:`_halo_ext`) and every array here is the
-    shard-local slice. Joints require global row gathers and must be
-    handled by the caller (``tiled.sharded_tiled_rollout`` gates them)."""
+    shard-local slice; ``joints`` rows must then be HALO-LOCAL with
+    beyond-reach joints masked out (``tiled._joint_rows``) — the joint
+    pass folds halo corrections back over the same exchange."""
     assert C % SG == 0, f"tile engine needs slot capacity % {SG} == 0, got {C}"
     if Cs is None:
         Cs = C
     Cs = min(Cs, C)
     assert Cs % SG == 0, f"solve capacity % {SG} != 0: {Cs}"
-    assert joints is None or shard_axis is None, (
-        "the joint pass needs global row gathers — not supported with a "
-        "sharded tile axis")
     assert not compound or (joints is None and shard_axis is None), (
         "compound rows: joints and the sharded tile axis are handled by "
         "other tiers (tiled.use_tiled gates)")
@@ -1875,9 +1951,17 @@ def run_tiled_frame(
         # while every joint is inert — both ends sleep-frozen or static
         # (effective inverse masses zeroed by the caller's freeze) or the
         # joint inactive. Exact: an all-frozen joint contributes zero.
-        ia = joints["invm"][joints["row_a"]] + joints["invi"][joints["row_a"]]
-        ib = joints["invm"][joints["row_b"]] + joints["invi"][joints["row_b"]]
+        if halo:
+            Ntl = state["px"].shape[0]
+            jim = _ext_flat(joints["invm"], shard_axis, Ntl, T)
+            jii = _ext_flat(joints["invi"], shard_axis, Ntl, T)
+        else:
+            jim, jii = joints["invm"], joints["invi"]
+        ia = jim[joints["row_a"]] + jii[joints["row_a"]]
+        ib = jim[joints["row_b"]] + jii[joints["row_b"]]
         jlive = jnp.any((joints["active"] > 0) & ((ia > 0) | (ib > 0)))
+        if halo:  # every shard must take the same branch
+            jlive = jax.lax.psum(jlive.astype(jnp.int32), shard_axis) > 0
     else:
         jlive = None
 
@@ -2002,11 +2086,14 @@ def run_tiled_frame(
                 nom = nom * (1.0 / (1.0 + h * ang_damp))
         st2 = dict(px=npx, py=npy, an=nan_, vx=nvx, vy=nvy, om=nom)
         if joints is not None:
+            # jlive is psum-replicated under shard_map, so every shard
+            # takes the same branch and the pass's ppermutes always pair
             st2 = jax.lax.cond(
                 jlive,
                 lambda s: _tile_joint_pass(s, joints, h=h,
                                            n_colors=joint_colors,
-                                           max_dpos=max_dpos_joint),
+                                           max_dpos=max_dpos_joint,
+                                           shard_axis=shard_axis),
                 lambda s: s, st2)
         return (st2, touched), ()
 

@@ -64,22 +64,31 @@ def use_tiled(world: World, cfg: SolverConfig) -> bool:
     if n != m:
         if world.joints.j > 0:
             return False
-        try:  # concrete-value checks: under tracing, fall to the XLA tier
+        # Value checks in PURE numpy on the RAW leaves: inside a jit trace,
+        # any jnp op would be staged into a tracer (omnistaging) and the
+        # np conversion would throw even for closure-constant worlds — so
+        # convert FIRST, then do numpy-only math. Worlds that are genuinely
+        # traced (step() jitted over the world) skip the value checks and
+        # pass structurally; the runtime HARD counter ``owner_overflow``
+        # (tiled_rollout/tiled_step diag, _owner_width_overflow) catches
+        # every compound-contract violation those checks would have.
+        try:
             import numpy as np
 
             cb = np.asarray(world.colliders.body_idx)
-            act = np.asarray((world.colliders.flags & COL_ACTIVE) != 0)
-            moves = np.asarray(
-                (world.bodies.inv_mass > 0) | (world.bodies.inv_inertia > 0)
-                | ((world.bodies.flags & BODY_KINEMATIC) != 0))
+            act = (np.asarray(world.colliders.flags) & COL_ACTIVE) != 0
+            moves = ((np.asarray(world.bodies.inv_mass) > 0)
+                     | (np.asarray(world.bodies.inv_inertia) > 0)
+                     | ((np.asarray(world.bodies.flags)
+                         & BODY_KINEMATIC) != 0))
             has_row = np.zeros(n, bool)
             has_row[cb[act]] = True
             if (moves & ~has_row).any() or ((~act) & moves[cb]).any():
                 return False
             if np.bincount(cb, minlength=n).max() > cfg.max_colliders_per_body:
                 return False
-        except Exception:
-            return False
+        except jax.errors.TracerArrayConversionError:
+            pass  # traced world: structural pass, counters backstop
     try:
         dev = jax.devices()[0]
     except Exception:
@@ -411,34 +420,92 @@ def _partition_perm(key_x, boxes_x, mova_x, awake_x, Nt, T,
 
 
 def _owner_width_overflow(world: World, cfg: SolverConfig):
-    """Colliders beyond the owner-reduction span on any body (i32 scalar).
-    The shift-reduction spans ``cfg.max_colliders_per_body`` rows; a wider
-    sibling block drops its overflowing rows' corrections — a HARD error."""
-    cb = world.colliders.body_idx.astype(i32)
-    cnt = jnp.zeros((world.bodies.n,), i32).at[cb].add(1)
-    return jnp.sum(jnp.maximum(cnt - cfg.max_colliders_per_body, 0))
+    """Compound-contract violations (i32 scalar, HARD counter):
+
+    - colliders beyond the owner-reduction span on any body (the shift
+      reduction spans ``cfg.max_colliders_per_body`` rows; a wider sibling
+      block drops its overflowing rows' corrections),
+    - moving bodies with NO active collider (no row -> never integrated on
+      the collider-row layout),
+    - inactive colliders on moving bodies (their rows land in the frozen
+      tail while active siblings integrate).
+
+    ``use_tiled`` rejects all three when the world is concrete; this
+    counter is the runtime backstop for traced worlds (jit'd ``step``)
+    and direct ``tiled_rollout`` calls past the gate."""
+    b, c = world.bodies, world.colliders
+    cb = c.body_idx.astype(i32)
+    act = ((c.flags & COL_ACTIVE) != 0).astype(i32)
+    moves = ((b.inv_mass > 0) | (b.inv_inertia > 0)
+             | ((b.flags & BODY_KINEMATIC) != 0))
+    cnt = jnp.zeros((b.n,), i32).at[cb].add(1)
+    width = jnp.sum(jnp.maximum(cnt - cfg.max_colliders_per_body, 0))
+    act_rows = jnp.zeros((b.n,), i32).at[cb].max(act)
+    no_row = jnp.sum((moves & (act_rows == 0)).astype(i32))
+    inact = jnp.sum(((act == 0) & moves[cb]).astype(i32))
+    return width + no_row + inact
 
 
-def _joint_rows(joints, body_id, n_tiles: int):
+def _joint_rows(joints, body_id, n_tiles: int, shard_axis: str | None = None):
     """Row-indexed joint pytree for the tile engine's XLA joint pass
     (pallas.tiles._tile_joint_pass): canonical endpoint ids mapped through
     the current sort permutation (``body_id`` row -> canonical inverts to
     canonical -> row with one scatter), plus the frame-static joint params.
     Rebuilt whenever ``body_id`` may have changed (resorts); the effective
-    (sleep-frozen) inverse masses are filled per frame by _run_frame."""
+    (sleep-frozen) inverse masses are filled per frame by _run_frame.
+    Returns ``(jrows, joint_shard_overflow)``.
+
+    With ``shard_axis`` (tile axis sharded; ``body_id`` is the shard-local
+    slice) rows are HALO-LOCAL: each joint is assigned to the shard owning
+    ``row_a``; a partner within the one-tile halo reach is addressable (the
+    joint pass folds its corrections back over the halo exchange), and a
+    partner beyond it is masked inactive and counted in the replicated HARD
+    counter ``joint_shard_overflow`` — on an x-sorted layout joint
+    endpoints are spatially adjacent, so reach misses mean the sort put
+    >1 tile of rows between jointed bodies (raise tiles per shard or keep
+    such scenes on fewer shards). ``srow_a/srow_b/sact`` are OWN-space
+    endpoint rows for the sleep closure, masked to fully-local joints
+    (cross-shard pairs fall back to per-body sleep)."""
     from .pallas.tiles import T
 
     j = joints
     Mp = n_tiles * T
-    take = jnp.zeros((Mp,), i32).at[body_id].set(jnp.arange(Mp, dtype=i32))
+    if shard_axis is None:
+        take = jnp.zeros((Mp,), i32).at[body_id].set(
+            jnp.arange(Mp, dtype=i32))
+        row_a, row_b = take[j.body_a], take[j.body_b]
+        active = j.active
+        extra = dict(srow_a=row_a, srow_b=row_b, sact=active)
+        jovf = jnp.int32(0)
+    else:
+        bid_g = jax.lax.all_gather(body_id, shard_axis, tiled=True)
+        Mg = bid_g.shape[0]
+        take = jnp.zeros((Mg,), i32).at[bid_g].set(jnp.arange(Mg, dtype=i32))
+        ga, gb = take[j.body_a], take[j.body_b]
+        base = jax.lax.axis_index(shard_axis) * Mp
+        la = ga - base + T
+        lb = gb - base + T
+        Mh = Mp + 2 * T
+        mine = (ga >= base) & (ga < base + Mp)
+        reach = (lb >= 0) & (lb < Mh)
+        active = j.active & mine & reach
+        jovf = jax.lax.psum(
+            jnp.sum((mine & j.active & jnp.logical_not(reach)).astype(i32)),
+            shard_axis)
+        row_a = jnp.clip(la, 0, Mh - 1)
+        row_b = jnp.clip(lb, 0, Mh - 1)
+        both_own = ((la >= T) & (la < T + Mp) & (lb >= T) & (lb < T + Mp))
+        extra = dict(srow_a=jnp.clip(la - T, 0, Mp - 1),
+                     srow_b=jnp.clip(lb - T, 0, Mp - 1),
+                     sact=active & both_own)
     return dict(
-        row_a=take[j.body_a], row_b=take[j.body_b],
+        row_a=row_a, row_b=row_b,
         jtype=j.jtype, anchor_a=j.anchor_a, anchor_b=j.anchor_b,
         rest=j.rest, lo=j.lo, hi=j.hi, compliance=j.compliance,
         damping=j.damping, motor_speed=j.motor_speed,
         motor_max=jnp.nan_to_num(j.motor_max, posinf=3.4e38),
-        color=j.color, active=j.active,
-    )
+        color=j.color, active=active, **extra,
+    ), jovf
 
 
 def _edge_rows(state: dict, consts: dict, cfg: SolverConfig,
@@ -686,9 +753,12 @@ def _run_frame(state, consts, large, cfg: SolverConfig, gravity,
 
             from .step import _joint_slow_closure, _joint_wake_closure
 
-            je = SimpleNamespace(body_a=jrows["row_a"],
-                                 body_b=jrows["row_b"],
-                                 active=jrows["active"])
+            # srow/sact: OWN-space rows (== row space unsharded; under a
+            # sharded tile axis, halo-reach rows remapped with cross-shard
+            # pairs masked — those fall back to per-body sleep)
+            je = SimpleNamespace(body_a=jrows["srow_a"],
+                                 body_b=jrows["srow_b"],
+                                 active=jrows["sact"])
             sh = slow.shape
             slow = _joint_slow_closure(slow.reshape(-1), je).reshape(sh)
             wakef = _joint_wake_closure(wakef.reshape(-1), je).reshape(sh)
@@ -840,7 +910,7 @@ def tiled_step(world: World, cfg: SolverConfig, gravity=None,
     compound = world.colliders.m != world.bodies.n
     state, consts, large, body_id, large_ovf = _enter_tiles(world, cfg)
     prev = {k: state[k] for k in ("px", "py", "an")}
-    jrows = (_joint_rows(world.joints, body_id, state["px"].shape[0])
+    jrows = (_joint_rows(world.joints, body_id, state["px"].shape[0])[0]
              if world.joints.j > 0 else None)
     new_state, consts, diag = _run_frame(state, consts, large, cfg, g,
                                          interpret=interpret, jrows=jrows,
@@ -870,9 +940,6 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
     Cs = -(-cfg.slot_capacity // 8) * 8
     Csol = _solve_cap(cfg)
     gmag = jnp.sqrt(jnp.sum(jnp.asarray(g, f32) ** 2))
-    if shard_axis is not None and (joints is not None or with_events):
-        raise NotImplementedError(
-            "sharded tile rollouts do not support joints or events yet")
 
     ak = "px" if cfg.tile_sort_axis == "x" else "py"
 
@@ -926,7 +993,7 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
 
     def body(carry, _):
         (state, consts, body_id, tables, pos0, sweep, age,
-         ovf, sovf, sdrp, marg, spec, wovf, resorts, rebuilds) = carry
+         ovf, sovf, sdrp, marg, spec, wovf, jovf, resorts, rebuilds) = carry
         el, eh, stale = _edge_rows(state, consts, cfg, shard_axis)
         # scheduled re-sorts are pointless while nothing moves (a fully
         # sleeping world keeps a valid sort); the guard still forces one
@@ -1065,8 +1132,12 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
         prev = {k: state[k] for k in ("px", "py", "an")}
         # joint endpoint rows track the current sort permutation; the
         # scatter+gathers are [Mp]+[J]-sized — cheap to refresh per frame
-        jrows = (_joint_rows(joints, body_id, state["px"].shape[0])
-                 if joints is not None else None)
+        if joints is not None:
+            jrows, jovf_f = _joint_rows(joints, body_id,
+                                        state["px"].shape[0], shard_axis)
+            jovf = jnp.maximum(jovf, jovf_f)
+        else:
+            jrows = None
 
         def live_frame(op):
             nlt = None
@@ -1129,17 +1200,18 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
             # (measured r5); this is one fused `where`
             out = (prev, jnp.where(diag["touched"] > 0, diag["key_sel"], -1))
         return (state, consts, body_id, tables, pos0, sweep, age,
-                ovf, sovf, sdrp, marg, spec, wovf, resorts, rebuilds), out
+                ovf, sovf, sdrp, marg, spec, wovf, jovf, resorts,
+                rebuilds), out
 
     zero = jnp.int32(0)
     tables0, pos00, sweep0, bovf0, bmarg0, bspec0, bwovf0 = build(
         state, consts, body_id)
     carry0 = (state, consts, body_id, tables0, pos00, sweep0,
               jnp.int32(1 % K), bovf0, zero, zero, bmarg0, bspec0, bwovf0,
-              zero, zero)
+              zero, zero, zero)
     (state, consts, body_id, _, _, _, _, ovf, sovf, sdrp, marg, spec,
-     wovf, resorts, rebuilds), ys = jax.lax.scan(body, carry0, None,
-                                                 length=n_frames)
+     wovf, jovf, resorts, rebuilds), ys = jax.lax.scan(body, carry0, None,
+                                                       length=n_frames)
     if with_events:
         prevs, keys = ys
     else:
@@ -1148,6 +1220,7 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
     counters = dict(slot_overflow=ovf, solve_overflow=sovf,
                     solve_dropped=sdrp, margin_dropped=marg,
                     spec_dropped=spec, window_overflow=wovf,
+                    joint_shard_overflow=jovf,
                     forced_resorts=resorts, forced_rebuilds=rebuilds,
                     # awake-prefix compaction observability: movers in the
                     # sleeping tail of the FINAL layout (0 = un-partitioned)
@@ -1158,7 +1231,8 @@ def _rollout_core(state, consts, large, body_id, joints, gravity,
         # per-shard maxima/sums -> one replicated scalar per counter (the
         # resort/rebuild counts are replicated already; psum would scale
         # them by the shard count, so they pass through)
-        counters = {k: (v if k in ("forced_resorts", "forced_rebuilds")
+        counters = {k: (v if k in ("forced_resorts", "forced_rebuilds",
+                                   "joint_shard_overflow")
                         else jax.lax.psum(v, shard_axis))
                     for k, v in counters.items()}
     return state, consts, body_id, prev_last, counters, keys
@@ -1204,11 +1278,15 @@ def tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
 
 def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
                           mesh, axis_name: str = "tiles",
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          with_events: bool = False):
     """Tile-layout rollout with the TILE axis sharded over a device mesh —
     the scale-out path for single worlds too big for one chip (>100k
     bodies; FUTURE.md's last unsharded axis). Returns ``(final_world,
-    diag)`` with the same counters as :func:`tiled_rollout`.
+    diag)`` with the same counters as :func:`tiled_rollout` (plus the
+    replicated HARD ``joint_shard_overflow``), or ``(final_world, diag,
+    keys)`` with ``with_events`` — per-frame canonical touch keys
+    [n_frames, Nt, Csol, T], frame axis leading, tile axis sharded.
 
     How the one cross-tile data dependency is satisfied: every window read
     (3-tile sort window) comes from a halo-extended local array — one edge
@@ -1219,17 +1297,22 @@ def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     guard uses the uniform (t-1, t, t+1) coverage; re-sorts are global
     (all-gathered sort keys + row gathers, amortized over
     ``cfg.frames_per_broadphase``), and every resort/rebuild decision is
-    psum-replicated so all shards branch together. Requirements beyond
-    :func:`use_tiled`: no joints, no contact events (follow-ups), and the
-    tile count must divide evenly over the mesh axis.
+    psum-replicated so all shards branch together.
+
+    Joints (r5): each joint is solved by the shard owning its first
+    endpoint's row; partners are addressable through the same one-tile halo
+    (corrections accumulated into halo rows are ppermuted back and summed
+    before normalization — exact colored-GS, see
+    ``pallas.tiles._tile_joint_pass``). A joint whose endpoints end up more
+    than one tile apart in sort order is masked and counted in
+    ``joint_shard_overflow``. Contact events (r5): the in-kernel key
+    compute rides the same halo'd canonical-id rows as everything else.
+    The tile count must divide evenly over the mesh axis; compound worlds
+    are not supported (sibling blocks would need their own halo
+    treatment).
     """
-    from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
-    if world.joints.j > 0:
-        raise NotImplementedError(
-            "sharded_tiled_rollout does not support joints yet (the joint "
-            "pass gathers global body rows)")
     if world.colliders.m != world.bodies.n:
         raise NotImplementedError(
             "sharded_tiled_rollout does not support compound bodies yet "
@@ -1243,17 +1326,21 @@ def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
             " — pad the world capacity to a multiple of "
             f"{D} * T ({D * state['px'].shape[2]}) colliders")
     body_id = body_id.reshape(Nt, -1)  # [Nt, T]: shard rows with the tiles
+    joints = world.joints if world.joints.j > 0 else None
 
     core = functools.partial(
         _rollout_core, cfg=cfg, n_frames=n_frames,
-        n_colliders=world.colliders.m, with_events=False,
+        n_colliders=world.colliders.m, with_events=with_events,
         interpret=interpret, shard_axis=axis_name)
 
     def run(state_l, consts_l, large_r, body_id_l, gravity_r):
-        st, co, bid, prev, counters, _ = core(
-            state_l, consts_l, large_r, body_id_l.reshape(-1), None,
+        st, co, bid, prev, counters, keys = core(
+            state_l, consts_l, large_r, body_id_l.reshape(-1), joints,
             gravity_r)
-        return st, co, bid.reshape(body_id_l.shape), prev, counters
+        out = (st, co, bid.reshape(body_id_l.shape), prev, counters)
+        if with_events:
+            out = out + (keys,)
+        return out
 
     tile_p = P(axis_name, None, None)
     state_specs = {k: tile_p for k in state}
@@ -1261,20 +1348,27 @@ def sharded_tiled_rollout(world: World, cfg: SolverConfig, n_frames: int,
     large_specs = jax.tree.map(lambda _: P(), large)
     cnt_spec = dict(slot_overflow=P(), solve_overflow=P(), solve_dropped=P(),
                     margin_dropped=P(), spec_dropped=P(),
-                    window_overflow=P(), forced_resorts=P(),
+                    window_overflow=P(), joint_shard_overflow=P(),
+                    forced_resorts=P(),
                     forced_rebuilds=P(), compacted_rows=P())
     prev_spec = {k: tile_p for k in ("px", "py", "an")}
+    out_specs = (state_specs, consts_specs, P(axis_name, None), prev_spec,
+                 cnt_spec)
+    if with_events:
+        out_specs = out_specs + (P(None, axis_name, None, None),)
     mapped = jax.shard_map(
         run, mesh=mesh,
         in_specs=(state_specs, consts_specs, large_specs, P(axis_name, None),
                   P()),
-        out_specs=(state_specs, consts_specs, P(axis_name, None), prev_spec,
-                   cnt_spec),
+        out_specs=out_specs,
         check_vma=False,
     )
     gravity = jnp.asarray(world.gravity, f32)
-    state, consts, body_id, prev_last, counters = mapped(
-        state, consts, large, body_id, gravity)
+    out = mapped(state, consts, large, body_id, gravity)
+    state, consts, body_id, prev_last, counters = out[:5]
     final = _exit_tiles(world, state, consts, prev_last,
                         body_id.reshape(-1), n_frames)
-    return final, dict(counters, large_overflow=large_ovf)
+    diag = dict(counters, large_overflow=large_ovf)
+    if with_events:
+        return final, diag, out[5]
+    return final, diag

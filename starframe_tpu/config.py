@@ -133,6 +133,17 @@ class SolverConfig:
     # single body may own. A body with more overflows (HARD counter
     # `owner_overflow` — its extra colliders' corrections would drop).
     max_colliders_per_body: int = 4
+    # Per-frame solve-slot compaction for the BATCHED slot kernel (the
+    # frame2 twin of `tile_solve_capacity`): the substep loop runs at this
+    # many rank-selected (closest-first, three-tier) slots per collider
+    # instead of the full K-frame table width `slot_capacity`. <= 0
+    # disables. Dropping an imminent (sep < contact_margin) candidate is
+    # the HARD `solve_overflow`; dropping a merely pmask-active one is the
+    # soft `solve_dropped` (zero impulse this frame, re-admitted at the
+    # next frame's manifolds). Measured r5 on the 4096x256 flagship batch:
+    # mean pmask-active 1.24 vs tables at 16 — 8 is exact there and cuts
+    # every per-substep kernel op's width 2x.
+    batch_solve_capacity: int = 0
     # Rollouts rebuild the slot-table broadphase every K-th frame (sweeps are
     # inflated to stay a valid candidate superset for K frames — solved
     # contacts are unchanged, only speculative slot pressure rises). 1 =

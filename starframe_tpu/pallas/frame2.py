@@ -92,8 +92,9 @@ def _frame2_kernel(
     max_dpos: float, rest_threshold: float, lin_damp: float, ang_damp: float,
     joint_solver: str = "jacobi", n_colors: int = 1,
     max_dpos_joint: float = 1e3, ccd: bool = False, ccd_slop: float = 0.005,
-    uniform: bool = True,
+    uniform: bool = True, Cs: int = 0,
 ):
+    compact = 0 < Cs < C
     if not uniform:
         bcol_r, bmask_r = rest[:2]
         rest = rest[2:]
@@ -102,10 +103,11 @@ def _frame2_kernel(
          jlo_r, jhi_r, jcomp_r, jdamp_r, jms_r, jmm_r, jcolor_r,
          jslot_r, jside_r, jact_r, grav_r,
          oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r, otouched_r,
-         ) = rest
+         *orest) = rest
     else:
         (grav_r, oposx_r, oposy_r, oang_r, ovelx_r, ovely_r, oangvel_r,
-         otouched_r) = rest
+         otouched_r, *orest) = rest
+    opartner_r, onact_r = orest if compact else (None, None)
 
     px, py, an = posx_r[:], posy_r[:], ang_r[:]
     vx, vy, om = velx_r[:], vely_r[:], angvel_r[:]
@@ -129,24 +131,30 @@ def _frame2_kernel(
     # widens every op C-fold and cuts its issue count C-fold (the frame2
     # analogue of the tile engine's sublane packing — PROFILE.md cost model,
     # FUTURE.md lever 1a).
-    def tile_c(x):  # [Wb, M] -> [Wb, C*M]: own-side quantity, one copy/slot
-        return x if C == 1 else jnp.concatenate([x] * C, axis=-1)
+    def _tile_w(x, k):  # [Wb, M] -> [Wb, k*M]: own-side quantity per slot
+        return x if k == 1 else jnp.concatenate([x] * k, axis=-1)
 
-    def sum_c(x):  # [..., C*M] -> [..., M]: reduce packed slots per collider
-        if C == 1:
+    def _sum_w(x, k):  # [..., k*M] -> [..., M]: reduce packed slots
+        if k == 1:
             return x
         acc = x[..., 0:M]
-        for c in range(1, C):
+        for c in range(1, k):
             acc = acc + x[..., c * M:(c + 1) * M]
         return acc
 
-    def min_c(x):  # [..., C*M] -> [..., M]: min over packed slots (CCD TOI)
-        if C == 1:
+    def _min_w(x, k):  # [..., k*M] -> [..., M]: min over packed slots
+        if k == 1:
             return x
         acc = x[..., 0:M]
-        for c in range(1, C):
+        for c in range(1, k):
             acc = jnp.minimum(acc, x[..., c * M:(c + 1) * M])
         return acc
+
+    def tile_c(x):  # table width (frame setup)
+        return _tile_w(x, C)
+
+    def sum_c(x):
+        return _sum_w(x, C)
 
     # ---- frame constants ----------------------------------------------------
     if uniform:
@@ -337,6 +345,95 @@ def _frame2_kernel(
 
     touch0 = jnp.max((m.sep < TOUCH_SLOP).astype(f32) * pmask, axis=0)
 
+    # ---- per-frame solve-slot compaction (r5 — the frame2 analogue of the
+    # tile engine's r4 lever): manifolds are frame-frozen, so only slots
+    # with a pmask-active point can contribute to ANY substep, and the mean
+    # active count is far below the K-frame table width C (measured 1.24 vs
+    # C=16 on the flagship batch). Rank-select the Cs closest candidates
+    # per collider (three tiers: touching now < imminent (sep < margin) <
+    # speculative-active; empty last) and run the 10-substep loop at the
+    # COMPACTED packing — every per-substep op narrows C/Cs-fold. The rank
+    # permutation is applied with ONE in-register lane gather per array.
+    # Counters (onact_r): [.., 0, :] = imminent count (drop beyond Cs =
+    # HARD solve_overflow), [.., 1, :] = pmask-active count (soft
+    # solve_dropped — a dropped speculative manifold produces zero impulse
+    # this frame and re-enters at the next frame's manifolds).
+    if compact:
+        BIGS = jnp.float32(1e9)
+        pm_any = jnp.max(pmask, axis=0)  # [Wb, C*M]
+        sep_min = jnp.min(jnp.where(pmask > 0, m.sep, BIGS), axis=0)
+        tier = jnp.where(touch0 > 0, 0.0,
+                         jnp.where((sep_min < margin) & (pm_any > 0), 1.0,
+                                   jnp.where(pm_any > 0, 2.0, 3.0)))
+
+        def sl(x, c):
+            return x[:, c * M:(c + 1) * M]
+
+        # lexicographic rank over (tier, sep, slot index) — exact total
+        # order, C^2 [Wb, M] comparisons once per frame
+        rank = [None] * C
+        for c in range(C):
+            acc = None
+            tc = sl(tier, c)
+            sc = sl(sep_min, c)
+            for c2 in range(C):
+                if c2 == c:
+                    continue
+                t2 = sl(tier, c2)
+                s2 = sl(sep_min, c2)
+                before = (t2 < tc) | ((t2 == tc)
+                                      & ((s2 < sc)
+                                         | ((s2 == sc) & (c2 < c))))
+                b32 = before.astype(i32)
+                acc = b32 if acc is None else acc + b32
+            rank[c] = acc
+        lane_m = jax.lax.broadcasted_iota(i32, (Wb, M), 1)
+        src_abs = []
+        for s in range(Cs):
+            slot = None
+            for c in range(C):
+                t = jnp.where(rank[c] == s, jnp.int32(c), 0)
+                slot = t if slot is None else slot + t
+            src_abs.append(slot * M + lane_m)
+        src_abs = jnp.concatenate(src_abs, axis=-1)  # [Wb, Cs*M]
+
+        def cpk(x):  # [Wb, C*M] -> [Wb, Cs*M] via the rank permutation
+            return lane_gather(x, src_abs)
+
+        def cpk2(x):  # [P, Wb, C*M] -> [P, Wb, Cs*M]
+            return jnp.stack([cpk(x[p]) for p in range(x.shape[0])])
+
+        onact_r[:, 0, :] = _sum_w((tier <= 1.0).astype(f32), C)
+        onact_r[:, 1, :] = _sum_w((tier <= 2.0).astype(f32), C)
+        pc = cpk(pc)
+        pb = cpk(pb)
+        touch0 = cpk(touch0)
+        for s in range(Cs):
+            opartner_r[:, s, :] = pc[:, s * M:(s + 1) * M]
+        cb_ = SimpleNamespace(
+            n_ax=cpk2(cb_.n_ax), n_ay=cpk2(cb_.n_ay),
+            a_ax=cpk2(cb_.a_ax), a_ay=cpk2(cb_.a_ay),
+            b_ax=cpk2(cb_.b_ax), b_ay=cpk2(cb_.b_ay),
+            solve_mask=cpk2(cb_.solve_mask), pmask=cpk2(cb_.pmask),
+            sep=cpk2(cb_.sep),
+        )
+        pd_ = SimpleNamespace(
+            friction=cpk(pd_.friction), restitution=cpk(pd_.restitution),
+            inv_mass_a=cpk(pd_.inv_mass_a), inv_mass_b=cpk(pd_.inv_mass_b),
+            inv_inertia_a=cpk(pd_.inv_inertia_a),
+            inv_inertia_b=cpk(pd_.inv_inertia_b),
+        )
+    Cp = Cs if compact else C
+
+    def tile_cp(x):  # solve width (substep loop)
+        return _tile_w(x, Cp)
+
+    def sum_cp(x):
+        return _sum_w(x, Cp)
+
+    def min_cp(x):
+        return _min_w(x, Cp)
+
     def joint_pose(cab, sab, px, py, an):
         """Own pose is the body lane itself (tiled); the partner is gathered."""
         pbj = jpack.pb
@@ -348,10 +445,10 @@ def _frame2_kernel(
 
     def slot_pose(cab, sab, px, py):
         """Packed pair poses: own side gathered once per collider and tiled,
-        partner side gathered at the packed slot indices."""
+        partner side gathered at the packed (solve-width) slot indices."""
         return PairPose(
-            tile_c(lane_gather(px, cbody)), tile_c(lane_gather(py, cbody)),
-            tile_c(lane_gather(cab, cbody)), tile_c(lane_gather(sab, cbody)),
+            tile_cp(lane_gather(px, cbody)), tile_cp(lane_gather(py, cbody)),
+            tile_cp(lane_gather(cab, cbody)), tile_cp(lane_gather(sab, cbody)),
             lane_gather(px, pb), lane_gather(py, pb),
             lane_gather(cab, pb), lane_gather(sab, pb),
         )
@@ -364,7 +461,7 @@ def _frame2_kernel(
     # substep would be pure duplication (measured r3: the kernel is
     # VPU-pass-bound).
     # CCD frame constant: own collider's body is bullet-flagged ([Wb, C*M])
-    blt_t = tile_c(lane_gather(bullet, cbody)) if ccd else None
+    blt_t = tile_cp(lane_gather(bullet, cbody)) if ccd else None
 
     def substep(_, carry):
         if ccd:
@@ -404,7 +501,7 @@ def _frame2_kernel(
             # min over the 2 points, then this row's C slots -> [Wb, M];
             # only bullet-owned rows clamp
             f_slot = jnp.where(blt_t > 0, jnp.minimum(f_pt[0], f_pt[1]), 1.0)
-            f_col = min_c(f_slot)
+            f_col = min_cp(f_slot)
             # collider -> body: sum of (1 - f) over a body's colliders upper-
             # bounds max(1 - f), so the clamp is EXACT for single-collider
             # bullets (the projectile case) and conservative (stops earlier,
@@ -427,7 +524,7 @@ def _frame2_kernel(
                 pose, None, pd_, cb_, h, compliance,
                 kin0=(wax0, way0, wbx0, wby0))
             lam_n = lam_n + lam_i
-            ab = to_bodies(sum_c(vals_a))  # [4, Wb, N]
+            ab = to_bodies(sum_cp(vals_a))  # [4, Wb, N]
             if jpack is not None and joint_solver == "jacobi":
                 # joints: averaged Jacobi fused with the contact apply
                 pose_j, an_p = joint_pose(cab, sab, px, py, an)
@@ -485,19 +582,19 @@ def _frame2_kernel(
         pose_v = slot_pose(cab, sab, px, py)
         kin_v = _pair_kinematics(cb_, pose_v)
         pvel = PairVel(
-            tile_c(lane_gather(vx, cbody)), tile_c(lane_gather(vy, cbody)),
-            tile_c(lane_gather(om, cbody)),
+            tile_cp(lane_gather(vx, cbody)), tile_cp(lane_gather(vy, cbody)),
+            tile_cp(lane_gather(om, cbody)),
             lane_gather(vx, pb), lane_gather(vy, pb), lane_gather(om, pb),
         )
         pvel0 = PairVel(
-            tile_c(lane_gather(vtx, cbody)), tile_c(lane_gather(vty, cbody)),
-            tile_c(lane_gather(vtom, cbody)),
+            tile_cp(lane_gather(vtx, cbody)), tile_cp(lane_gather(vty, cbody)),
+            tile_cp(lane_gather(vtom, cbody)),
             lane_gather(vtx, pb), lane_gather(vty, pb), lane_gather(vtom, pb),
         )
         cv_a, _ = velocity_contacts_b(
             pose_v, pvel, pvel0, pd_, cb_, lam_n, h, rest_threshold,
             kin=kin_v)
-        abv = to_bodies(sum_c(cv_a))
+        abv = to_bodies(sum_cp(cv_a))
         tk = jnp.max((lam_n > 0.0).astype(f32) * cb_.pmask, axis=0)
         touched = jnp.maximum(touched, tk)
         if jpack is not None:
@@ -543,7 +640,7 @@ def _frame2_kernel(
     ovelx_r[:] = vx
     ovely_r[:] = vy
     oangvel_r[:] = om
-    for c in range(C):  # unpack the lane-packed slots back to [Wb, C, M]
+    for c in range(Cp):  # unpack the lane-packed slots back to [Wb, Cp, M]
         otouched_r[:, c, :] = touched[:, c * M:(c + 1) * M]
 
 
@@ -565,7 +662,7 @@ def pick_frame_worlds(n_worlds: int, m: int, c: int, budget=6 * 1024 * 1024):
         "C", "JC", "substeps", "iterations", "h", "dt", "margin", "compliance",
         "relaxation", "max_dpos", "rest_threshold", "lin_damp", "ang_damp",
         "joint_solver", "n_colors", "max_dpos_joint", "ccd", "ccd_slop",
-        "worlds_per_program", "interpret",
+        "worlds_per_program", "interpret", "Cs",
     ),
 )
 def run_frame2(
@@ -583,15 +680,25 @@ def run_frame2(
     max_dpos, rest_threshold, lin_damp, ang_damp,
     joint_solver: str = "jacobi", n_colors: int = 1,
     max_dpos_joint: float = 1e3, ccd: bool = False, ccd_slop: float = 0.005,
-    worlds_per_program: int = 0, interpret: bool = False,
+    worlds_per_program: int = 0, interpret: bool = False, Cs: int = 0,
 ):
     """Run one frame's XPBD substeps for a world batch. Returns
-    ``(posx, posy, ang, velx, vely, angvel, touched[W, C, M])``."""
+    ``(posx, posy, ang, velx, vely, angvel, touched[W, Cp, M])`` where
+    ``Cp = Cs`` with per-frame solve-slot compaction (``0 < Cs < C`` — see
+    the in-kernel compaction comment) else ``C``; with compaction two more
+    outputs follow: ``partner_solve [W, Cs, M]`` i32 (the compacted
+    partner-collider table ``touched`` indexes — feed it wherever the
+    build-time ``partner`` table was used against ``touched``) and
+    ``nact [W, 2, M]`` f32 (imminent / pmask-active candidate counts per
+    collider, for the HARD ``solve_overflow`` / soft ``solve_dropped``
+    counters)."""
     W, N = posx.shape
     M = cbody.shape[1]
     V = vlx.shape[1]
     has_joints = joints is not None
     uniform = owner is None
+    compact = 0 < Cs < C
+    Cp = Cs if compact else C
     Wb = worlds_per_program or pick_frame_worlds(W, M, C)
     if bullet is None:
         bullet = jnp.zeros_like(invm)
@@ -602,7 +709,7 @@ def run_frame2(
         relaxation=relaxation, max_dpos=max_dpos, rest_threshold=rest_threshold,
         lin_damp=lin_damp, ang_damp=ang_damp, joint_solver=joint_solver,
         n_colors=n_colors, max_dpos_joint=max_dpos_joint,
-        ccd=ccd, ccd_slop=ccd_slop, uniform=uniform,
+        ccd=ccd, ccd_slop=ccd_slop, uniform=uniform, Cs=Cs,
     )
 
     def nspec():
@@ -659,15 +766,23 @@ def run_frame2(
     in_specs += [gspec]
     args += [gravity]
 
+    def cpspec(k, ln=None):
+        return pl.BlockSpec((Wb, k, M), lambda w: (w, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [nspec()] * 6 + [cpspec(Cp)]
+    out_shape = ([jax.ShapeDtypeStruct((W, N), f32)] * 6
+                 + [jax.ShapeDtypeStruct((W, Cp, M), f32)])
+    if compact:
+        out_specs += [cpspec(Cs), cpspec(2)]
+        out_shape += [jax.ShapeDtypeStruct((W, Cs, M), i32),
+                      jax.ShapeDtypeStruct((W, 2, M), f32)]
     outs = pl.pallas_call(
         kernel,
         grid=(W // Wb,),
         in_specs=in_specs,
-        out_specs=tuple([nspec()] * 6 + [cspec()]),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((W, N), f32)] * 6
-            + [jax.ShapeDtypeStruct((W, C, M), f32)]
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

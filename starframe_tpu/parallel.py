@@ -250,6 +250,15 @@ def frame2_tables(worlds: World, cfg: SolverConfig, frames: int = 1,
     return (tables, budget) if return_budget else tables
 
 
+def _batch_solve_cap(cfg: SolverConfig) -> int:
+    """Solve-slot width for the batched kernel (config.batch_solve_capacity,
+    lane-packed so any positive width works): 0 = compaction off."""
+    if (cfg.batch_solve_capacity <= 0
+            or cfg.batch_solve_capacity >= cfg.slot_capacity):
+        return 0  # full width: the kernel runs uncompacted
+    return cfg.batch_solve_capacity
+
+
 def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
                 tables=None, owner=None):
     """One batched frame through the slot kernels. Returns
@@ -317,7 +326,8 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         )
 
     gravity = jnp.broadcast_to(worlds.gravity, (body["posx"].shape[0], 2))
-    posx, posy, ang, velx, vely, angvel, touched = run_frame2(
+    Cs = _batch_solve_cap(cfg)
+    outs = run_frame2(
         body["posx"], body["posy"], body["ang"],
         body["velx"], body["vely"], body["angvel"],
         body["invm"], body["invi"], body["dyn"], body["kin"],
@@ -331,8 +341,19 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
         lin_damp=cfg.linear_damping, ang_damp=cfg.angular_damping,
         joint_solver=cfg.joint_solver, n_colors=cfg.max_joint_colors,
         max_dpos_joint=cfg.max_dpos, ccd=cfg.ccd, ccd_slop=cfg.ccd_slop,
-        interpret=interpret,
+        interpret=interpret, Cs=Cs,
     )
+    posx, posy, ang, velx, vely, angvel, touched = outs[:7]
+    solve_overflow = solve_dropped = jnp.int32(0)
+    if Cs:
+        # compaction: `partner` downstream must be the table `touched`
+        # actually indexes (wake rows, event keys); the nact counts give
+        # the HARD imminent-drop / soft speculative-drop counters
+        partner, nact = outs[7], outs[8]
+        solve_overflow = jnp.sum(jnp.maximum(
+            nact[:, 0, :] - Cs, 0.0)).astype(jnp.int32)
+        solve_dropped = jnp.sum(jnp.maximum(
+            nact[:, 1, :] - Cs, 0.0)).astype(jnp.int32) - solve_overflow
 
     b = worlds.bodies
     pos = jnp.stack([posx, posy], axis=-1)
@@ -390,7 +411,8 @@ def frame2_step(worlds: World, cfg: SolverConfig, interpret: bool = False,
     new_worlds = dataclasses.replace(
         worlds, bodies=new_bodies, step_count=worlds.step_count + 1
     )
-    aux = dict(joint_overflow=joint_overflow, owner_overflow=owner_overflow)
+    aux = dict(joint_overflow=joint_overflow, owner_overflow=owner_overflow,
+               solve_overflow=solve_overflow, solve_dropped=solve_dropped)
     return new_worlds, touched, partner, (count, count_touch, count_close), aux
 
 
@@ -573,7 +595,7 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
                  if not cfg.batch_uniform_topology else None)
 
         def body(carry, _):
-            w, ovf, marg, spec, jovf = carry
+            w, ovf, marg, spec, jovf, sovf, sdrp = carry
             tables = frame2_tables(w, cfg, frames=1, interpret=interpret,
                                    elig=elig)
             w2, touched, partner, (count, count_touch, count_close), aux = \
@@ -583,16 +605,21 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
             marg = jnp.maximum(marg, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
             jovf = jnp.maximum(jovf, aux["joint_overflow"])
-            return (w2, ovf, marg, spec, jovf), record_k(w2, touched, partner)
+            sovf = jnp.maximum(sovf, aux["solve_overflow"])
+            sdrp = jnp.maximum(sdrp, aux["solve_dropped"])
+            return (w2, ovf, marg, spec, jovf, sovf,
+                    sdrp), record_k(w2, touched, partner)
 
         neg = jnp.int32(-(2**31))
-        (final, ovf, marg, spec, jovf), traj = jax.lax.scan(
-            body, (worlds, neg, neg, neg, jnp.int32(0)), None,
+        zero = jnp.int32(0)
+        (final, ovf, marg, spec, jovf, sovf, sdrp), traj = jax.lax.scan(
+            body, (worlds, neg, neg, neg, zero, zero, zero), None,
             length=n_frames)
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
                     margin_dropped=jnp.maximum(marg, 0),
                     spec_dropped=jnp.maximum(spec, 0),
                     joint_overflow=jovf, forced_rebuilds=jnp.int32(0),
+                    solve_overflow=sovf, solve_dropped=sdrp,
                     owner_overflow=(owner[2] if owner is not None
                                     else jnp.int32(0)))
         return final, traj, diag
@@ -627,7 +654,7 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
             return tables, w.bodies.pos, budget
 
         def body(carry, _):
-            (w, tables, pos0, sweep, age, ovf, marg, spec, jovf,
+            (w, tables, pos0, sweep, age, ovf, marg, spec, jovf, sovf, sdrp,
              rebuilds) = carry
             if K > 1:
                 b = w.bodies
@@ -652,22 +679,26 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
             marg = jnp.maximum(marg, jnp.max(count_close) - C)
             spec = jnp.maximum(spec, jnp.max(count) - C)
             jovf = jnp.maximum(jovf, aux["joint_overflow"])
+            sovf = jnp.maximum(sovf, aux["solve_overflow"])
+            sdrp = jnp.maximum(sdrp, aux["solve_dropped"])
             rebuilds = rebuilds + (viol & (age != 0)).astype(jnp.int32)
             age = jnp.where(do, 1, age + 1) % K
             return (w2, tables, pos0, sweep, age, ovf, marg, spec, jovf,
-                    rebuilds), record_k(w2, touched, partner)
+                    sovf, sdrp, rebuilds), record_k(w2, touched, partner)
 
         tables0, pos00, sweep0 = build(worlds)
         zero = jnp.int32(0)
         neg = jnp.int32(-(2**31))
         carry0 = (worlds, tables0, pos00, sweep0, jnp.int32(1 % K),
-                  neg, neg, neg, zero, zero)
-        (final, _, _, _, _, ovf, marg, spec, jovf, rebuilds), traj = \
+                  neg, neg, neg, zero, zero, zero, zero)
+        (final, _, _, _, _, ovf, marg, spec, jovf, sovf, sdrp,
+         rebuilds), traj = \
             jax.lax.scan(body, carry0, None, length=n_frames)
         diag = dict(slot_overflow=jnp.maximum(ovf, 0),
                     margin_dropped=jnp.maximum(marg, 0),
                     spec_dropped=jnp.maximum(spec, 0),
                     joint_overflow=jovf, forced_rebuilds=rebuilds,
+                    solve_overflow=sovf, solve_dropped=sdrp,
                     owner_overflow=(owner[2] if owner is not None
                                     else jnp.int32(0)))
         return final, traj, diag
@@ -684,7 +715,7 @@ def batched_rollout(worlds: World, cfg: SolverConfig, max_pairs: int,
         body, (worlds, zero, zero), None, length=n_frames)
     diag = dict(slot_overflow=povf, margin_dropped=zero, spec_dropped=zero,
                 joint_overflow=zero, forced_rebuilds=zero, cell_overflow=covf,
-                owner_overflow=zero)
+                solve_overflow=zero, solve_dropped=zero, owner_overflow=zero)
     return final, traj, diag
 
 
